@@ -1,0 +1,38 @@
+"""colvarsfinder-tpu: TPU-native framework for learning collective variables.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of the reference
+package ``colvars-finder`` (https://github.com/zwpku/colvars-finder):
+learning collective variables of stochastic dynamical systems from weighted
+trajectory data via autoencoders, eigenfunctions of the infinitesimal
+generator / transfer operator, and regularized autoencoders.
+
+Layer map (mirrors SURVEY.md §1, rebuilt TPU-first):
+
+* :mod:`colvarsfinder_tpu.utils` — data pipeline: weighted trajectories,
+  samplers (lax.scan SDE integrator), Boltzmann reweighting
+* :mod:`colvarsfinder_tpu.models` — model zoo: MLPs, autoencoders,
+  stacked-ensemble eigenfunctions
+* :mod:`colvarsfinder_tpu.ops` — feature transforms + batched Kabsch
+  alignment (molann-equivalents; Pallas kernel for the alignment hot path)
+* :mod:`colvarsfinder_tpu.core` — training tasks with whole-epoch jitted
+  lax.scan execution
+* :mod:`colvarsfinder_tpu.parallel` — device meshes, data-parallel sharding
+* :mod:`colvarsfinder_tpu.export` — StableHLO CV deployment artifacts
+"""
+
+__version__ = "0.1.0"
+
+from . import core, models, ops, parallel, utils
+from .export import ColvarModel, export_colvar, load_colvar
+
+__all__ = [
+    "core",
+    "models",
+    "ops",
+    "parallel",
+    "utils",
+    "ColvarModel",
+    "export_colvar",
+    "load_colvar",
+    "__version__",
+]

@@ -1,0 +1,86 @@
+r"""Parameter checkpointing.
+
+Replaces the reference's ``state_dict`` save/load
+(reference: colvarsfinder/core.py:156-161, :200-201) with a plain
+``.npz`` of named parameter leaves plus a JSON spec. Loading follows
+``strict=False`` semantics: leaves present in the file and matching in
+shape are restored, everything else keeps its current value.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+__all__ = ["tree_to_named_arrays", "save_pytree", "load_pytree", "save_spec"]
+
+
+def _key_name(path) -> str:
+    """Stable, filesystem-friendly name for a tree path."""
+    parts = []
+    for p in path:
+        if isinstance(p, jax.tree_util.GetAttrKey):
+            parts.append(p.name)
+        elif isinstance(p, jax.tree_util.DictKey):
+            parts.append(str(p.key))
+        elif isinstance(p, jax.tree_util.SequenceKey):
+            parts.append(str(p.idx))
+        elif isinstance(p, jax.tree_util.FlattenedIndexKey):
+            parts.append(str(p.key))
+        else:
+            parts.append(str(p))
+    return ".".join(parts)
+
+
+def tree_to_named_arrays(tree: Any) -> dict[str, np.ndarray]:
+    """Flatten a pytree into {path-name: numpy array}."""
+    leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {_key_name(path): np.asarray(leaf) for path, leaf in leaves}
+
+
+def save_pytree(tree: Any, filename: str) -> None:
+    """Save all array leaves of a pytree to an .npz file."""
+    np.savez(filename, **tree_to_named_arrays(tree))
+
+
+def load_pytree(tree: Any, filename: str, strict: bool = False) -> Any:
+    """Restore leaves of ``tree`` from an .npz written by :func:`save_pytree`.
+
+    Non-strict (default): keys missing from the file, or with mismatched
+    shapes, keep the current value — mirroring the reference's
+    ``load_state_dict(..., strict=False)`` restart path (core.py:158).
+    """
+    with np.load(filename) as data:
+        stored = {k: data[k] for k in data.files}
+
+    paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    new_leaves = []
+    for path, leaf in paths_and_leaves:
+        name = _key_name(path)
+        if name in stored:
+            arr = stored[name]
+            if arr.shape == np.shape(leaf):
+                new_leaves.append(
+                    jax.numpy.asarray(arr, dtype=jax.numpy.asarray(leaf).dtype)
+                )
+                continue
+            if strict:
+                raise ValueError(
+                    f"shape mismatch for '{name}': "
+                    f"file {arr.shape} vs model {np.shape(leaf)}"
+                )
+        elif strict:
+            raise KeyError(f"parameter '{name}' not found in {filename}")
+        new_leaves.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def save_spec(spec: dict, filename: str) -> None:
+    """Write a JSON architecture spec next to a checkpoint."""
+    os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
+    with open(filename, "w") as f:
+        json.dump(spec, f, indent=2, default=str)

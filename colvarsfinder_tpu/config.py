@@ -1,0 +1,40 @@
+"""Global numerics configuration.
+
+On TPU the MXU's native matmul passes are bfloat16; the parity bar against
+the float32 PyTorch reference (BASELINE.md: losses matching to 1e-5)
+requires true-f32 contractions, so the framework defaults to
+``jax.lax.Precision.HIGHEST`` in every model/feature contraction. Training
+runs that don't need bit-level parity can trade precision for MXU
+throughput with :func:`set_matmul_precision`.
+"""
+
+from __future__ import annotations
+
+import jax
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+_NAMES = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+    "bfloat16": jax.lax.Precision.DEFAULT,
+    "float32": jax.lax.Precision.HIGHEST,
+}
+
+
+def set_matmul_precision(precision) -> None:
+    """Set the contraction precision used by all framework matmuls.
+
+    Accepts a ``jax.lax.Precision`` or one of
+    'default' | 'high' | 'highest' | 'bfloat16' | 'float32'.
+    """
+    global _PRECISION
+    if isinstance(precision, str):
+        precision = _NAMES[precision.lower()]
+    _PRECISION = precision
+
+
+def matmul_precision():
+    """Current contraction precision."""
+    return _PRECISION

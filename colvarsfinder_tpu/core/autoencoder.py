@@ -1,0 +1,230 @@
+r"""Autoencoder training task.
+
+TPU-native counterpart of the reference's ``AutoEncoderTask``
+(reference: colvarsfinder/core.py:569-744).
+
+Execution model: features are computed for the whole trajectory once
+(matching the reference's eager preprocessing, core.py:635) and placed on
+device; each epoch is a single jitted program — a ``lax.scan`` over training
+batches performing loss/grad/optimizer updates entirely on device, followed
+by a scanned evaluation pass — instead of the reference's Python batch loop
+with per-batch host->device copies (core.py:699-712).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..export import ColvarModel
+from ..logging_utils import losses_to_dataframe
+from ..models.ae import AutoEncoder
+from ..ops.features import as_pp_layer
+from .losses import weighted_mse_loss
+from .task import TrainingTask
+
+__all__ = ["AutoEncoderTask"]
+
+
+class AutoEncoderTask(TrainingTask):
+    r"""Train an autoencoder with the weighted reconstruction loss
+    (reference: colvarsfinder/core.py:569-744; math:
+    docs/math_backgrounds.rst:35-52).
+
+    Attributes:
+        model: same as the input parameter
+        preprocessing_layer: same as the input parameter pp_layer
+        train_loss_df / test_loss_df: per-epoch mean loss dataframes
+    """
+
+    def __init__(
+        self,
+        traj_obj,
+        pp_layer,
+        model,
+        model_path,
+        learning_rate: float = 0.01,
+        load_model_filename=None,
+        save_model_every_step: int = 10,
+        batch_size: int = 1000,
+        num_epochs: int = 10,
+        test_ratio: float = 0.2,
+        optimizer_name: str = "Adam",
+        device=None,
+        plot_class=None,
+        plot_frequency: int = 0,
+        verbose: bool = True,
+        debug_mode: bool = True,
+        **kwargs,
+    ):
+        assert isinstance(model, AutoEncoder), (
+            "model must be an object of the class AutoEncoder"
+        )
+        pp_layer = as_pp_layer(pp_layer)
+        super().__init__(
+            traj_obj, pp_layer, model, model_path, learning_rate,
+            load_model_filename, save_model_every_step, model.encoded_dim,
+            batch_size, num_epochs, test_ratio, optimizer_name, device,
+            plot_class, plot_frequency, verbose, debug_mode, **kwargs,
+        )
+
+        self.init_model_and_optimizer()
+
+        # eager preprocessing of the whole trajectory (reference core.py:635)
+        traj = jnp.asarray(traj_obj.trajectory, dtype=jnp.float32)
+        self._feature_traj = np.asarray(
+            jax.jit(self.preprocessing_layer)(traj)
+        )
+        self._weights = np.asarray(traj_obj.weights, dtype=np.float32)
+
+        if self.verbose:
+            print(
+                "\nShape of trajectory data array:\n {}".format(
+                    self._feature_traj.shape
+                ),
+                flush=True,
+            )
+
+        self._epoch_fn = None
+
+    # ------------------------------------------------------------------
+    def colvar_model(self) -> ColvarModel:
+        r"""CV model: preprocessing layer followed by the encoder
+        (reference core.py:640-647)."""
+        return ColvarModel(self.preprocessing_layer, self.model.encoder)
+
+    def reg_model(self):
+        return None
+
+    def weighted_MSE_loss(self, X, weight):
+        r"""Reconstruction loss of the current model on a feature batch
+        (reference core.py:652-666)."""
+        return weighted_mse_loss(self.model, jnp.asarray(X), jnp.asarray(weight))
+
+    # ------------------------------------------------------------------
+    def _build_epoch_fn(self):
+        optimizer = self.optimizer
+
+        def loss_fn(model, X, w):
+            return weighted_mse_loss(model, X, w)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def epoch_fn(model, opt_state, train_X, train_w, test_X, test_w):
+            def train_step(carry, batch):
+                model, opt_state = carry
+                X, w = batch
+                loss, grads = jax.value_and_grad(loss_fn)(model, X, w)
+                updates, opt_state = optimizer.update(grads, opt_state, model)
+                model = optax.apply_updates(model, updates)
+                return (model, opt_state), loss
+
+            (model, opt_state), train_losses = jax.lax.scan(
+                train_step, (model, opt_state), (train_X, train_w)
+            )
+
+            def eval_step(_, batch):
+                X, w = batch
+                return None, loss_fn(model, X, w)
+
+            _, test_losses = jax.lax.scan(eval_step, None, (test_X, test_w))
+            return model, opt_state, train_losses, test_losses
+
+        return epoch_fn
+
+    def train(self):
+        r"""Train the model (reference core.py:668-744)."""
+        n = self._feature_traj.shape[0]
+        train_idx, test_idx = self._make_split(n)
+
+        train_b = self._make_batches(np.arange(len(train_idx)), self.batch_size)
+        test_b = self._make_batches(np.arange(len(test_idx)), self.batch_size)
+
+        X_train = self._feature_traj[train_idx]
+        w_train = self._weights[train_idx]
+        X_test = self._feature_traj[test_idx]
+        w_test = self._weights[test_idx]
+
+        train_X = self._place_batched(X_train[train_b.reshape(-1)].reshape(
+            train_b.shape + X_train.shape[1:]
+        ))
+        train_w = self._place_batched(w_train[train_b])
+        test_X = self._place_batched(X_test[test_b.reshape(-1)].reshape(
+            test_b.shape + X_test.shape[1:]
+        ))
+        test_w = self._place_batched(w_test[test_b])
+
+        model = self._place_replicated(self.model)
+        opt_state = self._place_replicated(self.opt_state)
+
+        if self._epoch_fn is None:
+            self._epoch_fn = self._build_epoch_fn()
+
+        bs_train = train_b.shape[1]
+        bs_test = test_b.shape[1]
+        print(
+            "\nTraining starts.\n%d epochs in total, batch sizes "
+            "(train/test): %d/%d" % (self.num_epochs, bs_train, bs_test)
+        )
+        print(
+            "\nTrain set:\n\t%d data, %d iterations per epoch, %d "
+            "iterations in total."
+            % (len(train_idx), train_b.shape[0],
+               train_b.shape[0] * self.num_epochs),
+            flush=True,
+        )
+        print(
+            "Test set:\n\t%d data, %d iterations per epoch, %d iterations "
+            "in total."
+            % (len(test_idx), test_b.shape[0],
+               test_b.shape[0] * self.num_epochs),
+            flush=True,
+        )
+
+        self.loss_list = []
+        min_loss = float("inf")
+        train_means, test_means = [], []
+
+        for epoch in range(self.num_epochs):
+            model, opt_state, train_losses, test_losses = self._epoch_fn(
+                model, opt_state, train_X, train_w, test_X, test_w
+            )
+            train_losses = np.asarray(train_losses)
+            test_losses = np.asarray(test_losses)
+            self.loss_list.append([train_losses, test_losses])
+            self.model = model  # keep current for checkpoint/plot hooks
+
+            if (
+                self.save_model_every_step > 0
+                and epoch % self.save_model_every_step
+                == self.save_model_every_step - 1
+            ):
+                self.save_model(epoch)
+                # best selection on LAST-BATCH train loss: preserved
+                # reference quirk (core.py:716-718)
+                last_loss = float(train_losses[-1])
+                if last_loss < min_loss:
+                    min_loss = last_loss
+                    self.save_model(epoch, "best")
+
+            if (
+                self.plot_frequency > 0
+                and epoch % self.plot_frequency == self.plot_frequency - 1
+                and self.plot_class is not None
+            ):
+                self.plot_class.plot(self.colvar_model(), epoch=epoch)
+
+            mean_train = train_losses.mean()
+            mean_test = test_losses.mean()
+            train_means.append(np.asarray([mean_train]))
+            test_means.append(np.asarray([mean_test]))
+            self.writer.add_scalar("Loss/train", mean_train, epoch)
+            self.writer.add_scalar("Loss/test", mean_test, epoch)
+
+        self.model = model
+        self.opt_state = opt_state
+        self.train_loss_df = losses_to_dataframe(train_means, ["loss"])
+        self.test_loss_df = losses_to_dataframe(test_means, ["loss"])

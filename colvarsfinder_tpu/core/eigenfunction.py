@@ -1,0 +1,324 @@
+r"""Eigenfunction training task (generator and transfer operator).
+
+TPU-native counterpart of the reference's ``EigenFunctionTask``
+(reference: colvarsfinder/core.py:251-567) — the flagship path.
+
+Execution model: the full trajectory and weights live on device; each epoch
+is one jitted program scanning over *index batches*: lagged pairs are
+on-device gathers ``traj[idx + lag_idx]`` (reference core.py:511-512), and
+the generator's per-sample input gradients are a fused ``vmap(jacrev)``
+inside the step (reference runs k separate autograd backward passes per
+batch, core.py:424). The outer parameter gradient differentiates through
+the input-gradient computation (double backprop, core.py:517).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..export import ColvarModel
+from ..logging_utils import losses_to_dataframe
+from ..models.eigen import EigenFunctions
+from ..ops.features import as_pp_layer
+from .losses import eigen_loss
+from .task import TrainingTask
+
+__all__ = ["EigenFunctionTask"]
+
+
+class EigenFunctionTask(TrainingTask):
+    r"""Learn eigenfunctions of the infinitesimal generator (``lag_tau == 0``)
+    or the transfer operator (``lag_tau > 0``)
+    (reference: colvarsfinder/core.py:251-567; math:
+    docs/math_backgrounds.rst:54-105).
+
+    Attributes:
+        model: same as the input parameter
+        preprocessing_layer: same as the input parameter pp_layer
+        train_loss_df / test_loss_df: per-epoch mean metric dataframes with
+            columns ['loss', 'eigen_non_penalty', 'eigen_penalty',
+            'eig_1', ..., 'eig_k']
+    """
+
+    def __init__(
+        self,
+        traj_obj,
+        pp_layer,
+        model,
+        model_path,
+        alpha: float,
+        eig_weights,
+        diag_coeff=None,
+        beta: float = 1.0,
+        lag_tau: float = 0,
+        learning_rate: float = 0.01,
+        load_model_filename=None,
+        save_model_every_step: int = 10,
+        sort_eigvals_in_training: bool = True,
+        k: int = 1,
+        batch_size: int = 1000,
+        num_epochs: int = 10,
+        test_ratio: float = 0.2,
+        optimizer_name: str = "Adam",
+        device=None,
+        plot_class=None,
+        plot_frequency: int = 0,
+        verbose: bool = True,
+        debug_mode: bool = True,
+        **kwargs,
+    ):
+        assert isinstance(model, EigenFunctions), (
+            "model must be an object of the class EigenFunctions"
+        )
+        assert k == model.k, (
+            f"number of cv ({k}) must equal the number of eigenfunctions "
+            f"({model.k})"
+        )
+        pp_layer = as_pp_layer(pp_layer)
+        super().__init__(
+            traj_obj, pp_layer, model, model_path, learning_rate,
+            load_model_filename, save_model_every_step, k, batch_size,
+            num_epochs, test_ratio, optimizer_name, device, plot_class,
+            plot_frequency, verbose, debug_mode, **kwargs,
+        )
+
+        self._alpha = float(alpha)
+        self._sort_eigvals_in_training = bool(sort_eigvals_in_training)
+        self._eig_w = list(eig_weights)
+        self._cvec = None
+
+        self.traj_dt = float(traj_obj.dt)
+        lag_idx = lag_tau / self.traj_dt
+        assert abs(lag_idx - int(lag_idx)) < 1e-6, (
+            f"lag-time ({lag_tau}) not divisable by the timestep "
+            f"{self.traj_dt} of the trajectory"
+        )
+        self.lag_idx = int(round(lag_idx))
+
+        if self.verbose:
+            print("\nEigenfunctions:\n", self.model, flush=True)
+
+        self.init_model_and_optimizer()
+
+        self._traj_np = np.asarray(traj_obj.trajectory, dtype=np.float32)
+        self._weights_np = np.asarray(traj_obj.weights, dtype=np.float32)
+        self.tot_dim = int(np.prod(self._traj_np.shape[1:]))
+
+        if self.lag_idx == 0:  # generator
+            self._beta = float(beta)
+            if diag_coeff is not None:
+                dc = np.asarray(diag_coeff, dtype=np.float32).reshape(-1)
+                assert dc.shape[0] == self.tot_dim, (
+                    f"diag_coeff should be a 1d tensor of length "
+                    f"{self.tot_dim}, current shape: {dc.shape}"
+                )
+                self._diag_coeff = jnp.asarray(dc)
+            else:
+                self._diag_coeff = jnp.ones(self.tot_dim, dtype=jnp.float32)
+        else:
+            self._beta = float(beta)
+            self._diag_coeff = None
+
+        self._epoch_fn = None
+
+    # ------------------------------------------------------------------
+    def get_reordered_eigenfunctions(self, model, cvec):
+        r"""New EigenFunctions with heads permuted by ``cvec``
+        (reference core.py:356-370)."""
+        return model.reordered(cvec)
+
+    def colvar_model(self) -> ColvarModel:
+        r"""CV model :math:`\xi = (g_1 \circ r, ..., g_k \circ r)^T` with
+        heads ordered by the last training ``cvec``
+        (reference core.py:372-382)."""
+        if self._cvec is None:
+            self._cvec = np.arange(self.k)
+        reordered = self.model.reordered(self._cvec)
+        return ColvarModel(self.preprocessing_layer, reordered)
+
+    def reg_model(self):
+        return None
+
+    # ------------------------------------------------------------------
+    def loss_func(self, X, weight, X_lagged=None, weight_lagged=None):
+        r"""Loss on one batch (reference core.py:387-457). Returns
+        (loss, eig_vals, non_penalty_loss, penalty, cvec)."""
+        loss, aux = eigen_loss(
+            self.model,
+            self.preprocessing_layer,
+            jnp.asarray(X),
+            jnp.asarray(weight),
+            None if X_lagged is None else jnp.asarray(X_lagged),
+            None if weight_lagged is None else jnp.asarray(weight_lagged),
+            k=self.k,
+            alpha=self._alpha,
+            eig_w=self._eig_w,
+            beta=self._beta,
+            diag_coeff=self._diag_coeff,
+            lag_idx=self.lag_idx,
+            traj_dt=self.traj_dt,
+            sort_eigvals=self._sort_eigvals_in_training,
+        )
+        return loss, aux.eig_vals, aux.non_penalty_loss, aux.penalty, aux.cvec
+
+    # ------------------------------------------------------------------
+    def _build_epoch_fn(self):
+        optimizer = self.optimizer
+        pp_layer = self.preprocessing_layer
+        k = self.k
+        lag_idx = self.lag_idx
+        loss_kwargs = dict(
+            k=k,
+            alpha=self._alpha,
+            eig_w=self._eig_w,
+            beta=self._beta,
+            diag_coeff=self._diag_coeff,
+            lag_idx=lag_idx,
+            traj_dt=self.traj_dt,
+            sort_eigvals=self._sort_eigvals_in_training,
+        )
+
+        def batch_loss(model, traj, weights, idx):
+            X = traj[idx]
+            w = weights[idx]
+            if lag_idx > 0:
+                X_l = traj[idx + lag_idx]
+                w_l = weights[idx + lag_idx]
+            else:
+                X_l = w_l = None
+            loss, aux = eigen_loss(
+                model, pp_layer, X, w, X_l, w_l, **loss_kwargs
+            )
+            metrics = jnp.concatenate(
+                [
+                    jnp.stack(
+                        [loss, aux.non_penalty_loss, aux.penalty]
+                    ),
+                    aux.eig_vals,
+                    aux.cvec.astype(jnp.float32),
+                ]
+            )
+            return loss, metrics
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def epoch_fn(model, opt_state, traj, weights, train_idx, test_idx):
+            def train_step(carry, idx):
+                model, opt_state = carry
+                (_, metrics), grads = jax.value_and_grad(
+                    batch_loss, has_aux=True
+                )(model, traj, weights, idx)
+                updates, opt_state = optimizer.update(grads, opt_state, model)
+                model = optax.apply_updates(model, updates)
+                return (model, opt_state), metrics
+
+            (model, opt_state), train_metrics = jax.lax.scan(
+                train_step, (model, opt_state), train_idx
+            )
+
+            def eval_step(_, idx):
+                # the reference evaluates the test loss with gradients
+                # enabled (core.py:535-551) — semantics identical here
+                _, metrics = batch_loss(model, traj, weights, idx)
+                return None, metrics
+
+            _, test_metrics = jax.lax.scan(eval_step, None, test_idx)
+            return model, opt_state, train_metrics, test_metrics
+
+        return epoch_fn
+
+    def train(self):
+        r"""Train the model (reference core.py:459-566)."""
+        n = self._traj_np.shape[0]
+        ll = n - self.lag_idx
+        train_idx, test_idx = self._make_split(ll)
+
+        train_b = self._make_batches(train_idx, self.batch_size)
+        test_b = self._make_batches(test_idx, self.batch_size)
+
+        traj = self._place_replicated(jnp.asarray(self._traj_np))
+        weights = self._place_replicated(jnp.asarray(self._weights_np))
+        train_bd = self._place_batched(train_b)
+        test_bd = self._place_batched(test_b)
+        model = self._place_replicated(self.model)
+        opt_state = self._place_replicated(self.opt_state)
+
+        if self._epoch_fn is None:
+            self._epoch_fn = self._build_epoch_fn()
+
+        bs_train, bs_test = train_b.shape[1], test_b.shape[1]
+        print(
+            "\nTraining starts.\n%d epochs in total, batch sizes "
+            "(train/test): %d/%d" % (self.num_epochs, bs_train, bs_test)
+        )
+        print(
+            "\nTrain set:\n\t%d data, %d iterations per epoch, %d "
+            "iterations in total."
+            % (len(train_idx), train_b.shape[0],
+               train_b.shape[0] * self.num_epochs),
+            flush=True,
+        )
+        print(
+            "Test set:\n\t%d data, %d iterations per epoch, %d iterations "
+            "in total."
+            % (len(test_idx), test_b.shape[0],
+               test_b.shape[0] * self.num_epochs),
+            flush=True,
+        )
+
+        loss_names = ["loss", "eigen_non_penalty", "eigen_penalty"] + [
+            "eig_%d" % (i + 1) for i in range(self.k)
+        ]
+        n_metrics = len(loss_names)
+
+        self.loss_list = []
+        min_loss = float("inf")
+        train_means, test_means = [], []
+
+        for epoch in range(self.num_epochs):
+            model, opt_state, train_m, test_m = self._epoch_fn(
+                model, opt_state, traj, weights, train_bd, test_bd
+            )
+            train_m = np.asarray(train_m)
+            test_m = np.asarray(test_m)
+            # last column block is cvec of each batch; keep the last batch's
+            self._cvec = train_m[-1, n_metrics:].astype(int)
+            train_m = train_m[:, :n_metrics]
+            test_m = test_m[:, :n_metrics]
+            self.loss_list.append([train_m, test_m])
+            self.model = model
+
+            if (
+                self.save_model_every_step > 0
+                and epoch % self.save_model_every_step
+                == self.save_model_every_step - 1
+            ):
+                self.save_model(epoch)
+                last_loss = float(train_m[-1, 0])
+                if last_loss < min_loss:  # reference quirk: last-batch loss
+                    min_loss = last_loss
+                    self.save_model(epoch, "best")
+
+            if (
+                self.plot_frequency > 0
+                and epoch % self.plot_frequency == self.plot_frequency - 1
+                and self.plot_class is not None
+            ):
+                self.plot_class.plot(self.colvar_model(), epoch=epoch)
+
+            mean_train = train_m.mean(axis=0)
+            mean_test = test_m.mean(axis=0)
+            train_means.append(mean_train)
+            test_means.append(mean_test)
+            self.writer.add_scalars_split(
+                loss_names, mean_train, mean_test, epoch
+            )
+
+        self.model = model
+        self.opt_state = opt_state
+        self.train_loss_df = losses_to_dataframe(train_means, loss_names)
+        self.test_loss_df = losses_to_dataframe(test_means, loss_names)

@@ -1,0 +1,318 @@
+r"""Pure loss functions for all training tasks.
+
+These are the TPU-native counterparts of the loss computations embedded in
+the reference's task classes (reference: colvarsfinder/core.py:387-457,
+:652-666, :884-1034). Each is a pure function
+``(model, batch, ...) -> (scalar_loss, aux)`` designed to be used inside a
+jitted, scanned train step and differentiated with ``jax.grad``.
+
+Key translation notes:
+
+* Per-sample input gradients (the generator loss) — the reference runs k
+  separate ``torch.autograd.grad`` backward passes per batch
+  (core.py:424). Here the same quantity is ``vmap(jacrev(f))``: one fused,
+  batched program XLA compiles alongside the rest of the step, with the
+  outer parameter gradient differentiating straight through it
+  (double backprop, matching core.py:517's ``retain_graph`` dance).
+* Eigenvalue estimates are ``stop_gradient``-ed, mirroring the reference's
+  detached ``torch.tensor([...])`` construction (core.py:426,428).
+* Sorting eigenvalues inside the step is a traceable ``argsort`` + gather
+  over the k (tiny) heads (reference: core.py:430-434).
+* Two reference quirks are preserved deliberately for behavioral parity and
+  documented here: (a) in the transfer-operator variational objective the
+  numerator is indexed by the *unsorted* head index while the denominator
+  variance uses the *sorted* index (core.py:440, :1023); (b) the penalty's
+  variance term always runs over unsorted heads (core.py:446).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "weighted_mse_loss",
+    "weighted_mse_lagged_loss",
+    "eigen_loss",
+    "EigenAux",
+    "enc_grad_loss",
+    "enc_norm_loss",
+    "enc_orthogonality_loss",
+    "reg_eigen_loss",
+]
+
+
+# ---------------------------------------------------------------------------
+# Autoencoder reconstruction
+# ---------------------------------------------------------------------------
+
+
+def weighted_mse_loss(model, X: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
+    r"""Weighted reconstruction loss on preprocessed features
+    (reference: colvarsfinder/core.py:652-666).
+
+    ``X`` is already in feature space (the AE task preprocesses the whole
+    trajectory once, core.py:635).
+    """
+    out = model(X)
+    return (weight * jnp.sum((out - X) ** 2, axis=1)).sum() / weight.sum()
+
+
+def weighted_mse_lagged_loss(
+    forward_ae: Callable,
+    pp_layer: Callable,
+    X: jnp.ndarray,
+    X_lagged: jnp.ndarray,
+    weight: jnp.ndarray,
+) -> jnp.ndarray:
+    r"""Time-lagged reconstruction loss
+    (reference: colvarsfinder/core.py:884-897):
+    :math:`\sum_l w_l \|f_{dec}(f_{enc}(r(x_l))) - r(x_{l+j})\|^2 / \sum_l w_l`.
+    """
+    out = forward_ae(pp_layer(X))
+    target = pp_layer(X_lagged)
+    return (weight * jnp.sum((out - target) ** 2, axis=1)).sum() / weight.sum()
+
+
+# ---------------------------------------------------------------------------
+# Eigenfunction loss (generator and transfer operator)
+# ---------------------------------------------------------------------------
+
+
+class EigenAux(NamedTuple):
+    """Aux outputs of the eigenfunction loss (reference core.py:457)."""
+
+    eig_vals: jnp.ndarray  # [k] detached eigenvalue estimates, sorted if requested
+    non_penalty_loss: jnp.ndarray  # scalar variational objective
+    penalty: jnp.ndarray  # scalar orthonormality penalty
+    cvec: jnp.ndarray  # [k] int ordering of heads by eigenvalue
+
+
+def _weighted_moments(y: jnp.ndarray, weight: jnp.ndarray, tot_weight):
+    """Weighted per-head means and (biased, uncentered-trick) variances.
+
+    Matches the reference's formulas mean = Σ w y / Σ w and
+    var = Σ w y² / Σ w − mean² (core.py:409-410).
+    """
+    means = (y * weight[:, None]).sum(axis=0) / tot_weight
+    variances = (y**2 * weight[:, None]).sum(axis=0) / tot_weight - means**2
+    return means, variances
+
+
+def _pairwise_cov_penalty(y, weight, tot_weight, means, k: int):
+    """Σ_{i<j} (weighted cov(y_i, y_j))² (reference core.py:449-452)."""
+    penalty = jnp.zeros(())
+    for i in range(k):
+        for j in range(i + 1, k):
+            cov = (y[:, i] * y[:, j] * weight).sum() / tot_weight - means[i] * means[j]
+            penalty = penalty + cov**2
+    return penalty
+
+
+def eigen_loss(
+    model,
+    pp_layer: Callable,
+    X: jnp.ndarray,
+    weight: jnp.ndarray,
+    X_lagged: jnp.ndarray | None,
+    weight_lagged: jnp.ndarray | None,
+    *,
+    k: int,
+    alpha: float,
+    eig_w,
+    beta: float,
+    diag_coeff: jnp.ndarray | None,
+    lag_idx: int,
+    traj_dt: float,
+    sort_eigvals: bool,
+):
+    r"""Eigenfunction loss (reference: colvarsfinder/core.py:387-457).
+
+    Generator case (``lag_idx == 0``): Rayleigh quotients of the Dirichlet
+    form :math:`\beta^{-1}\mathbf{E}_\mu[(a\nabla f_i)\cdot\nabla f_i] /
+    \mathrm{var}_\mu f_i` with per-sample input gradients taken through the
+    preprocessing layer. Transfer-operator case (``lag_idx > 0``): lagged
+    square-difference quotients (docs/math_backgrounds.rst:54-105).
+
+    Returns ``(loss, EigenAux)``.
+    """
+    y = model(pp_layer(X))  # [B, k]
+    tot_weight = weight.sum()
+    means, variances = _weighted_moments(y, weight, tot_weight)
+
+    if lag_idx == 0:
+        # --- generator: per-sample input gradients, one fused vmap(jacrev) ---
+        def f_single(x):
+            return model(pp_layer(x[None]))[0]  # [k]
+
+        jac = jax.vmap(jax.jacrev(f_single))(X)  # [B, k, *state_shape]
+        jac = jac.reshape(jac.shape[0], k, -1)  # [B, k, tot_dim]
+        if diag_coeff is not None:
+            grad_sq = (jac**2 * diag_coeff).sum(axis=-1)  # [B, k]
+        else:
+            grad_sq = (jac**2).sum(axis=-1)
+        dirichlet = (grad_sq * weight[:, None]).sum(axis=0)  # [k]
+        quotients = dirichlet / (tot_weight * beta) / variances  # [k], traced
+        eig_vals = jax.lax.stop_gradient(quotients)
+    else:
+        y_lagged = model(pp_layer(X_lagged))
+        tot_weight_lagged = weight_lagged.sum()
+        _, variances_lagged = _weighted_moments(
+            y_lagged, weight_lagged, tot_weight_lagged
+        )
+        sq_diff = (((y_lagged - y) ** 2) * weight[:, None]).sum(axis=0)  # [k]
+        quot_unsorted_num = sq_diff / tot_weight  # numerator part, [k]
+        quotients = (
+            quot_unsorted_num / (variances + variances_lagged)
+        ) / (traj_dt * lag_idx)
+        eig_vals = jax.lax.stop_gradient(quotients)
+
+    if sort_eigvals:
+        cvec = jnp.argsort(eig_vals)
+        eig_vals = eig_vals[cvec]
+    else:
+        cvec = jnp.arange(k)
+
+    eig_w_arr = jnp.asarray(eig_w, dtype=y.dtype)
+    if lag_idx == 0:
+        # generator objective: sorted heads in numerator and denominator
+        # (reference core.py:438)
+        non_penalty_loss = (
+            eig_w_arr * dirichlet[cvec] / (tot_weight * beta) / variances[cvec]
+        ).sum()
+    else:
+        # PRESERVED REFERENCE QUIRK (core.py:440): numerator indexed by the
+        # unsorted head index, denominator variance by the sorted index.
+        denom = variances[cvec] + variances_lagged[cvec]
+        non_penalty_loss = (
+            (eig_w_arr * quot_unsorted_num / denom).sum() / (traj_dt * lag_idx)
+        )
+
+    # penalty: unsorted variance normalization + pairwise covariances
+    # (reference core.py:443-452)
+    penalty = ((variances - 1.0) ** 2).sum()
+    penalty = penalty + _pairwise_cov_penalty(y, weight, tot_weight, means, k)
+
+    loss = non_penalty_loss + alpha * penalty
+    return loss, EigenAux(eig_vals, non_penalty_loss, penalty, cvec)
+
+
+# ---------------------------------------------------------------------------
+# Regularized-autoencoder constraint terms
+# ---------------------------------------------------------------------------
+
+
+def enc_grad_loss(encoder, pp_layer, X, weight, k: int):
+    r"""Squared L2 norm of encoder gradients w.r.t. *features*
+    (reference: colvarsfinder/core.py:899-920).
+
+    Gradients are taken w.r.t. Y = r(X) (the reference sets requires_grad on
+    the preprocessing output, core.py:910-911).
+    """
+    Y = pp_layer(X)
+    tot_weight = weight.sum()
+
+    def enc_single(yy):
+        return encoder(yy[None])[0]  # [k]
+
+    jac = jax.vmap(jax.jacrev(enc_single))(Y)  # [B, k, *feat_shape]
+    jac = jac.reshape(jac.shape[0], k, -1)
+    grad_sq = (jac**2).sum(axis=-1)  # [B, k]
+    return ((grad_sq * weight[:, None]).sum(axis=0) / tot_weight).sum()
+
+
+def enc_norm_loss(encoder, pp_layer, X, weight, k: int):
+    r"""Penalty on variances of encoder components
+    (reference: colvarsfinder/core.py:922-944)."""
+    tot_weight = weight.sum()
+    enc = encoder(pp_layer(X))
+    _, variances = _weighted_moments(enc, weight, tot_weight)
+    return ((variances - 1.0) ** 2).sum()
+
+
+def enc_orthogonality_loss(encoder, pp_layer, X, weight, k: int):
+    r"""Penalty on pairwise covariances among encoder components
+    (reference: colvarsfinder/core.py:946-973)."""
+    tot_weight = weight.sum()
+    enc = encoder(pp_layer(X))
+    means, _ = _weighted_moments(enc, weight, tot_weight)
+    return _pairwise_cov_penalty(enc, weight, tot_weight, means, k)
+
+
+def reg_eigen_loss(
+    model,
+    pp_layer: Callable,
+    X,
+    weight,
+    X_lagged,
+    weight_lagged,
+    *,
+    num_reg: int,
+    eig_w,
+    beta: float,
+    diag_coeff: jnp.ndarray | None,
+    lag_idx: int,
+    traj_dt: float,
+):
+    r"""Eigenfunction regularization acting on ``forward_reg`` (reg heads
+    composed with the encoder) (reference: colvarsfinder/core.py:975-1034).
+
+    Always sorts by eigenvalue (the reference has no flag here,
+    core.py:1015). Returns ``(eig_vals, non_penalty, penalty, cvec)``.
+    """
+
+    def fwd(x_raw):
+        return model.forward_reg(pp_layer(x_raw))
+
+    y = fwd(X)  # [B, K]
+    tot_weight = weight.sum()
+    means, variances = _weighted_moments(y, weight, tot_weight)
+
+    if lag_idx == 0:
+        def f_single(x):
+            return fwd(x[None])[0]
+
+        jac = jax.vmap(jax.jacrev(f_single))(X)
+        jac = jac.reshape(jac.shape[0], num_reg, -1)
+        if diag_coeff is not None:
+            grad_sq = (jac**2 * diag_coeff).sum(axis=-1)
+        else:
+            grad_sq = (jac**2).sum(axis=-1)
+        dirichlet = (grad_sq * weight[:, None]).sum(axis=0)
+        quotients = dirichlet / (tot_weight * beta) / variances
+        eig_vals = jax.lax.stop_gradient(quotients)
+    else:
+        y_lagged = fwd(X_lagged)
+        tot_weight_lagged = weight_lagged.sum()
+        _, variances_lagged = _weighted_moments(
+            y_lagged, weight_lagged, tot_weight_lagged
+        )
+        sq_diff = (((y_lagged - y) ** 2) * weight[:, None]).sum(axis=0)
+        quot_unsorted_num = sq_diff / tot_weight
+        quotients = (
+            quot_unsorted_num / (variances_lagged + variances)
+        ) / (traj_dt * lag_idx)
+        eig_vals = jax.lax.stop_gradient(quotients)
+
+    cvec = jnp.argsort(eig_vals)
+    eig_vals = eig_vals[cvec]
+
+    eig_w_arr = jnp.asarray(eig_w, dtype=y.dtype)
+    if lag_idx == 0:
+        non_penalty = (
+            eig_w_arr * dirichlet[cvec] / (tot_weight * beta) / variances[cvec]
+        ).sum()
+    else:
+        # preserved reference quirk, see module docstring (core.py:1023)
+        denom = variances_lagged[cvec] + variances[cvec]
+        non_penalty = (
+            (eig_w_arr * quot_unsorted_num / denom).sum() / (traj_dt * lag_idx)
+        )
+
+    penalty = ((variances - 1.0) ** 2).sum()
+    penalty = penalty + _pairwise_cov_penalty(y, weight, tot_weight, means, num_reg)
+
+    return eig_vals, non_penalty, penalty, cvec

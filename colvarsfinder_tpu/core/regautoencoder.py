@@ -1,0 +1,369 @@
+r"""Regularized autoencoder training task.
+
+TPU-native counterpart of the reference's ``RegAutoEncoderTask``
+(reference: colvarsfinder/core.py:746-1218): a weighted sum of up to six
+loss terms — (time-lagged) reconstruction, eigenfunction variational
+objective + orthonormality penalty on the regularizer heads, and encoder
+gradient/norm/orthogonality constraints — gated by their weights
+(core.py:1082-1124). The gating constants are Python-level, so disabled
+terms are compiled out of the step entirely.
+
+``freeze_encoder`` is realized by zeroing encoder gradients inside the
+jitted step: with Adam moments starting at zero and gradients identically
+zero, encoder parameters and their optimizer state never change — exactly
+the effect of the reference's requires_grad toggling (core.py:1078-1080,
+:1129-1131).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..export import ColvarModel
+from ..logging_utils import losses_to_dataframe
+from ..models.ae import RegAutoEncoder, RegModel
+from ..ops.features import as_pp_layer
+from .losses import (
+    enc_grad_loss,
+    enc_norm_loss,
+    enc_orthogonality_loss,
+    reg_eigen_loss,
+    weighted_mse_lagged_loss,
+)
+from .task import TrainingTask
+
+__all__ = ["RegAutoEncoderTask"]
+
+_EPS = 1e-5
+
+
+class RegAutoEncoderTask(TrainingTask):
+    r"""Train a regularized autoencoder
+    (reference: colvarsfinder/core.py:746-1218; math:
+    docs/math_backgrounds.rst:107-128).
+
+    Attributes:
+        model / preprocessing_layer: same as input parameters
+        train_loss_df / test_loss_df: per-epoch mean metric dataframes with
+            columns ['loss', 'ae_loss', 'eigen_non_penalty', 'eigen_penalty',
+            'eig_0', ..., 'encoder_gradient', 'encoder_norm',
+            'encoder_orthogonality']
+    """
+
+    def __init__(
+        self,
+        traj_obj,
+        pp_layer,
+        model,
+        model_path,
+        eig_weights=(),
+        learning_rate: float = 0.01,
+        load_model_filename=None,
+        save_model_every_step: int = 10,
+        batch_size: int = 1000,
+        num_epochs: int = 10,
+        test_ratio: float = 0.2,
+        optimizer_name: str = "Adam",
+        alpha: float = 1.0,
+        gamma=(0.0, 0.0),
+        eta=(0.0, 0.0, 0.0),
+        lag_tau_ae: float = 0,
+        lag_tau_reg: float = 0,
+        beta: float = 1.0,
+        device=None,
+        plot_class=None,
+        plot_frequency: int = 0,
+        freeze_encoder: bool = False,
+        verbose: bool = True,
+        debug_mode: bool = True,
+        **kwargs,
+    ):
+        assert isinstance(model, RegAutoEncoder), (
+            "model must be an object of the class RegAutoEncoder"
+        )
+        assert model.num_reg == len(eig_weights), (
+            "number of weights does not match the number of eigenfunctions!"
+        )
+        pp_layer = as_pp_layer(pp_layer)
+        super().__init__(
+            traj_obj, pp_layer, model, model_path, learning_rate,
+            load_model_filename, save_model_every_step, model.encoded_dim,
+            batch_size, num_epochs, test_ratio, optimizer_name, device,
+            plot_class, plot_frequency, verbose, debug_mode, **kwargs,
+        )
+
+        self.init_model_and_optimizer()
+
+        self._traj_np = np.asarray(traj_obj.trajectory, dtype=np.float32)
+        self._weights_np = np.asarray(traj_obj.weights, dtype=np.float32)
+
+        self.alpha = float(alpha)
+        self.gamma = [float(g) for g in gamma]
+        self.eta = [float(e) for e in eta]
+        self.num_reg = model.num_reg
+        self.tot_dim = int(np.prod(self._traj_np.shape[1:]))
+        self._eps = _EPS
+        self._eig_w = list(eig_weights)
+        self._cvec = None
+        self.freeze_encoder = bool(freeze_encoder)
+
+        self.traj_dt = float(traj_obj.dt)
+        lag_ae_idx = lag_tau_ae / self.traj_dt
+        lag_idx = lag_tau_reg / self.traj_dt
+        assert (
+            abs(lag_ae_idx - int(lag_ae_idx)) < 1e-6
+            and abs(lag_idx - int(lag_idx)) < 1e-6
+        ), (
+            f"lag-times ({lag_tau_ae}, {lag_tau_reg}) not divisable by the "
+            f"timestep {self.traj_dt} of the trajectory"
+        )
+        self.lag_ae_idx = int(round(lag_ae_idx))
+        self.lag_idx = int(round(lag_idx))
+
+        self._beta = float(beta)
+        if self.gamma[0] + self.gamma[1] > self._eps:
+            assert self.num_reg > 0, (
+                "number of eigenfunctions must be positive!"
+            )
+            if self.lag_idx == 0:
+                # identity diffusion matrix only, as in the reference
+                # (core.py:852)
+                self._diag_coeff = jnp.ones(self.tot_dim, dtype=jnp.float32)
+            else:
+                self._diag_coeff = None
+        else:
+            self._diag_coeff = None
+
+        if self.verbose:
+            print(
+                "\nShape of trajectory data array:\n {}".format(
+                    self._traj_np.shape
+                ),
+                flush=True,
+            )
+
+        self._epoch_fn = None
+
+    # ------------------------------------------------------------------
+    def colvar_model(self) -> ColvarModel:
+        r"""CV model: preprocessing layer + encoder
+        (reference core.py:861-868)."""
+        return ColvarModel(self.preprocessing_layer, self.model.encoder)
+
+    def reg_model(self):
+        r"""Regularizer (eigenfunction) model: preprocessing layer +
+        reordered reg heads on the latent space
+        (reference core.py:870-882)."""
+        if self._cvec is None:
+            self._cvec = np.arange(self.model.num_reg)
+        reg_reordered = RegModel(self.model, self._cvec)
+        return ColvarModel(self.preprocessing_layer, reg_reordered)
+
+    # ------------------------------------------------------------------
+    def _batch_loss(self, model, traj, weights, idx):
+        """All gated loss terms for one index batch
+        (reference core.py:1069-1135)."""
+        pp = self.preprocessing_layer
+        X = traj[idx]
+        w = weights[idx]
+
+        if self.alpha > self._eps:
+            if self.lag_ae_idx > 0:
+                X_ae_lagged = traj[idx + self.lag_ae_idx]
+            else:
+                X_ae_lagged = X
+            ae = weighted_mse_lagged_loss(
+                model.forward_ae, pp, X, X_ae_lagged, w
+            )
+        else:
+            ae = jnp.zeros(())
+
+        if self.eta[0] > self._eps:
+            e0 = enc_grad_loss(model.encoder, pp, X, w, self.k)
+        else:
+            e0 = jnp.zeros(())
+        if self.eta[1] > self._eps:
+            e1 = enc_norm_loss(model.encoder, pp, X, w, self.k)
+        else:
+            e1 = jnp.zeros(())
+        if self.eta[2] > self._eps:
+            e2 = enc_orthogonality_loss(model.encoder, pp, X, w, self.k)
+        else:
+            e2 = jnp.zeros(())
+
+        if self.gamma[0] + self.gamma[1] > self._eps:
+            if self.lag_idx > 0:
+                X_l = traj[idx + self.lag_idx]
+                w_l = weights[idx + self.lag_idx]
+            else:
+                X_l = w_l = None
+            eig_vals, g0, g1, cvec = reg_eigen_loss(
+                model, pp, X, w, X_l, w_l,
+                num_reg=self.num_reg,
+                eig_w=self._eig_w,
+                beta=self._beta,
+                diag_coeff=self._diag_coeff,
+                lag_idx=self.lag_idx,
+                traj_dt=self.traj_dt,
+            )
+        else:
+            g0 = jnp.zeros(())
+            g1 = jnp.zeros(())
+            eig_vals = jnp.zeros(self.num_reg)
+            cvec = jnp.arange(self.num_reg)
+
+        loss = (
+            self.alpha * ae
+            + self.gamma[0] * g0
+            + self.gamma[1] * g1
+            + self.eta[0] * e0
+            + self.eta[1] * e1
+            + self.eta[2] * e2
+        )
+        metrics = jnp.concatenate(
+            [
+                jnp.stack([loss, ae, g0, g1]),
+                eig_vals,
+                jnp.stack([e0, e1, e2]),
+                cvec.astype(jnp.float32),
+            ]
+        )
+        return loss, metrics
+
+    def _zero_encoder_grads(self, grads):
+        children, aux = grads.tree_flatten()
+        enc = jax.tree_util.tree_map(jnp.zeros_like, children[0])
+        return type(grads).tree_unflatten(aux, (enc,) + tuple(children[1:]))
+
+    def _build_epoch_fn(self):
+        optimizer = self.optimizer
+        freeze = self.freeze_encoder
+        batch_loss = self._batch_loss
+        zero_enc = self._zero_encoder_grads
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def epoch_fn(model, opt_state, traj, weights, train_idx, test_idx):
+            def train_step(carry, idx):
+                model, opt_state = carry
+                (_, metrics), grads = jax.value_and_grad(
+                    batch_loss, has_aux=True
+                )(model, traj, weights, idx)
+                if freeze:
+                    grads = zero_enc(grads)
+                updates, opt_state = optimizer.update(grads, opt_state, model)
+                model = optax.apply_updates(model, updates)
+                return (model, opt_state), metrics
+
+            (model, opt_state), train_metrics = jax.lax.scan(
+                train_step, (model, opt_state), train_idx
+            )
+
+            def eval_step(_, idx):
+                _, metrics = batch_loss(model, traj, weights, idx)
+                return None, metrics
+
+            _, test_metrics = jax.lax.scan(eval_step, None, test_idx)
+            return model, opt_state, train_metrics, test_metrics
+
+        return epoch_fn
+
+    # ------------------------------------------------------------------
+    def train(self):
+        r"""Train the model (reference core.py:1036-1217)."""
+        n = self._traj_np.shape[0]
+        ll = n - max(self.lag_idx, self.lag_ae_idx)
+        train_idx, test_idx = self._make_split(ll)
+
+        train_b = self._make_batches(train_idx, self.batch_size)
+        test_b = self._make_batches(test_idx, self.batch_size)
+
+        traj = self._place_replicated(jnp.asarray(self._traj_np))
+        weights = self._place_replicated(jnp.asarray(self._weights_np))
+        train_bd = self._place_batched(train_b)
+        test_bd = self._place_batched(test_b)
+        model = self._place_replicated(self.model)
+        opt_state = self._place_replicated(self.opt_state)
+
+        if self._epoch_fn is None:
+            self._epoch_fn = self._build_epoch_fn()
+
+        bs_train, bs_test = train_b.shape[1], test_b.shape[1]
+        print(
+            "\nTraining starts.\n%d epochs in total, batch sizes "
+            "(train/test): %d/%d" % (self.num_epochs, bs_train, bs_test)
+        )
+        print(
+            "\nTrain set:\n\t%d data, %d iterations per epoch, %d "
+            "iterations in total."
+            % (len(train_idx), train_b.shape[0],
+               train_b.shape[0] * self.num_epochs),
+            flush=True,
+        )
+        print(
+            "Test set:\n\t%d data, %d iterations per epoch, %d iterations "
+            "in total."
+            % (len(test_idx), test_b.shape[0],
+               test_b.shape[0] * self.num_epochs),
+            flush=True,
+        )
+
+        loss_names = (
+            ["loss", "ae_loss", "eigen_non_penalty", "eigen_penalty"]
+            + ["eig_%d" % i for i in range(self.num_reg)]
+            + ["encoder_gradient", "encoder_norm", "encoder_orthogonality"]
+        )
+        n_metrics = len(loss_names)
+
+        self.loss_list = []
+        min_loss = float("inf")
+        train_means, test_means = [], []
+
+        for epoch in range(self.num_epochs):
+            model, opt_state, train_m, test_m = self._epoch_fn(
+                model, opt_state, traj, weights, train_bd, test_bd
+            )
+            train_m = np.asarray(train_m)
+            test_m = np.asarray(test_m)
+            self._cvec = train_m[-1, n_metrics:].astype(int)
+            train_m = train_m[:, :n_metrics]
+            test_m = test_m[:, :n_metrics]
+            self.loss_list.append([train_m, test_m])
+            self.model = model
+
+            if (
+                self.save_model_every_step > 0
+                and epoch % self.save_model_every_step
+                == self.save_model_every_step - 1
+            ):
+                self.save_model(epoch)
+                last_loss = float(train_m[-1, 0])
+                if last_loss < min_loss:  # reference quirk: last-batch loss
+                    min_loss = last_loss
+                    self.save_model(epoch, "best")
+
+            if (
+                self.plot_frequency > 0
+                and epoch % self.plot_frequency == self.plot_frequency - 1
+                and self.plot_class is not None
+            ):
+                self.plot_class.plot(
+                    self.colvar_model(), self.reg_model(), epoch=epoch
+                )
+
+            mean_train = train_m.mean(axis=0)
+            mean_test = test_m.mean(axis=0)
+            train_means.append(mean_train)
+            test_means.append(mean_test)
+            self.writer.add_scalars_split(
+                loss_names, mean_train, mean_test, epoch
+            )
+
+        self.model = model
+        self.opt_state = opt_state
+        self.train_loss_df = losses_to_dataframe(train_means, loss_names)
+        self.test_loss_df = losses_to_dataframe(test_means, loss_names)

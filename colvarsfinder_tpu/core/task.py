@@ -1,0 +1,278 @@
+r"""Training task base class.
+
+TPU-native counterpart of the reference's ``TrainingTask``
+(reference: colvarsfinder/core.py:60-249). The constructor surface is kept
+(the API *is* the constructor surface — SURVEY.md §1), with TPU-specific
+additions: ``mesh`` for data-parallel training, ``seed`` controlling model
+init / split determinism, and ``export_cv`` to gate deployment-artifact
+writes.
+
+Execution model divergence (the point of the rewrite): instead of a Python
+loop over minibatches doing per-batch host->device transfers
+(reference core.py:498-522, :699-712), each epoch is **one jitted program**
+— a ``lax.scan`` over on-device batches for training plus one for
+evaluation — so the host touches the device once per epoch to fetch a small
+metrics array.
+"""
+
+from __future__ import annotations
+
+import os
+from abc import ABC, abstractmethod
+from typing import Optional
+
+import jax
+import numpy as np
+import optax
+
+from ..checkpoint import load_pytree, save_pytree
+from ..export import ColvarModel, export_colvar
+from ..logging_utils import MetricsWriter
+from ..parallel.mesh import replicate, shard_batches
+
+__all__ = ["TrainingTask"]
+
+
+class TrainingTask(ABC):
+    r"""Abstract base class of training tasks
+    (reference: colvarsfinder/core.py:60-249).
+
+    Args:
+        traj_obj: :class:`colvarsfinder_tpu.utils.WeightedTrajectory`
+        pp_layer: preprocessing layer — any jax-traceable callable/pytree
+            mapping raw states [batch, ...] -> features [batch, d_r]
+        model: model pytree to be trained
+        model_path: directory for training outputs
+        learning_rate: learning rate
+        load_model_filename: checkpoint (.npz) to warm-start from
+        save_model_every_step: checkpoint every N epochs (0 disables)
+        k: number of collective variables to learn
+        batch_size: minibatch size
+        num_epochs: number of epochs
+        test_ratio: fraction of data held out for evaluation
+        optimizer_name: 'Adam' or 'SGD' (case-insensitive)
+        device: jax.Device, device-kind string, or None for default
+        plot_class: object with a ``plot`` callback
+        plot_frequency: epochs between plot callbacks (0 disables)
+        verbose: print more information
+        debug_mode: additionally snapshot a checkpoint per save epoch
+        mesh: optional ``jax.sharding.Mesh`` with a 'data' axis for
+            data-parallel training (TPU extension)
+        seed: PRNG seed for the train/test split (TPU extension; the
+            reference relied on global RNG state)
+        split_indices: optional (train_idx, test_idx) pair overriding the
+            random split — the parity-harness injection point (SURVEY §7)
+        export_cv: write the StableHLO CV deployment artifact on save
+        tensorboard: enable TensorBoard scalar logging
+    """
+
+    def __init__(
+        self,
+        traj_obj,
+        pp_layer,
+        model,
+        model_path: str,
+        learning_rate: float,
+        load_model_filename: Optional[str],
+        save_model_every_step: int,
+        k: int,
+        batch_size: int,
+        num_epochs: int,
+        test_ratio: float,
+        optimizer_name: str,
+        device=None,
+        plot_class=None,
+        plot_frequency: int = 0,
+        verbose: bool = True,
+        debug_mode: bool = True,
+        *,
+        mesh=None,
+        seed: int = 0,
+        split_indices=None,
+        export_cv: bool = True,
+        tensorboard: bool = True,
+    ):
+        self.traj_obj = traj_obj
+        self.preprocessing_layer = pp_layer
+        self.learning_rate = learning_rate
+        self.batch_size = batch_size
+        self.num_epochs = num_epochs
+        self.test_ratio = test_ratio
+        self.k = k
+        self.model = model
+        self.load_model_filename = load_model_filename
+        self.save_model_every_step = save_model_every_step
+        self.model_path = model_path
+        self.optimizer_name = optimizer_name
+        self.device = self._resolve_device(device)
+        self.mesh = mesh
+        self.plot_class = plot_class
+        self.plot_frequency = plot_frequency
+        self.verbose = verbose
+        self.debug_mode = debug_mode
+        self.seed = seed
+        self.split_indices = split_indices
+        self.export_cv = export_cv
+
+        self.model_name = type(self).__name__
+        self._export_cache: dict = {}
+
+        if self.verbose:
+            print(f"\n[Info] Log directory: {self.model_path}\n", flush=True)
+
+        self.writer = MetricsWriter(self.model_path, enabled=tensorboard)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _resolve_device(device):
+        if device is None or isinstance(device, jax.Device):
+            return device
+        if isinstance(device, str):
+            return jax.devices(device)[0]
+        # tolerate torch.device-style objects with a .type attribute
+        kind = getattr(device, "type", None)
+        if kind is not None:
+            kind = "tpu" if kind == "cuda" else kind
+            try:
+                return jax.devices(kind)[0]
+            except RuntimeError:
+                return None
+        return None
+
+    def _place_replicated(self, tree):
+        if self.mesh is not None:
+            return replicate(tree, self.mesh)
+        if self.device is not None:
+            return jax.device_put(tree, self.device)
+        return jax.device_put(tree)
+
+    def _place_batched(self, tree):
+        if self.mesh is not None:
+            return shard_batches(tree, self.mesh)
+        if self.device is not None:
+            return jax.device_put(tree, self.device)
+        return jax.device_put(tree)
+
+    # ------------------------------------------------------------------
+    def init_model_and_optimizer(self):
+        r"""Initialize :attr:`model` and :attr:`optimizer`
+        (reference: colvarsfinder/core.py:145-166).
+
+        Loads a previous checkpoint when :attr:`load_model_filename` points
+        to an existing file (non-strict), then builds an optax Adam or SGD.
+        """
+        if self.load_model_filename:
+            if os.path.isfile(self.load_model_filename):
+                self.model = load_pytree(self.model, self.load_model_filename)
+                if self.verbose:
+                    print(
+                        "model parameters loaded from: "
+                        f"{self.load_model_filename}"
+                    )
+            else:
+                if self.verbose:
+                    print(f"model file not found: {self.load_model_filename}")
+
+        self.optimizer = self._build_optimizer()
+        self.opt_state = self.optimizer.init(self.model)
+
+    def _build_optimizer(self):
+        if self.optimizer_name.lower() == "adam":
+            # matches torch.optim.Adam defaults: betas=(0.9, 0.999),
+            # eps applied outside the sqrt of the bias-corrected second moment
+            return optax.adam(self.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+        return optax.sgd(self.learning_rate)
+
+    # ------------------------------------------------------------------
+    def _make_split(self, n: int):
+        """Train/test split of range(n) (reference core.py:465-468, :672).
+
+        Uses sklearn's ``train_test_split`` on index arrays so the reference
+        semantics (shuffled split, then shuffle=False loaders over the split
+        order) are preserved; ``split_indices`` overrides for parity runs.
+        The reference's duplicated-split quirk (core.py:465-468) is
+        deliberately not reproduced.
+        """
+        if self.split_indices is not None:
+            train_idx, test_idx = self.split_indices
+            return np.asarray(train_idx), np.asarray(test_idx)
+        from sklearn.model_selection import train_test_split
+
+        idx = np.arange(n)
+        train_idx, test_idx = train_test_split(
+            idx, test_size=self.test_ratio, random_state=self.seed
+        )
+        return train_idx, test_idx
+
+    @staticmethod
+    def _make_batches(indices: np.ndarray, batch_size: int) -> np.ndarray:
+        """[num_batches, batch] index matrix with drop_last=True,
+        shuffle=False semantics (reference core.py:472-481)."""
+        bs = min(batch_size, len(indices))
+        nb = len(indices) // bs
+        return np.asarray(indices[: nb * bs], dtype=np.int32).reshape(nb, bs)
+
+    # ------------------------------------------------------------------
+    def save_model(self, epoch: int, description: str = "latest"):
+        r"""Save the model and CV deployment artifacts
+        (reference: colvarsfinder/core.py:168-227).
+
+        Writes ``model.npz`` (state dict replacement), per-CV plain-text
+        parameter dumps, and — via :func:`colvarsfinder_tpu.export
+        .export_colvar` — the StableHLO CV program replacing TorchScript.
+        """
+        if self.verbose:
+            print(f"\n\nEpoch={epoch}:")
+
+        if self.debug_mode:
+            snap_dir = f"{self.model_path}/models"
+            os.makedirs(snap_dir, exist_ok=True)
+            save_pytree(self.model, f"{snap_dir}/model_{epoch}.npz")
+
+        model_save_dir = f"{self.model_path}/{description}"
+        os.makedirs(model_save_dir, exist_ok=True)
+
+        model_filename = f"{model_save_dir}/model.npz"
+        save_pytree(self.model, model_filename)
+
+        # per-CV text dumps (reference core.py:203-208)
+        for idx in range(self.k):
+            param_vec = self.model.get_params_of_cv(idx)
+            for name, param in param_vec:
+                fname = "%s/%d_" % (model_save_dir, idx) + name.replace(
+                    ".", "_"
+                ) + ".txt"
+                np.savetxt(fname, np.atleast_1d(np.asarray(param)))
+
+        if self.verbose:
+            print(f"  trained model saved at:\n\t{model_filename}")
+
+        cv = self.colvar_model()
+        example = np.asarray(self.traj_obj.trajectory[:1], dtype=np.float32)
+        export_colvar(
+            cv,
+            example,
+            model_save_dir,
+            write_stablehlo=self.export_cv,
+            _exported_cache=self._export_cache,
+        )
+        if self.verbose and self.export_cv:
+            print(
+                "  exported CV program saved at:\n\t"
+                f"{model_save_dir}/cv_exported.bin\n",
+                flush=True,
+            )
+
+    # ------------------------------------------------------------------
+    @abstractmethod
+    def train(self):
+        r"""Train the model (implemented by derived classes)."""
+
+    @abstractmethod
+    def colvar_model(self) -> ColvarModel:
+        r"""Return the CV model built from :attr:`preprocessing_layer` and
+        :attr:`model` (reference core.py:238-245)."""
+
+    @abstractmethod
+    def reg_model(self):
+        r"""Return the regularizer model, or None."""

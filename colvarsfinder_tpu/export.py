@@ -1,0 +1,161 @@
+r"""Collective-variable model composition and deployment export.
+
+The reference's deployment artifact is a TorchScript module
+``scripted_cv_cpu.pt`` consumed by downstream MD engines for biased sampling
+(reference: colvarsfinder/core.py:212-227). The TPU-native replacement is:
+
+* ``cv_params.npz`` + ``cv_spec.json`` — parameters and architecture spec,
+  reloadable into a Python callable without any compiled artifact;
+* ``cv_exported.bin`` — a serialized ``jax.export`` StableHLO program with a
+  *symbolic batch dimension*, callable from any JAX runtime (CPU/TPU)
+  without the model-building code. The program takes the parameter pytree as
+  inputs, so re-saving after further training only rewrites the .npz —
+  the StableHLO is exported once per architecture.
+
+:class:`ColvarModel` is the composition :math:`\xi = g \circ r` of a
+preprocessing layer and a trained head (reference: core.py:372-382,
+:640-647); it is itself a pytree and can be jitted/vmapped/differentiated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .checkpoint import load_pytree, save_pytree
+
+__all__ = ["ColvarModel", "export_colvar", "load_colvar"]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ColvarModel:
+    """Composition of preprocessing layer and trained head: ``head(pp(x))``.
+
+    Counterpart of the reference's ``torch.nn.Sequential(pp_layer, head)``
+    (reference: colvarsfinder/core.py:382, :647, :868).
+    """
+
+    pp_layer: Any  # pytree or plain callable
+    head: Any  # pytree model
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.head(self.pp_layer(x))
+
+    forward = __call__
+
+    def tree_flatten(self):
+        return (self.pp_layer, self.head), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def _apply_fn(cv_model_struct):
+    """A (params, x) -> cv function where params carries all array leaves."""
+
+    def apply(params, x):
+        model = jax.tree_util.tree_unflatten(cv_model_struct, params)
+        return model(x)
+
+    return apply
+
+
+def export_colvar(
+    cv_model: ColvarModel,
+    example_input: np.ndarray,
+    out_dir: str,
+    *,
+    write_stablehlo: bool = True,
+    _exported_cache: dict | None = None,
+) -> None:
+    """Write the deployment artifact set for a CV model.
+
+    Args:
+        cv_model: the composed CV model.
+        example_input: one example state (or batch) defining input rank/dims;
+            the exported program has a symbolic leading batch dimension.
+        out_dir: directory to place ``cv_params.npz``, ``cv_spec.json`` and
+            (optionally) ``cv_exported.bin``.
+        write_stablehlo: skip the StableHLO program (cheap-save mode).
+        _exported_cache: optional dict reused across saves so the StableHLO
+            export (a compile) happens once per architecture.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    leaves, treedef = jax.tree_util.tree_flatten(cv_model)
+    save_pytree(cv_model, os.path.join(out_dir, "cv_params.npz"))
+
+    x = np.asarray(example_input)
+    if x.ndim == 0:
+        raise ValueError("example_input must have at least 1 dimension")
+    state_shape = tuple(x.shape[1:]) if x.ndim > 1 else (x.shape[0],)
+
+    spec = {
+        "format": "colvarsfinder-tpu-cv/1",
+        "input_state_shape": list(state_shape),
+        "pp_layer": type(cv_model.pp_layer).__name__,
+        "head": type(cv_model.head).__name__,
+    }
+    with open(os.path.join(out_dir, "cv_spec.json"), "w") as f:
+        json.dump(spec, f, indent=2)
+
+    if not write_stablehlo:
+        return
+
+    from jax import export as jax_export
+
+    cache_key = ("stablehlo", treedef, state_shape)
+    cache = _exported_cache if _exported_cache is not None else {}
+    blob = cache.get(cache_key)
+    if blob is None:
+        apply = _apply_fn(treedef)
+        b = jax_export.symbolic_shape("b")[0]
+        x_spec = jax.ShapeDtypeStruct((b,) + state_shape, jnp.float32)
+        leaf_specs = [
+            jax.ShapeDtypeStruct(np.shape(l), jnp.asarray(l).dtype) for l in leaves
+        ]
+        exported = jax_export.export(jax.jit(apply))(leaf_specs, x_spec)
+        blob = bytes(exported.serialize())
+        cache[cache_key] = blob
+    with open(os.path.join(out_dir, "cv_exported.bin"), "wb") as f:
+        f.write(blob)
+
+
+def load_colvar(out_dir: str) -> Callable[[np.ndarray], jnp.ndarray]:
+    """Load a deployed CV artifact as a plain callable ``x -> cv(x)``.
+
+    Prefers the serialized StableHLO program (no model code needed); the
+    parameters are fed from ``cv_params.npz``.
+    """
+    from jax import export as jax_export
+
+    path = os.path.join(out_dir, "cv_exported.bin")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no exported CV program at {path}; re-save with "
+            "write_stablehlo=True"
+        )
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(bytearray(f.read()))
+
+    with np.load(os.path.join(out_dir, "cv_params.npz")) as data:
+        # leaves were saved in tree_flatten order under path names; np.load
+        # preserves insertion order of savez kwargs
+        params = [jnp.asarray(data[k]) for k in data.files]
+
+    def cv(x):
+        x = jnp.asarray(x, dtype=jnp.float32)
+        squeeze = x.ndim == len(exported.in_avals[-1].shape) - 1
+        if squeeze:
+            x = x[None]
+        out = exported.call(params, x)
+        return out[0] if squeeze else out
+
+    return cv

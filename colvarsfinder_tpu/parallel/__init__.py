@@ -1,0 +1,5 @@
+"""Parallelism: device meshes and sharding for data-parallel training."""
+
+from .mesh import make_data_mesh, replicate, shard_batches, shard_frames
+
+__all__ = ["make_data_mesh", "replicate", "shard_batches", "shard_frames"]

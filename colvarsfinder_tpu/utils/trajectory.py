@@ -1,0 +1,195 @@
+r"""Weighted trajectory container and Boltzmann reweighting.
+
+TPU-native counterpart of the reference's data layer
+(reference: colvarsfinder/utils.py:62-169 and :354-417).
+
+The container itself is host-side numpy — trajectories are produced by
+samplers (files/MD engines) and consumed by training tasks which move them
+to device once. Weight math is vectorized numpy (the reference used a
+Python list comprehension per frame, utils.py:411).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["WeightedTrajectory", "calc_weights"]
+
+
+class WeightedTrajectory:
+    r"""Holds trajectory states and per-state importance weights.
+
+    Behavioral contract mirrors the reference class
+    (reference: colvarsfinder/utils.py:62-169):
+
+    * MD branch: if ``universe`` (an MDAnalysis Universe) is given, load
+      frames as [n, N, 3] float array restricted to ``input_ag`` atoms, with
+      ``dt`` converted ps -> ns (utils.py:106-113).
+    * Text branch: otherwise read a whitespace text file where each row is
+      ``time x_1 ... x_d``; trajectory is [n, d] and ``dt = t_1 - t_0``
+      (utils.py:132-138).
+    * Array branch (extension): pass ``trajectory`` (+ optional ``weights``,
+      ``dt``) directly — the natural interface for on-device samplers.
+    * Weights: loaded from single-column CSV, normalized to mean one,
+      frames with weight outside (min_w, max_w) dropped, weights
+      re-normalized to mean one (utils.py:140-169). Both normalizations are
+      deliberately kept (reference quirk).
+
+    Attributes:
+        trajectory (np.ndarray): [n, N, 3] for MD data or [n, d] otherwise
+        n_frames (int): number of retained states
+        weights (np.ndarray): 1-d weights with mean ~1
+        dt (float): time between consecutive states (ns for MD systems)
+    """
+
+    def __init__(
+        self,
+        universe=None,
+        input_ag=None,
+        traj_filename: Optional[str] = None,
+        weight_filename: Optional[str] = None,
+        min_w: float = 0.0,
+        max_w: float = float("inf"),
+        verbose: bool = True,
+        *,
+        trajectory: Optional[np.ndarray] = None,
+        weights: Optional[np.ndarray] = None,
+        dt: Optional[float] = None,
+    ):
+        if universe is not None:
+            if verbose:
+                print("\nloading trajectory to numpy array...", end="")
+            if input_ag is None:
+                input_atom_indices = universe.atoms.ix
+            else:
+                input_atom_indices = input_ag.ix
+            self.trajectory = universe.trajectory.timeseries(order="fac")[
+                :, input_atom_indices, :
+            ]
+            if verbose:
+                print("done.")
+            self.n_frames = universe.trajectory.n_frames
+            # unit: ns (MDAnalysis reports ps)
+            self.dt = universe.trajectory.dt * 1e-3
+            if verbose:
+                print(
+                    "\nTrajectory Info:\n"
+                    "  no. of frames in trajectory data: {}\n"
+                    "  stepsize: {:.1f}ps\n"
+                    "  shape of trajectory data array: {}\n".format(
+                        self.n_frames,
+                        universe.trajectory.dt,
+                        self.trajectory.shape,
+                    )
+                )
+        elif trajectory is not None:
+            self.trajectory = np.asarray(trajectory)
+            self.n_frames = self.trajectory.shape[0]
+            self.dt = float(dt) if dt is not None else 1.0
+        else:
+            if traj_filename is None or not os.path.exists(traj_filename):
+                raise FileNotFoundError("trajectory file not found")
+            data_block = _load_time_series(traj_filename)
+            self.n_frames = data_block.shape[0]
+            self.trajectory = data_block[:, 1:]
+            self.dt = data_block[1, 0] - data_block[0, 0]
+
+        if weights is not None:
+            w = np.asarray(weights, dtype=np.float64)
+            if self.n_frames != w.shape[0]:
+                raise ValueError(
+                    "length of weights does match the trajectory data!\n"
+                )
+            self._apply_weight_filter(w, min_w, max_w, verbose)
+        elif weight_filename:
+            weight_vec = pd.read_csv(weight_filename, usecols=[0], header=None)
+            w = weight_vec[0].to_numpy(dtype=np.float64)
+            if self.n_frames != w.shape[0]:
+                raise ValueError(
+                    "length in weight file does match the trajectory data!\n"
+                )
+            if verbose:
+                print("\nloading weights from file: ", weight_filename)
+            self._apply_weight_filter(w, min_w, max_w, verbose)
+        else:
+            self.weights = np.ones(self.n_frames)
+
+    def _apply_weight_filter(self, w: np.ndarray, min_w, max_w, verbose: bool):
+        # first normalization to mean one (reference utils.py:145)
+        w = w / w.mean()
+        selected = (w > min_w) & (w < max_w)
+        self.trajectory = self.trajectory[selected, ...]
+        w = w[selected]
+        # renormalize after filtering (reference utils.py:159)
+        w = w / w.mean()
+        self.n_frames = self.trajectory.shape[0]
+        self.weights = w
+        if verbose:
+            print(
+                "\nAfter selecting states whose weights are in "
+                "[{:.3e}, {:.3e}] and renormalization:\n"
+                "\nShape of trajectory: {}".format(
+                    min_w, max_w, self.trajectory.shape
+                )
+            )
+
+    # convenience: lagged view used by transfer-operator training
+    def lagged_pairs_count(self, lag_idx: int) -> int:
+        return self.n_frames - lag_idx
+
+
+def _load_time_series(filename: str) -> np.ndarray:
+    """Read a whitespace-delimited trajectory text file into [n, 1+d].
+
+    Uses pandas' C parser which is roughly an order of magnitude faster than
+    np.loadtxt on the reference's 5e5-line trajectory files.
+    """
+    return pd.read_csv(
+        filename, sep=r"\s+", header=None, dtype=np.float64
+    ).to_numpy()
+
+
+def calc_weights(
+    csv_filename: str,
+    sampling_beta: float,
+    sys_beta: float,
+    traj_weight_filename: str = "weights.txt",
+    energy_col_idx: int = 1,
+    verbose: bool = True,
+):
+    r"""Compute Boltzmann reweighting factors from a statistics CSV.
+
+    Mirrors the reference (colvarsfinder/utils.py:354-417):
+    :math:`v_i = e^{-(\beta_{sys}-\beta_{sim})(V_i - \bar V)} / Z` with the
+    mean energy subtracted before exponentiation for numerical stability and
+    Z chosen so the mean weight is one; weights written headerless, one per
+    line.
+    """
+    vec = pd.read_csv(csv_filename)
+    vec.rename(columns={vec.columns[0]: "Time"}, inplace=True)
+
+    energy_col_name = vec.columns[energy_col_idx]
+    if verbose:
+        print(f"Reading potential from: {csv_filename}")
+        print(
+            "Use {:d}th column to reweight, name: {}".format(
+                energy_col_idx, energy_col_name
+            )
+        )
+
+    energy = vec[energy_col_name].to_numpy(dtype=np.float64)
+    mean_energy = energy.mean()
+
+    nonnormalized = np.exp(-(sys_beta - sampling_beta) * (energy - mean_energy))
+    weights = pd.DataFrame(
+        nonnormalized / nonnormalized.mean(), columns=["weight"]
+    )
+
+    weights.to_csv(traj_weight_filename, header=False, index=False)
+    if verbose:
+        print(f"weights saved to: {traj_weight_filename}")
+    return weights["weight"].to_numpy()
