@@ -1,0 +1,223 @@
+"""Headline benchmark: dipeptide-style eigenfunction training throughput.
+
+Workload (BASELINE.json config 4 shape): transfer-operator eigenfunction
+training on alanine-dipeptide-scale data — 10 heavy atoms, per-batch
+preprocessing (batched Kabsch alignment + position features, d_r=30), k=2
+eigenfunction heads [30,20,20,20,1], batch 20,000, Boltzmann-style
+non-uniform weights, Adam.
+
+Measures steady-state training samples/sec on the available accelerator and
+compares against the PyTorch-CPU reference implementation of the identical
+math (the reference package itself runs this workload on CPU via its Python
+batch loop; see /root/reference/colvarsfinder/core.py:498-522).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/sec", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_ATOMS = 10
+D_R = 3 * N_ATOMS
+K = 2
+BATCH = 20_000
+N_FRAMES = 120_000
+LAG = 5
+TRAJ_DT = 0.002
+ALPHA = 20.0
+EIG_W = [1.0, 0.2]
+LR = 0.002
+WARMUP_STEPS = 5
+MEASURE_STEPS = 30
+BASELINE_STEPS = 3  # torch CPU is slow; extrapolate from a few steps
+
+log = lambda *a: print(*a, file=sys.stderr, flush=True)
+
+
+def make_data(seed=0):
+    rng = np.random.default_rng(seed)
+    ref = rng.standard_normal((N_ATOMS, 3)).astype(np.float32)
+    # frames: random rigid motions of a perturbed reference (so alignment
+    # has real work to do) + thermal noise
+    traj = (
+        ref[None]
+        + 0.3 * rng.standard_normal((N_FRAMES, N_ATOMS, 3))
+    ).astype(np.float32)
+    weights = rng.uniform(0.5, 1.5, N_FRAMES).astype(np.float32)
+    weights /= weights.mean()
+    return ref, traj, weights
+
+
+def bench_jax(ref, traj_np, weights_np):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from colvarsfinder_tpu.core.losses import eigen_loss
+    from colvarsfinder_tpu.models import EigenFunctions
+    from colvarsfinder_tpu.ops import (
+        AlignmentLayer, Feature, FeatureLayer, PreprocessingANN,
+    )
+
+    align = AlignmentLayer(ref, align_indices=list(range(N_ATOMS)))
+    feat = FeatureLayer([Feature("p", "position", list(range(N_ATOMS)))])
+    pp = PreprocessingANN(align, feat)
+    model = EigenFunctions([D_R, 20, 20, 20, 1], k=K, seed=0)
+    optimizer = optax.adam(LR)
+    opt_state = optimizer.init(model)
+
+    traj = jax.device_put(jnp.asarray(traj_np))
+    weights = jax.device_put(jnp.asarray(weights_np))
+
+    nb = (N_FRAMES - LAG) // BATCH
+    idx_all = np.arange(nb * BATCH, dtype=np.int32).reshape(nb, BATCH)
+    idx_all = jax.device_put(jnp.asarray(idx_all))
+
+    def batch_loss(m, idx):
+        X = traj[idx]
+        w = weights[idx]
+        X_l = traj[idx + LAG]
+        w_l = weights[idx + LAG]
+        loss, _ = eigen_loss(
+            m, pp, X, w, X_l, w_l,
+            k=K, alpha=ALPHA, eig_w=EIG_W, beta=1.0, diag_coeff=None,
+            lag_idx=LAG, traj_dt=TRAJ_DT, sort_eigvals=True,
+        )
+        return loss
+
+    @jax.jit
+    def train_step(m, os_, idx):
+        loss, grads = jax.value_and_grad(batch_loss)(m, idx)
+        updates, os_ = optimizer.update(grads, os_, m)
+        m = optax.apply_updates(m, updates)
+        return m, os_, loss
+
+    # warmup (compile)
+    for i in range(WARMUP_STEPS):
+        model, opt_state, loss = train_step(model, opt_state, idx_all[i % nb])
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for i in range(MEASURE_STEPS):
+        model, opt_state, loss = train_step(model, opt_state, idx_all[i % nb])
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    sps = MEASURE_STEPS * BATCH / dt
+    log(f"jax: {MEASURE_STEPS} steps in {dt:.3f}s -> {sps:,.0f} samples/s "
+        f"(loss={float(loss):.4f}, backend={jax.default_backend()})")
+    return sps
+
+
+def bench_torch_baseline(ref, traj_np, weights_np):
+    """Reference-equivalent PyTorch CPU implementation: per-batch pp
+    (torch SVD Kabsch + flatten), ModuleList eigenfunction heads, transfer
+    loss, Adam — the reference's execution style."""
+    import torch
+
+    torch.set_num_threads(os.cpu_count() or 1)
+
+    ref_t = torch.from_numpy(ref - ref.mean(0, keepdims=True))
+
+    def pp(x):  # x [B, N, 3]
+        com = x.mean(dim=1, keepdim=True)
+        xc = x - com
+        C = torch.einsum("bmi,mj->bij", xc, ref_t)
+        U, S, Vt = torch.linalg.svd(C)
+        det = torch.det(torch.bmm(U, Vt))
+        D = torch.stack(
+            [torch.ones_like(det), torch.ones_like(det), det], dim=-1
+        )
+        R = torch.einsum("bij,bj,bjk->bik", U, D, Vt)
+        return torch.einsum("bni,bij->bnj", xc, R).reshape(x.shape[0], -1)
+
+    def make_head():
+        return torch.nn.Sequential(
+            torch.nn.Linear(D_R, 20), torch.nn.Tanh(),
+            torch.nn.Linear(20, 20), torch.nn.Tanh(),
+            torch.nn.Linear(20, 20), torch.nn.Tanh(),
+            torch.nn.Linear(20, 1),
+        )
+
+    heads = torch.nn.ModuleList([make_head() for _ in range(K)])
+    opt = torch.optim.Adam(heads.parameters(), lr=LR)
+
+    traj = torch.from_numpy(traj_np)
+    weights = torch.from_numpy(weights_np)
+    nb = (N_FRAMES - LAG) // BATCH
+
+    def step(b):
+        i0 = (b % nb) * BATCH
+        idx = torch.arange(i0, i0 + BATCH)
+        X, w = traj[idx], weights[idx]
+        X_l, w_l = traj[idx + LAG], weights[idx + LAG]
+        opt.zero_grad()
+        y = torch.cat([h(pp(X)) for h in heads], dim=1)
+        y_l = torch.cat([h(pp(X_l)) for h in heads], dim=1)
+        tw, tw_l = w.sum(), w_l.sum()
+        means = [(y[:, i] * w).sum() / tw for i in range(K)]
+        variances = [
+            (y[:, i] ** 2 * w).sum() / tw - means[i] ** 2 for i in range(K)
+        ]
+        means_l = [(y_l[:, i] * w_l).sum() / tw_l for i in range(K)]
+        vars_l = [
+            (y_l[:, i] ** 2 * w_l).sum() / tw_l - means_l[i] ** 2
+            for i in range(K)
+        ]
+        sqd = [((y_l[:, i] - y[:, i]) ** 2 * w).sum() for i in range(K)]
+        quot = [
+            sqd[i] / tw / (variances[i] + vars_l[i]) / (TRAJ_DT * LAG)
+            for i in range(K)
+        ]
+        cvec = np.argsort([q.item() for q in quot])
+        non_p = sum(
+            EIG_W[i] * sqd[i] / tw
+            / (variances[cvec[i]] + vars_l[cvec[i]])
+            for i in range(K)
+        ) / (TRAJ_DT * LAG)
+        pen = sum((v - 1.0) ** 2 for v in variances)
+        cov = (y[:, 0] * y[:, 1] * w).sum() / tw - means[0] * means[1]
+        pen = pen + cov**2
+        loss = non_p + ALPHA * pen
+        loss.backward()
+        opt.step()
+        return loss.item()
+
+    step(0)  # warm caches
+    t0 = time.perf_counter()
+    for b in range(BASELINE_STEPS):
+        loss = step(b + 1)
+    dt = time.perf_counter() - t0
+    sps = BASELINE_STEPS * BATCH / dt
+    log(f"torch-cpu baseline: {BASELINE_STEPS} steps in {dt:.3f}s -> "
+        f"{sps:,.0f} samples/s (loss={loss:.4f})")
+    return sps
+
+
+def main():
+    ref, traj, weights = make_data()
+    jax_sps = bench_jax(ref, traj, weights)
+    baseline_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json"
+    )
+    if os.environ.get("BENCH_SKIP_BASELINE") and os.path.exists(baseline_file):
+        base_sps = json.load(open(baseline_file))["samples_per_sec"]
+    else:
+        base_sps = bench_torch_baseline(ref, traj, weights)
+        with open(baseline_file, "w") as f:
+            json.dump({"samples_per_sec": base_sps}, f)
+
+    print(json.dumps({
+        "metric": "dipeptide eigenfunction (transfer-op) training throughput",
+        "value": round(jax_sps, 1),
+        "unit": "samples/sec",
+        "vs_baseline": round(jax_sps / base_sps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,350 @@
+r"""Native molecular topology and trajectory I/O.
+
+The reference delegates topology/trajectory I/O to MDAnalysis
+(reference: colvarsfinder/utils.py:96-130; examples/dipeptide/main.ipynb
+cell 2). This module provides a native, dependency-free equivalent
+sufficient for the dipeptide-class workflows:
+
+* :func:`parse_gro` — GROMACS .gro topology/coordinate reader
+  (e.g. reference examples/dipeptide/top.gro);
+* :class:`Topology` / :class:`AtomGroup` — atom metadata with an
+  MDAnalysis-style selection mini-language (``type C or type O``,
+  ``resid 2``, ``name CA``, ``not type H``, ...); AtomGroup exposes
+  ``.ix`` and ``.positions`` so it is accepted anywhere the framework
+  takes an MDAnalysis AtomGroup;
+* :func:`read_dcd` / :func:`write_dcd` — CHARMM/NAMD-style DCD binary
+  trajectory format (the format OpenMM's DCDReporter writes,
+  reference utils.py:240), implemented with numpy record I/O.
+
+A C++ fast path for bulk text/DCD decoding lives in ``native/`` and is used
+automatically when built (see :mod:`colvarsfinder_tpu.utils.native_io`).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import struct
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+__all__ = [
+    "Atom",
+    "AtomGroup",
+    "Topology",
+    "parse_gro",
+    "read_dcd",
+    "write_dcd",
+]
+
+
+def _guess_type(name: str) -> str:
+    """Element type from atom name, MDAnalysis-style: first alphabetic
+    character after stripping leading digits ('HH31'->H, 'CH3'->C, '1CA'->C).
+    """
+    s = name.strip()
+    s = s.lstrip("0123456789")
+    return s[0].upper() if s else ""
+
+
+@dataclass(frozen=True)
+class Atom:
+    index: int
+    name: str
+    type: str
+    resid: int
+    resname: str
+
+
+class AtomGroup:
+    """A subset of a topology's atoms with positions.
+
+    Duck-type compatible with the slice of the MDAnalysis AtomGroup API the
+    framework consumes: ``.ix``, ``.positions``, ``.names``, ``len()``.
+    """
+
+    def __init__(self, topology: "Topology", indices: Sequence[int]):
+        self._top = topology
+        self.ix = np.asarray(indices, dtype=np.int64)
+
+    def __len__(self):
+        return len(self.ix)
+
+    @property
+    def names(self):
+        return [self._top.names[i] for i in self.ix]
+
+    @property
+    def types(self):
+        return [self._top.types[i] for i in self.ix]
+
+    @property
+    def resids(self):
+        return [self._top.resids[i] for i in self.ix]
+
+    @property
+    def positions(self) -> np.ndarray:
+        return self._top.positions[self.ix]
+
+    def indices_within(self, other: "AtomGroup") -> List[int]:
+        """Positions of this group's atoms within ``other``'s atom list."""
+        lookup = {int(g): j for j, g in enumerate(other.ix)}
+        return [lookup[int(i)] for i in self.ix]
+
+    def __repr__(self):
+        return f"<AtomGroup of {len(self.ix)} atoms>"
+
+
+@dataclass
+class Topology:
+    """Molecular topology with reference coordinates.
+
+    Attributes:
+        names / types / resids / resnames: per-atom metadata
+        positions: reference coordinates [N, 3]
+        box: box vector lengths [3] (or None)
+        title: title line of the source file
+    """
+
+    names: List[str]
+    resids: List[int]
+    resnames: List[str]
+    positions: np.ndarray
+    box: Optional[np.ndarray] = None
+    title: str = ""
+    types: List[str] = field(default_factory=list)
+
+    def __post_init__(self):
+        if not self.types:
+            self.types = [_guess_type(n) for n in self.names]
+
+    @property
+    def n_atoms(self) -> int:
+        return len(self.names)
+
+    @property
+    def atoms(self) -> AtomGroup:
+        return AtomGroup(self, np.arange(self.n_atoms))
+
+    # -- selection mini-language -------------------------------------------
+    def select_atoms(self, expr: str) -> AtomGroup:
+        """MDAnalysis-style atom selection.
+
+        Supported: ``all``, ``type X``, ``name X``, ``resname X``,
+        ``resid N`` / ``resid N:M``, ``index I:J``, combined with
+        ``and`` / ``or`` / ``not`` and parentheses.
+        """
+        mask = _SelectionParser(self).parse(expr)
+        return AtomGroup(self, np.nonzero(mask)[0])
+
+
+class _SelectionParser:
+    """Recursive-descent parser for the selection mini-language."""
+
+    _TOKEN_RE = re.compile(r"\(|\)|[^\s()]+")
+
+    def __init__(self, top: Topology):
+        self.top = top
+
+    def parse(self, expr: str) -> np.ndarray:
+        self.tokens = self._TOKEN_RE.findall(expr)
+        self.pos = 0
+        mask = self._or()
+        if self.pos != len(self.tokens):
+            raise ValueError(
+                f"unexpected token '{self.tokens[self.pos]}' in '{expr}'"
+            )
+        return mask
+
+    def _peek(self):
+        return self.tokens[self.pos] if self.pos < len(self.tokens) else None
+
+    def _next(self):
+        tok = self._peek()
+        self.pos += 1
+        return tok
+
+    def _or(self):
+        left = self._and()
+        while self._peek() == "or":
+            self._next()
+            left = left | self._and()
+        return left
+
+    def _and(self):
+        left = self._not()
+        while self._peek() == "and":
+            self._next()
+            left = left & self._not()
+        return left
+
+    def _not(self):
+        if self._peek() == "not":
+            self._next()
+            return ~self._not()
+        return self._primary()
+
+    def _primary(self):
+        top = self.top
+        n = top.n_atoms
+        tok = self._next()
+        if tok is None:
+            raise ValueError("unexpected end of selection")
+        if tok == "(":
+            mask = self._or()
+            if self._next() != ")":
+                raise ValueError("missing ')'")
+            return mask
+        if tok == "all":
+            return np.ones(n, dtype=bool)
+        if tok in ("type", "name", "resname"):
+            values = []
+            while self._peek() not in (None, "and", "or", ")", "not"):
+                values.append(self._next())
+            attr = {"type": top.types, "name": top.names,
+                    "resname": top.resnames}[tok]
+            vset = {v.upper() for v in values}
+            return np.asarray([a.upper() in vset for a in attr], dtype=bool)
+        if tok in ("resid", "index"):
+            spec = self._next()
+            if spec is None:
+                raise ValueError(f"'{tok}' needs a value")
+            if ":" in spec:
+                lo, hi = spec.split(":")
+                lo, hi = int(lo), int(hi)
+            else:
+                lo = hi = int(spec)
+            if tok == "resid":
+                vals = np.asarray(top.resids)
+            else:
+                vals = np.arange(n)
+            return (vals >= lo) & (vals <= hi)
+        raise ValueError(f"unknown selection keyword '{tok}'")
+
+
+def parse_gro(filename: str) -> Topology:
+    """Parse a GROMACS .gro file (fixed-column format, positions in nm)."""
+    with open(filename) as f:
+        lines = f.readlines()
+    title = lines[0].rstrip("\n")
+    n_atoms = int(lines[1].split()[0])
+    names, resids, resnames = [], [], []
+    pos = np.zeros((n_atoms, 3), dtype=np.float32)
+    for i in range(n_atoms):
+        ln = lines[2 + i]
+        resids.append(int(ln[0:5]))
+        resnames.append(ln[5:10].strip())
+        names.append(ln[10:15].strip())
+        # coordinates: three fields of width 8 starting at col 20
+        pos[i, 0] = float(ln[20:28])
+        pos[i, 1] = float(ln[28:36])
+        pos[i, 2] = float(ln[36:44])
+    box = None
+    if len(lines) > 2 + n_atoms:
+        tail = lines[2 + n_atoms].split()
+        if len(tail) >= 3:
+            box = np.asarray([float(x) for x in tail[:3]], dtype=np.float32)
+    return Topology(
+        names=names, resids=resids, resnames=resnames,
+        positions=pos, box=box, title=title,
+    )
+
+
+# ---------------------------------------------------------------------------
+# DCD trajectory format
+# ---------------------------------------------------------------------------
+
+_DCD_MAGIC = b"CORD"
+
+
+def write_dcd(
+    filename: str,
+    coords: np.ndarray,
+    dt_ps: float = 1.0,
+    step_interval: int = 1,
+) -> None:
+    """Write frames [n_frames, n_atoms, 3] (float32) as a CHARMM-style DCD.
+
+    Minimal but standard-compliant: the layout produced matches what
+    OpenMM's DCDReporter and MDAnalysis emit (84-byte header block, title
+    block, natoms block, per-frame x/y/z float32 records with Fortran-style
+    length prefixes).
+    """
+    coords = np.asarray(coords, dtype=np.float32)
+    n_frames, n_atoms, _ = coords.shape
+    with open(filename, "wb") as f:
+        def record(payload: bytes):
+            f.write(struct.pack("<i", len(payload)))
+            f.write(payload)
+            f.write(struct.pack("<i", len(payload)))
+
+        # header: CORD + 20 int32 control words
+        icntrl = [0] * 20
+        icntrl[0] = n_frames            # NSET
+        icntrl[1] = step_interval      # ISTART
+        icntrl[2] = step_interval      # NSAVC
+        icntrl[19] = 24                 # CHARMM version tag
+        # AKMA timestep in control word 10 as float
+        header = _DCD_MAGIC + struct.pack("<9i", *icntrl[:9])
+        header += struct.pack("<f", dt_ps / 0.04888821)
+        header += struct.pack("<10i", *icntrl[10:])
+        record(header)
+        title = b"Created by colvarsfinder-tpu".ljust(80)
+        record(struct.pack("<i", 1) + title)
+        record(struct.pack("<i", n_atoms))
+        for frame in coords:
+            for axis in range(3):
+                record(frame[:, axis].tobytes())
+
+
+def read_dcd(filename: str):
+    """Read a DCD file -> (coords [n_frames, n_atoms, 3] float32, dt_ps).
+
+    Handles the common CHARMM/NAMD/OpenMM layout, including the optional
+    per-frame unit-cell record (skipped).
+    """
+    with open(filename, "rb") as f:
+        data = f.read()
+    off = 0
+
+    def record():
+        nonlocal off
+        (n,) = struct.unpack_from("<i", data, off)
+        off += 4
+        payload = data[off : off + n]
+        off += n
+        (n2,) = struct.unpack_from("<i", data, off)
+        off += 4
+        if n2 != n:
+            raise ValueError("corrupt DCD record")
+        return payload
+
+    header = record()
+    if header[:4] != _DCD_MAGIC:
+        raise ValueError("not a DCD file")
+    icntrl = struct.unpack_from("<9i", header, 4)
+    n_frames = icntrl[0]
+    (akma_dt,) = struct.unpack_from("<f", header, 40)
+    extra = struct.unpack_from("<10i", header, 44)
+    has_unitcell = extra[0] == 1  # ICNTRL[11]: crystal record flag
+    dt_ps = akma_dt * 0.04888821
+
+    record()  # title block
+    natoms_payload = record()
+    (n_atoms,) = struct.unpack_from("<i", natoms_payload, 0)
+
+    frames = []
+    while off < len(data):
+        if has_unitcell:
+            record()  # 6 doubles of cell info
+        x = np.frombuffer(record(), dtype="<f4")
+        y = np.frombuffer(record(), dtype="<f4")
+        z = np.frombuffer(record(), dtype="<f4")
+        frames.append(np.stack([x, y, z], axis=1))
+    coords = np.stack(frames) if frames else np.zeros((0, n_atoms, 3), "f4")
+    if n_frames and coords.shape[0] != n_frames:
+        # tolerate truncated files, like MDAnalysis does
+        pass
+    return coords, dt_ps

@@ -1,0 +1,225 @@
+"""Feature transform and Kabsch alignment tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from colvarsfinder_tpu.ops import (
+    AlignmentLayer,
+    Feature,
+    FeatureLayer,
+    Identity,
+    PreprocessingANN,
+    align_frames,
+    dihedral_angle,
+    kabsch_rotations_quat,
+    kabsch_rotations_svd,
+)
+from colvarsfinder_tpu.ops.alignment import _cross_covariances
+
+
+def _random_rotations(n, rng):
+    """Uniform-ish random rotations via QR with det fix."""
+    rots = []
+    for _ in range(n):
+        A = rng.standard_normal((3, 3))
+        Q, R = np.linalg.qr(A)
+        Q = Q * np.sign(np.diag(R))
+        if np.linalg.det(Q) < 0:
+            Q[:, 0] = -Q[:, 0]
+        rots.append(Q)
+    return np.stack(rots)
+
+
+def test_feature_position():
+    f = Feature("p", "position", [0, 2])
+    layer = FeatureLayer([f])
+    x = np.arange(2 * 3 * 3, dtype=np.float32).reshape(2, 3, 3)
+    out = np.asarray(layer(jnp.asarray(x)))
+    assert out.shape == (2, 6)
+    np.testing.assert_allclose(out[0], x[0, [0, 2]].reshape(-1))
+    assert layer.output_dimension == 6
+
+
+def test_feature_bond():
+    f = Feature("b", "bond", [0, 1])
+    layer = FeatureLayer([f])
+    x = np.zeros((1, 2, 3), dtype=np.float32)
+    x[0, 1] = [3.0, 4.0, 0.0]
+    out = np.asarray(layer(jnp.asarray(x)))
+    np.testing.assert_allclose(out, [[5.0]], rtol=1e-6)
+
+
+def test_feature_angle():
+    f = Feature("a", "angle", [0, 1, 2])
+    layer = FeatureLayer([f])
+    # 90-degree angle at atom 1
+    x = np.asarray([[[1, 0, 0], [0, 0, 0], [0, 1, 0]]], dtype=np.float32)
+    out = np.asarray(layer(jnp.asarray(x)))
+    np.testing.assert_allclose(out, [[0.0]], atol=1e-6)
+    f2 = Feature("a", "angle_rad", [0, 1, 2])
+    out2 = np.asarray(FeatureLayer([f2])(jnp.asarray(x)))
+    np.testing.assert_allclose(out2, [[np.pi / 2]], rtol=1e-6)
+
+
+def test_feature_dihedral_sign_convention():
+    # staggered butane-like configuration with known +90 deg torsion
+    x = np.asarray(
+        [[[0, 1, 0], [0, 0, 0], [1, 0, 0], [1, 0, 1]]], dtype=np.float32
+    )
+    phi = np.asarray(
+        dihedral_angle(
+            jnp.asarray(x[:, 0]), jnp.asarray(x[:, 1]),
+            jnp.asarray(x[:, 2]), jnp.asarray(x[:, 3]),
+        )
+    )
+    assert abs(abs(phi[0]) - np.pi / 2) < 1e-6
+    f = Feature("d", "dihedral", [0, 1, 2, 3])
+    out = np.asarray(FeatureLayer([f])(jnp.asarray(x)))
+    np.testing.assert_allclose(out[0, 0], np.cos(phi[0]), atol=1e-6)
+    np.testing.assert_allclose(out[0, 1], np.sin(phi[0]), atol=1e-6)
+
+
+def test_feature_dihedral_vs_numpy_oracle(rng):
+    """Random configurations against the classic atan2 torsion formula."""
+    x = rng.standard_normal((16, 4, 3)).astype(np.float32)
+    phi = np.asarray(
+        dihedral_angle(
+            jnp.asarray(x[:, 0]), jnp.asarray(x[:, 1]),
+            jnp.asarray(x[:, 2]), jnp.asarray(x[:, 3]),
+        )
+    )
+    # oracle
+    b1 = x[:, 1] - x[:, 0]
+    b2 = x[:, 2] - x[:, 1]
+    b3 = x[:, 3] - x[:, 2]
+    n1 = np.cross(b1, b2)
+    n2 = np.cross(b2, b3)
+    m1 = np.cross(n1, b2 / np.linalg.norm(b2, axis=1, keepdims=True))
+    xx = (n1 * n2).sum(1)
+    yy = (m1 * n2).sum(1)
+    ref = np.arctan2(yy, xx)
+    np.testing.assert_allclose(phi, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_feature_arity_validation():
+    with pytest.raises(ValueError):
+        Feature("b", "bond", [0, 1, 2])
+    with pytest.raises(ValueError):
+        Feature("x", "nonsense", [0])
+
+
+def test_multi_feature_concat():
+    feats = [
+        Feature("p", "position", [0]),
+        Feature("b", "bond", [0, 1]),
+        Feature("d", "dihedral", [0, 1, 2, 3]),
+    ]
+    layer = FeatureLayer(feats)
+    assert layer.output_dimension == 3 + 1 + 2
+    x = np.random.default_rng(0).standard_normal((5, 4, 3)).astype(np.float32)
+    out = layer(jnp.asarray(x))
+    assert out.shape == (5, 6)
+
+
+# ---------------------------------------------------------------------------
+# Kabsch alignment
+# ---------------------------------------------------------------------------
+
+
+def test_kabsch_svd_recovers_known_rotation(rng):
+    """Frames that are exact rotations+translations of the reference must be
+    mapped back onto it."""
+    m, B = 7, 12
+    ref = rng.standard_normal((m, 3)).astype(np.float32)
+    ref -= ref.mean(0)
+    rots = _random_rotations(B, rng).astype(np.float32)
+    shifts = rng.standard_normal((B, 1, 3)).astype(np.float32) * 5
+    # frame = ref @ R + t (row-vector rotation)
+    frames = np.einsum("mi,bij->bmj", ref, rots) + shifts
+
+    aligned = np.asarray(
+        align_frames(
+            jnp.asarray(frames), jnp.asarray(ref),
+            jnp.arange(m, dtype=jnp.int32),
+        )
+    )
+    np.testing.assert_allclose(
+        aligned, np.broadcast_to(ref, (B, m, 3)), atol=2e-4
+    )
+
+
+def test_kabsch_rotation_properties(rng):
+    B = 20
+    C = rng.standard_normal((B, 3, 3)).astype(np.float32)
+    R = np.asarray(kabsch_rotations_svd(jnp.asarray(C)))
+    # orthogonal with det +1
+    eye = np.einsum("bij,bkj->bik", R, R)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), (B, 3, 3)),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(R), np.ones(B), atol=1e-5)
+
+
+def test_kabsch_quaternion_matches_svd(rng):
+    """Horn quaternion (Pallas-oracle path) must agree with SVD Kabsch."""
+    m, B = 6, 16
+    ref = rng.standard_normal((m, 3)).astype(np.float32)
+    ref -= ref.mean(0)
+    frames = (
+        np.broadcast_to(ref, (B, m, 3))
+        + 0.3 * rng.standard_normal((B, m, 3))
+    ).astype(np.float32)
+    frames_c = frames - frames.mean(1, keepdims=True)
+    C = _cross_covariances(jnp.asarray(frames_c), jnp.asarray(ref))
+    R_svd = np.asarray(kabsch_rotations_svd(C))
+    R_quat = np.asarray(kabsch_rotations_quat(C))
+    np.testing.assert_allclose(R_quat, R_svd, atol=5e-4)
+
+
+def test_alignment_layer_and_differentiability(rng):
+    m = 5
+    ref = rng.standard_normal((m, 3)).astype(np.float32)
+    layer = AlignmentLayer(ref, align_indices=list(range(m)))
+    x = (ref[None] + 0.1 * rng.standard_normal((4, m, 3))).astype(np.float32)
+    out = layer(jnp.asarray(x))
+    assert out.shape == (4, m, 3)
+
+    # input gradients flow through the SVD (needed by generator loss)
+    def scalar(frame):
+        return layer(frame[None])[0].sum()
+
+    g = jax.grad(scalar)(jnp.asarray(x[0]))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_alignment_invariance_property(rng):
+    """Aligned output must be invariant to rigid motion of the input —
+    the whole point of the layer."""
+    m = 6
+    ref = rng.standard_normal((m, 3)).astype(np.float32)
+    layer = AlignmentLayer(ref, align_indices=list(range(m)))
+    x = (ref[None] + 0.2 * rng.standard_normal((1, m, 3))).astype(np.float32)
+    R = _random_rotations(1, rng)[0].astype(np.float32)
+    t = np.asarray([1.0, -2.0, 0.5], dtype=np.float32)
+    x_moved = np.einsum("bmi,ij->bmj", x, R) + t
+    out1 = np.asarray(layer(jnp.asarray(x)))
+    out2 = np.asarray(layer(jnp.asarray(x_moved)))
+    np.testing.assert_allclose(out1, out2, atol=2e-4)
+
+
+def test_preprocessing_ann_composition(rng):
+    m = 4
+    ref = rng.standard_normal((m, 3)).astype(np.float32)
+    align = AlignmentLayer(ref, align_indices=list(range(m)))
+    feat = FeatureLayer([Feature("p", "position", list(range(m)))])
+    pp = PreprocessingANN(align, feat)
+    assert pp.output_dimension == 12
+    x = rng.standard_normal((3, m, 3)).astype(np.float32)
+    out = pp(jnp.asarray(x))
+    assert out.shape == (3, 12)
+    # None alignment = features only
+    pp2 = PreprocessingANN(None, feat)
+    np.testing.assert_allclose(
+        np.asarray(pp2(jnp.asarray(x))), x.reshape(3, -1), atol=1e-6
+    )
