@@ -59,63 +59,140 @@ def kabsch_rotations_svd(C: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("bij,bj,bjk->bik", U, D, Vt, precision=matmul_precision())
 
 
-def _horn_key_matrix(C: jnp.ndarray) -> jnp.ndarray:
-    """Symmetric 4x4 key matrix K(C) of Horn's quaternion method, [B,4,4]."""
-    Sxx, Sxy, Sxz = C[:, 0, 0], C[:, 0, 1], C[:, 0, 2]
-    Syx, Syy, Syz = C[:, 1, 0], C[:, 1, 1], C[:, 1, 2]
-    Szx, Szy, Szz = C[:, 2, 0], C[:, 2, 1], C[:, 2, 2]
-    row0 = jnp.stack([Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx], -1)
-    row1 = jnp.stack([Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz], -1)
-    row2 = jnp.stack([Szx - Sxz, Sxy + Syx, Syy - Sxx - Szz, Syz + Szy], -1)
-    row3 = jnp.stack([Sxy - Syx, Szx + Sxz, Syz + Szy, Szz - Sxx - Syy], -1)
-    return jnp.stack([row0, row1, row2, row3], axis=-2)
+def _det3(a, b, c, d, e, f, g, h, i):
+    """Determinant of [[a,b,c],[d,e,f],[g,h,i]] — elementwise over lanes."""
+    return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
 
 
-def _quat_to_rotation(q: jnp.ndarray) -> jnp.ndarray:
-    """Unit quaternion [B, 4] (w, x, y, z) -> rotation matrices [B, 3, 3].
+def quaternion_from_covariance(c9, newton_iters: int = 16):
+    """Optimal-rotation quaternion from 3x3 cross-covariance entries.
 
-    Convention: the returned R satisfies (row-vector) y = x @ R, matching
-    :func:`kabsch_rotations_svd`.
+    The QCP scheme (Theobald-style): the optimal quaternion is the dominant
+    eigenvector of Horn's symmetric 4x4 key matrix K(C). Its largest
+    eigenvalue is found by Newton iteration on the quartic characteristic
+    polynomial (K is traceless: P(x) = x^4 + c2 x^2 + c1 x + c0), started
+    from the upper bound 2||C||_F >= lambda_max, which converges
+    monotonically and quadratically; the eigenvector is read off the
+    adjugate of K - lambda I (its columns are all proportional to the
+    eigenvector; the largest-norm cofactor row is selected per lane).
+
+    Everything is elementwise math over the batch — no LAPACK, no
+    data-dependent control flow — so this single implementation serves both
+    the jnp path (arrays [B]) and the Pallas TPU kernel (lane vectors).
+
+    Args:
+        c9: nine arrays (sxx, sxy, sxz, syx, syy, syz, szx, szy, szz) of a
+            *pre-normalized* covariance (divide by ||C||_F for scale
+            invariance before calling).
+        newton_iters: Newton steps (quadratic convergence; generous default
+            covers near-degenerate double roots).
+
+    Returns:
+        (w, x, y, z): unit quaternion components (sign unnormalized — q and
+        -q encode the same rotation).
     """
-    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
-    R = jnp.stack(
-        [
-            1 - 2 * (y * y + z * z), 2 * (x * y + w * z), 2 * (x * z - w * y),
-            2 * (x * y - w * z), 1 - 2 * (x * x + z * z), 2 * (y * z + w * x),
-            2 * (x * z + w * y), 2 * (y * z - w * x), 1 - 2 * (x * x + y * y),
-        ],
-        axis=-1,
-    ).reshape(-1, 3, 3)
-    return R
+    sxx, sxy, sxz, syx, syy, syz, szx, szy, szz = c9
 
+    k00 = sxx + syy + szz
+    k01 = syz - szy
+    k02 = szx - sxz
+    k03 = sxy - syx
+    k11 = sxx - syy - szz
+    k12 = sxy + syx
+    k13 = szx + sxz
+    k22 = syy - sxx - szz
+    k23 = syz + szy
+    k33 = szz - sxx - syy
 
-def kabsch_rotations_quat(C: jnp.ndarray, iters: int = 30) -> jnp.ndarray:
-    """Optimal rotations via Horn's quaternion method with shifted power
-    iteration for the dominant eigenvector of the 4x4 key matrix.
-
-    All operations are batched elementwise/small-matmul math (no LAPACK),
-    making this formulation Pallas-friendly; the jnp version here is the
-    oracle for the kernel.
-    """
-    K = _horn_key_matrix(C)
-    B = K.shape[0]
-    # Shift so the target (largest) eigenvalue is also largest in magnitude:
-    # lambda_max <= 2 * max_row_sum bound via Gershgorin.
-    shift = jnp.abs(K).sum(axis=-1).max(axis=-1)  # [B]
-    Ks = K + shift[:, None, None] * jnp.eye(4, dtype=K.dtype)
-    v = jnp.broadcast_to(
-        jnp.asarray([0.5, 0.5, 0.5, 0.5], dtype=K.dtype), (B, 4)
+    fro2 = (
+        sxx * sxx + sxy * sxy + sxz * sxz
+        + syx * syx + syy * syy + syz * syz
+        + szx * szx + szy * szy + szz * szz
+    )
+    c2 = -2.0 * fro2
+    c1 = -8.0 * _det3(sxx, sxy, sxz, syx, syy, syz, szx, szy, szz)
+    c0 = (
+        k00 * _det3(k11, k12, k13, k12, k22, k23, k13, k23, k33)
+        - k01 * _det3(k01, k12, k13, k02, k22, k23, k03, k23, k33)
+        + k02 * _det3(k01, k11, k13, k02, k12, k23, k03, k13, k33)
+        - k03 * _det3(k01, k11, k12, k02, k12, k22, k03, k13, k23)
     )
 
-    def body(_, v):
-        v = jnp.einsum("bij,bj->bi", Ks, v, precision=matmul_precision())
-        return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    # Newton from above: lambda_max <= sqrt(tr K^2) = 2 ||C||_F
+    lam = 2.0 * jnp.sqrt(fro2)
+    for _ in range(newton_iters):
+        p = ((lam * lam + c2) * lam + c1) * lam + c0
+        dp = (4.0 * lam * lam + 2.0 * c2) * lam + c1
+        lam = lam - p / jnp.where(jnp.abs(dp) > 1e-12, dp, 1e-12)
 
-    v = jax.lax.fori_loop(0, iters, body, v)
-    # fix sign for determinism (w >= 0)
-    sign = jnp.where(v[:, :1] < 0, -1.0, 1.0)
-    q = v * sign
-    return _quat_to_rotation(q)
+    # adjugate rows of M = K - lam I; each nonzero row ~ the eigenvector
+    m00 = k00 - lam
+    m11 = k11 - lam
+    m22 = k22 - lam
+    m33 = k33 - lam
+
+    rows = []
+    # cofactor row i: entries (-1)^{i+j} * minor(i, j); global sign
+    # irrelevant (q ~ -q)
+    rows.append((
+        _det3(m11, k12, k13, k12, m22, k23, k13, k23, m33),
+        -_det3(k01, k12, k13, k02, m22, k23, k03, k23, m33),
+        _det3(k01, m11, k13, k02, k12, k23, k03, k13, m33),
+        -_det3(k01, m11, k12, k02, k12, m22, k03, k13, k23),
+    ))
+    rows.append((
+        -_det3(k01, k02, k03, k12, m22, k23, k13, k23, m33),
+        _det3(m00, k02, k03, k02, m22, k23, k03, k23, m33),
+        -_det3(m00, k01, k03, k02, k12, k23, k03, k13, m33),
+        _det3(m00, k01, k02, k02, k12, m22, k03, k13, k23),
+    ))
+    rows.append((
+        _det3(k01, k02, k03, m11, k12, k13, k13, k23, m33),
+        -_det3(m00, k02, k03, k01, k12, k13, k03, k23, m33),
+        _det3(m00, k01, k03, k01, m11, k13, k03, k13, m33),
+        -_det3(m00, k01, k02, k01, m11, k12, k03, k13, k23),
+    ))
+    rows.append((
+        -_det3(k01, k02, k03, m11, k12, k13, k12, m22, k23),
+        _det3(m00, k02, k03, k01, k12, k13, k02, m22, k23),
+        -_det3(m00, k01, k03, k01, m11, k13, k02, k12, k23),
+        _det3(m00, k01, k02, k01, m11, k12, k02, k12, m22),
+    ))
+
+    norms = [sum(e * e for e in r) for r in rows]
+    best = rows[0]
+    best_n = norms[0]
+    for r, n in zip(rows[1:], norms[1:]):
+        take = n > best_n
+        best = tuple(jnp.where(take, ri, bi) for ri, bi in zip(r, best))
+        best_n = jnp.maximum(n, best_n)
+
+    inv = jax.lax.rsqrt(best_n + 1e-30)
+    return tuple(e * inv for e in best)
+
+
+def quaternion_to_rotation_entries(w, x, y, z):
+    """Unit quaternion -> the 9 rotation-matrix entries (row-major), in the
+    row-vector convention y = x @ R matching :func:`kabsch_rotations_svd`."""
+    return (
+        1 - 2 * (y * y + z * z), 2 * (x * y + w * z), 2 * (x * z - w * y),
+        2 * (x * y - w * z), 1 - 2 * (x * x + z * z), 2 * (y * z + w * x),
+        2 * (x * z + w * y), 2 * (y * z - w * x), 1 - 2 * (x * x + y * y),
+    )
+
+
+def kabsch_rotations_quat(C: jnp.ndarray, iters: int = 16) -> jnp.ndarray:
+    """Optimal rotations via the QCP quaternion scheme (see
+    :func:`quaternion_from_covariance`) — the jnp oracle for the Pallas
+    kernel in :mod:`colvarsfinder_tpu.ops.kabsch_pallas`."""
+    # scale invariance: R(sC) = R(C); normalizing keeps the quartic
+    # coefficients O(1) in f32
+    scale = jnp.sqrt((C * C).sum(axis=(-2, -1), keepdims=True)) + 1e-30
+    Cn = C / scale
+    c9 = tuple(Cn[:, i, j] for i in range(3) for j in range(3))
+    q = quaternion_from_covariance(c9, newton_iters=iters)
+    entries = quaternion_to_rotation_entries(*q)
+    return jnp.stack(entries, axis=-1).reshape(-1, 3, 3)
 
 
 def align_frames(

@@ -335,16 +335,27 @@ def read_dcd(filename: str):
     natoms_payload = record()
     (n_atoms,) = struct.unpack_from("<i", natoms_payload, 0)
 
-    frames = []
-    while off < len(data):
-        if has_unitcell:
-            record()  # 6 doubles of cell info
-        x = np.frombuffer(record(), dtype="<f4")
-        y = np.frombuffer(record(), dtype="<f4")
-        z = np.frombuffer(record(), dtype="<f4")
-        frames.append(np.stack([x, y, z], axis=1))
-    coords = np.stack(frames) if frames else np.zeros((0, n_atoms, 3), "f4")
-    if n_frames and coords.shape[0] != n_frames:
-        # tolerate truncated files, like MDAnalysis does
-        pass
+    # number of whole frames actually present (tolerate truncation)
+    blk = 4 + n_atoms * 4 + 4
+    cell = (4 + 48 + 4) if has_unitcell else 0
+    avail = (len(data) - off) // (cell + 3 * blk)
+
+    # native fast path: fixed-stride gather in C++
+    from . import native_io
+
+    coords = native_io.decode_dcd_frames(
+        filename, off, n_atoms, avail, has_unitcell
+    )
+    if coords is None:
+        frames = []
+        while off + cell + 3 * blk <= len(data):
+            if has_unitcell:
+                record()  # 6 doubles of cell info
+            x = np.frombuffer(record(), dtype="<f4")
+            y = np.frombuffer(record(), dtype="<f4")
+            z = np.frombuffer(record(), dtype="<f4")
+            frames.append(np.stack([x, y, z], axis=1))
+        coords = (
+            np.stack(frames) if frames else np.zeros((0, n_atoms, 3), "f4")
+        )
     return coords, dt_ps

@@ -1,0 +1,118 @@
+"""ctypes bindings to the native IO library (native/fastio.cpp).
+
+Provides the hot host-side data-pipeline paths — memory-mapped trajectory
+text parsing and DCD frame decoding — with transparent fallback to the
+pure-Python implementations when the shared library is unavailable. The
+library is built lazily with ``make -C native`` (g++, ~1s) the first time
+it is needed.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libcvfio.so")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_SO_PATH) and os.path.exists(
+        os.path.join(_NATIVE_DIR, "Makefile")
+    ):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    if not os.path.exists(_SO_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+
+    lib.traj_txt_dims.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.traj_txt_dims.restype = ctypes.c_int
+    lib.traj_txt_read.argtypes = [
+        ctypes.c_char_p,
+        np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64,
+        ctypes.c_int64,
+    ]
+    lib.traj_txt_read.restype = ctypes.c_int64
+    lib.dcd_decode.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int,
+        np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS"),
+    ]
+    lib.dcd_decode.restype = ctypes.c_int64
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def load_time_series(filename: str) -> Optional[np.ndarray]:
+    """Parse a whitespace numeric text file into [n, cols] float64, or None
+    if the native library is unavailable / parsing fails."""
+    lib = _load()
+    if lib is None:
+        return None
+    rows = ctypes.c_int64()
+    cols = ctypes.c_int64()
+    rc = lib.traj_txt_dims(filename.encode(), ctypes.byref(rows),
+                           ctypes.byref(cols))
+    if rc != 0 or rows.value == 0 or cols.value == 0:
+        return None
+    out = np.empty((rows.value, cols.value), dtype=np.float64)
+    got = lib.traj_txt_read(filename.encode(), out, rows.value, cols.value)
+    if got != rows.value:
+        return None
+    return out
+
+
+def decode_dcd_frames(
+    filename: str,
+    frame0_offset: int,
+    n_atoms: int,
+    n_frames: int,
+    has_unitcell: bool,
+) -> Optional[np.ndarray]:
+    """Decode DCD coordinate records into [n_frames, n_atoms, 3] float32."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((n_frames, n_atoms, 3), dtype=np.float32)
+    got = lib.dcd_decode(
+        filename.encode(), frame0_offset, n_atoms, n_frames,
+        1 if has_unitcell else 0, out,
+    )
+    if got < 0:
+        return None
+    return out[:got]

@@ -145,9 +145,15 @@ class WeightedTrajectory:
 def _load_time_series(filename: str) -> np.ndarray:
     """Read a whitespace-delimited trajectory text file into [n, 1+d].
 
-    Uses pandas' C parser which is roughly an order of magnitude faster than
-    np.loadtxt on the reference's 5e5-line trajectory files.
+    Prefers the native C++ memory-mapped parser (native/fastio.cpp); falls
+    back to pandas' C parser, itself roughly an order of magnitude faster
+    than the reference's np.loadtxt on 5e5-line trajectory files.
     """
+    from . import native_io
+
+    data = native_io.load_time_series(filename)
+    if data is not None:
+        return data
     return pd.read_csv(
         filename, sep=r"\s+", header=None, dtype=np.float64
     ).to_numpy()
