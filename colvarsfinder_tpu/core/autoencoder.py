@@ -196,6 +196,7 @@ class AutoEncoderTask(TrainingTask):
             test_losses = np.asarray(test_losses)
             self.loss_list.append([train_losses, test_losses])
             self.model = model  # keep current for checkpoint/plot hooks
+            self.opt_state = opt_state
 
             if (
                 self.save_model_every_step > 0

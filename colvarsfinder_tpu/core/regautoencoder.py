@@ -334,6 +334,7 @@ class RegAutoEncoderTask(TrainingTask):
             test_m = test_m[:, :n_metrics]
             self.loss_list.append([train_m, test_m])
             self.model = model
+            self.opt_state = opt_state
 
             if (
                 self.save_model_every_step > 0

@@ -263,6 +263,32 @@ class TrainingTask(ABC):
                 flush=True,
             )
 
+        # full training state (model + optimizer moments + epoch) — a
+        # resume capability the reference lacks (its restart loses optimizer
+        # state and the epoch counter; reference core.py:156-161)
+        self.save_training_state(epoch, f"{model_save_dir}/train_state.npz")
+
+    def save_training_state(self, epoch: int, filename: str) -> None:
+        """Checkpoint model parameters, optimizer state, and epoch."""
+        state = {
+            "model": self.model,
+            "opt_state": self.opt_state,
+            "epoch": np.asarray(epoch, dtype=np.int64),
+        }
+        save_pytree(state, filename)
+
+    def load_training_state(self, filename: str) -> int:
+        """Restore model + optimizer state; returns the saved epoch."""
+        state = {
+            "model": self.model,
+            "opt_state": self.opt_state,
+            "epoch": np.asarray(0, dtype=np.int64),
+        }
+        state = load_pytree(state, filename)
+        self.model = state["model"]
+        self.opt_state = state["opt_state"]
+        return int(state["epoch"])
+
     # ------------------------------------------------------------------
     @abstractmethod
     def train(self):

@@ -1,0 +1,56 @@
+"""Full training-state checkpoint/resume (extension beyond the reference,
+whose restart loses optimizer state; reference core.py:156-161)."""
+
+import numpy as np
+
+from colvarsfinder_tpu.core import AutoEncoderTask
+from colvarsfinder_tpu.models import AutoEncoder
+from colvarsfinder_tpu.utils import WeightedTrajectory
+
+
+def _traj():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((128, 2)).astype(np.float32)
+    return WeightedTrajectory(trajectory=x, dt=0.1, verbose=False)
+
+
+def _kw(tmp_path, name, epochs):
+    return dict(
+        model_path=str(tmp_path / name), learning_rate=0.01, batch_size=32,
+        num_epochs=epochs, test_ratio=0.25, save_model_every_step=0,
+        verbose=False, tensorboard=False, seed=0,
+    )
+
+
+def test_resume_continues_exactly(tmp_path):
+    traj = _traj()
+
+    # run 4 epochs straight through
+    m_full = AutoEncoder([2, 8, 1], [1, 8, 2], seed=1)
+    t_full = AutoEncoderTask(traj, None, m_full, **_kw(tmp_path, "full", 4))
+    t_full.train()
+
+    # run 2 epochs, checkpoint full state, resume into a fresh task for 2
+    m_a = AutoEncoder([2, 8, 1], [1, 8, 2], seed=1)
+    t_a = AutoEncoderTask(traj, None, m_a, **_kw(tmp_path, "a", 2))
+    t_a.train()
+    ckpt = str(tmp_path / "state.npz")
+    t_a.save_training_state(2, ckpt)
+
+    m_b = AutoEncoder([2, 8, 1], [1, 8, 2], seed=99)  # different init
+    t_b = AutoEncoderTask(traj, None, m_b, **_kw(tmp_path, "b", 2))
+    epoch = t_b.load_training_state(ckpt)
+    assert epoch == 2
+    t_b.train()
+
+    # identical final parameters: optimizer moments were restored too
+    np.testing.assert_allclose(
+        np.asarray(t_b.model.encoder.params[0]["weight"]),
+        np.asarray(t_full.model.encoder.params[0]["weight"]),
+        rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        t_b.train_loss_df["loss"].to_numpy(),
+        t_full.train_loss_df["loss"].to_numpy()[2:],
+        rtol=1e-5,
+    )
