@@ -21,7 +21,7 @@ import numpy as np
 import optax
 
 from ..export import ColvarModel
-from ..logging_utils import losses_to_dataframe
+from ..logging_utils import losses_to_dataframe, profile_trace
 from ..models.ae import AutoEncoder
 from ..ops.features import as_pp_layer
 from .losses import weighted_mse_loss
@@ -188,42 +188,48 @@ class AutoEncoderTask(TrainingTask):
         min_loss = float("inf")
         train_means, test_means = [], []
 
-        for epoch in range(self.num_epochs):
-            model, opt_state, train_losses, test_losses = self._epoch_fn(
-                model, opt_state, train_X, train_w, test_X, test_w
-            )
-            train_losses = np.asarray(train_losses)
-            test_losses = np.asarray(test_losses)
-            self.loss_list.append([train_losses, test_losses])
-            self.model = model  # keep current for checkpoint/plot hooks
-            self.opt_state = opt_state
+        import time as _time
 
-            if (
-                self.save_model_every_step > 0
-                and epoch % self.save_model_every_step
-                == self.save_model_every_step - 1
-            ):
-                self.save_model(epoch)
-                # best selection on LAST-BATCH train loss: preserved
-                # reference quirk (core.py:716-718)
-                last_loss = float(train_losses[-1])
-                if last_loss < min_loss:
-                    min_loss = last_loss
-                    self.save_model(epoch, "best")
+        self.epoch_times = []
+        with profile_trace(self.profile_dir):
+            for epoch in range(self.num_epochs):
+                _t0 = _time.perf_counter()
+                model, opt_state, train_losses, test_losses = self._epoch_fn(
+                    model, opt_state, train_X, train_w, test_X, test_w
+                )
+                train_losses = np.asarray(train_losses)
+                test_losses = np.asarray(test_losses)
+                self.loss_list.append([train_losses, test_losses])
+                self.model = model  # keep current for checkpoint/plot hooks
+                self.opt_state = opt_state
 
-            if (
-                self.plot_frequency > 0
-                and epoch % self.plot_frequency == self.plot_frequency - 1
-                and self.plot_class is not None
-            ):
-                self.plot_class.plot(self.colvar_model(), epoch=epoch)
+                if (
+                    self.save_model_every_step > 0
+                    and epoch % self.save_model_every_step
+                    == self.save_model_every_step - 1
+                ):
+                    self.save_model(epoch)
+                    # best selection on LAST-BATCH train loss: preserved
+                    # reference quirk (core.py:716-718)
+                    last_loss = float(train_losses[-1])
+                    if last_loss < min_loss:
+                        min_loss = last_loss
+                        self.save_model(epoch, "best")
 
-            mean_train = train_losses.mean()
-            mean_test = test_losses.mean()
-            train_means.append(np.asarray([mean_train]))
-            test_means.append(np.asarray([mean_test]))
-            self.writer.add_scalar("Loss/train", mean_train, epoch)
-            self.writer.add_scalar("Loss/test", mean_test, epoch)
+                if (
+                    self.plot_frequency > 0
+                    and epoch % self.plot_frequency == self.plot_frequency - 1
+                    and self.plot_class is not None
+                ):
+                    self.plot_class.plot(self.colvar_model(), epoch=epoch)
+
+                mean_train = train_losses.mean()
+                mean_test = test_losses.mean()
+                train_means.append(np.asarray([mean_train]))
+                test_means.append(np.asarray([mean_test]))
+                self.writer.add_scalar("Loss/train", mean_train, epoch)
+                self.writer.add_scalar("Loss/test", mean_test, epoch)
+                self.epoch_times.append(_time.perf_counter() - _t0)
 
         self.model = model
         self.opt_state = opt_state

@@ -25,7 +25,7 @@ import numpy as np
 import optax
 
 from ..export import ColvarModel
-from ..logging_utils import losses_to_dataframe
+from ..logging_utils import losses_to_dataframe, profile_trace
 from ..models.ae import RegAutoEncoder, RegModel
 from ..ops.features import as_pp_layer
 from .losses import (
@@ -323,46 +323,52 @@ class RegAutoEncoderTask(TrainingTask):
         min_loss = float("inf")
         train_means, test_means = [], []
 
-        for epoch in range(self.num_epochs):
-            model, opt_state, train_m, test_m = self._epoch_fn(
-                model, opt_state, traj, weights, train_bd, test_bd
-            )
-            train_m = np.asarray(train_m)
-            test_m = np.asarray(test_m)
-            self._cvec = train_m[-1, n_metrics:].astype(int)
-            train_m = train_m[:, :n_metrics]
-            test_m = test_m[:, :n_metrics]
-            self.loss_list.append([train_m, test_m])
-            self.model = model
-            self.opt_state = opt_state
+        import time as _time
 
-            if (
-                self.save_model_every_step > 0
-                and epoch % self.save_model_every_step
-                == self.save_model_every_step - 1
-            ):
-                self.save_model(epoch)
-                last_loss = float(train_m[-1, 0])
-                if last_loss < min_loss:  # reference quirk: last-batch loss
-                    min_loss = last_loss
-                    self.save_model(epoch, "best")
-
-            if (
-                self.plot_frequency > 0
-                and epoch % self.plot_frequency == self.plot_frequency - 1
-                and self.plot_class is not None
-            ):
-                self.plot_class.plot(
-                    self.colvar_model(), self.reg_model(), epoch=epoch
+        self.epoch_times = []
+        with profile_trace(self.profile_dir):
+            for epoch in range(self.num_epochs):
+                _t0 = _time.perf_counter()
+                model, opt_state, train_m, test_m = self._epoch_fn(
+                    model, opt_state, traj, weights, train_bd, test_bd
                 )
+                train_m = np.asarray(train_m)
+                test_m = np.asarray(test_m)
+                self._cvec = train_m[-1, n_metrics:].astype(int)
+                train_m = train_m[:, :n_metrics]
+                test_m = test_m[:, :n_metrics]
+                self.loss_list.append([train_m, test_m])
+                self.model = model
+                self.opt_state = opt_state
 
-            mean_train = train_m.mean(axis=0)
-            mean_test = test_m.mean(axis=0)
-            train_means.append(mean_train)
-            test_means.append(mean_test)
-            self.writer.add_scalars_split(
-                loss_names, mean_train, mean_test, epoch
-            )
+                if (
+                    self.save_model_every_step > 0
+                    and epoch % self.save_model_every_step
+                    == self.save_model_every_step - 1
+                ):
+                    self.save_model(epoch)
+                    last_loss = float(train_m[-1, 0])
+                    if last_loss < min_loss:  # reference quirk: last-batch loss
+                        min_loss = last_loss
+                        self.save_model(epoch, "best")
+
+                if (
+                    self.plot_frequency > 0
+                    and epoch % self.plot_frequency == self.plot_frequency - 1
+                    and self.plot_class is not None
+                ):
+                    self.plot_class.plot(
+                        self.colvar_model(), self.reg_model(), epoch=epoch
+                    )
+
+                mean_train = train_m.mean(axis=0)
+                mean_test = test_m.mean(axis=0)
+                train_means.append(mean_train)
+                test_means.append(mean_test)
+                self.writer.add_scalars_split(
+                    loss_names, mean_train, mean_test, epoch
+                )
+                self.epoch_times.append(_time.perf_counter() - _t0)
 
         self.model = model
         self.opt_state = opt_state

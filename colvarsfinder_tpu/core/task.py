@@ -64,6 +64,9 @@ class TrainingTask(ABC):
             random split — the parity-harness injection point (SURVEY §7)
         export_cv: write the StableHLO CV deployment artifact on save
         tensorboard: enable TensorBoard scalar logging
+        profile_dir: if set, wrap training in a ``jax.profiler`` trace
+            written to this directory; per-epoch wall-clock is always
+            recorded in :attr:`epoch_times`
     """
 
     def __init__(
@@ -91,6 +94,7 @@ class TrainingTask(ABC):
         split_indices=None,
         export_cv: bool = True,
         tensorboard: bool = True,
+        profile_dir=None,
     ):
         self.traj_obj = traj_obj
         self.preprocessing_layer = pp_layer
@@ -113,6 +117,8 @@ class TrainingTask(ABC):
         self.seed = seed
         self.split_indices = split_indices
         self.export_cv = export_cv
+        self.profile_dir = profile_dir
+        self.epoch_times: list = []
 
         self.model_name = type(self).__name__
         self._export_cache: dict = {}
