@@ -89,7 +89,7 @@ class AutoEncoderTask(TrainingTask):
                 flush=True,
             )
 
-        self._epoch_fn = None
+        self._epoch_fns = {}
 
     # ------------------------------------------------------------------
     def colvar_model(self) -> ColvarModel:
@@ -106,34 +106,68 @@ class AutoEncoderTask(TrainingTask):
         return weighted_mse_loss(self.model, jnp.asarray(X), jnp.asarray(weight))
 
     # ------------------------------------------------------------------
-    def _build_epoch_fn(self):
+    def _epoch_body(self, model, opt_state, train_X, train_w, test_X,
+                    test_w):
+        """One epoch: scanned train steps + scanned eval (pure, un-jitted)."""
         optimizer = self.optimizer
 
         def loss_fn(model, X, w):
             return weighted_mse_loss(model, X, w)
 
+        def train_step(carry, batch):
+            model, opt_state = carry
+            X, w = batch
+            loss, grads = jax.value_and_grad(loss_fn)(model, X, w)
+            updates, opt_state = optimizer.update(grads, opt_state, model)
+            model = optax.apply_updates(model, updates)
+            return (model, opt_state), loss
+
+        (model, opt_state), train_losses = jax.lax.scan(
+            train_step, (model, opt_state), (train_X, train_w)
+        )
+
+        def eval_step(_, batch):
+            X, w = batch
+            return None, loss_fn(model, X, w)
+
+        _, test_losses = jax.lax.scan(eval_step, None, (test_X, test_w))
+        return model, opt_state, train_losses, test_losses
+
+    def _get_multi_epoch_fn(self, length: int):
+        """Jitted scan of `length` epochs — one device dispatch per chunk of
+        epochs between host-side hooks (checkpoint/plot). Per-epoch metrics
+        are returned stacked so TensorBoard logging stays per-epoch."""
+        fn = self._epoch_fns.get(length)
+        if fn is not None:
+            return fn
+        epoch_body = self._epoch_body
+
         @partial(jax.jit, donate_argnums=(0, 1))
-        def epoch_fn(model, opt_state, train_X, train_w, test_X, test_w):
-            def train_step(carry, batch):
+        def multi_fn(model, opt_state, train_X, train_w, test_X, test_w):
+            def body(carry, _):
                 model, opt_state = carry
-                X, w = batch
-                loss, grads = jax.value_and_grad(loss_fn)(model, X, w)
-                updates, opt_state = optimizer.update(grads, opt_state, model)
-                model = optax.apply_updates(model, updates)
-                return (model, opt_state), loss
+                model, opt_state, tr, te = epoch_body(
+                    model, opt_state, train_X, train_w, test_X, test_w
+                )
+                return (model, opt_state), (tr, te)
 
-            (model, opt_state), train_losses = jax.lax.scan(
-                train_step, (model, opt_state), (train_X, train_w)
+            (model, opt_state), (train_ms, test_ms) = jax.lax.scan(
+                body, (model, opt_state), None, length=length
             )
+            return model, opt_state, train_ms, test_ms
 
-            def eval_step(_, batch):
-                X, w = batch
-                return None, loss_fn(model, X, w)
+        self._epoch_fns[length] = multi_fn
+        return multi_fn
 
-            _, test_losses = jax.lax.scan(eval_step, None, (test_X, test_w))
-            return model, opt_state, train_losses, test_losses
-
-        return epoch_fn
+    def _next_chunk(self, epoch: int) -> int:
+        """Epochs until the next host-side hook fires (inclusive)."""
+        remaining = self.num_epochs - epoch
+        chunk = remaining
+        for period in (self.save_model_every_step, self.plot_frequency):
+            if period and period > 0:
+                until = period - (epoch % period)
+                chunk = min(chunk, until)
+        return max(1, chunk)
 
     def train(self):
         r"""Train the model (reference core.py:668-744)."""
@@ -159,9 +193,6 @@ class AutoEncoderTask(TrainingTask):
 
         model = self._place_replicated(self.model)
         opt_state = self._place_replicated(self.opt_state)
-
-        if self._epoch_fn is None:
-            self._epoch_fn = self._build_epoch_fn()
 
         bs_train = train_b.shape[1]
         bs_test = test_b.shape[1]
@@ -192,44 +223,56 @@ class AutoEncoderTask(TrainingTask):
 
         self.epoch_times = []
         with profile_trace(self.profile_dir):
-            for epoch in range(self.num_epochs):
+            epoch = 0
+            while epoch < self.num_epochs:
+                # all epochs until the next host-side hook run as ONE
+                # jitted multi-epoch scan (one device dispatch)
+                chunk = self._next_chunk(epoch)
                 _t0 = _time.perf_counter()
-                model, opt_state, train_losses, test_losses = self._epoch_fn(
-                    model, opt_state, train_X, train_w, test_X, test_w
+                model, opt_state, train_ms, test_ms = (
+                    self._get_multi_epoch_fn(chunk)(
+                        model, opt_state, train_X, train_w, test_X, test_w
+                    )
                 )
-                train_losses = np.asarray(train_losses)
-                test_losses = np.asarray(test_losses)
-                self.loss_list.append([train_losses, test_losses])
-                self.model = model  # keep current for checkpoint/plot hooks
+                train_ms = np.asarray(train_ms)  # [chunk, nb]
+                test_ms = np.asarray(test_ms)
+                chunk_time = (_time.perf_counter() - _t0) / chunk
+                self.model = model
                 self.opt_state = opt_state
+
+                for j in range(chunk):
+                    e = epoch + j
+                    train_losses, test_losses = train_ms[j], test_ms[j]
+                    self.loss_list.append([train_losses, test_losses])
+                    mean_train = train_losses.mean()
+                    mean_test = test_losses.mean()
+                    train_means.append(np.asarray([mean_train]))
+                    test_means.append(np.asarray([mean_test]))
+                    self.writer.add_scalar("Loss/train", mean_train, e)
+                    self.writer.add_scalar("Loss/test", mean_test, e)
+                    self.epoch_times.append(chunk_time)
+                epoch += chunk
+                e = epoch - 1
 
                 if (
                     self.save_model_every_step > 0
-                    and epoch % self.save_model_every_step
+                    and e % self.save_model_every_step
                     == self.save_model_every_step - 1
                 ):
-                    self.save_model(epoch)
+                    self.save_model(e)
                     # best selection on LAST-BATCH train loss: preserved
                     # reference quirk (core.py:716-718)
-                    last_loss = float(train_losses[-1])
+                    last_loss = float(train_ms[-1, -1])
                     if last_loss < min_loss:
                         min_loss = last_loss
-                        self.save_model(epoch, "best")
+                        self.save_model(e, "best")
 
                 if (
                     self.plot_frequency > 0
-                    and epoch % self.plot_frequency == self.plot_frequency - 1
+                    and e % self.plot_frequency == self.plot_frequency - 1
                     and self.plot_class is not None
                 ):
-                    self.plot_class.plot(self.colvar_model(), epoch=epoch)
-
-                mean_train = train_losses.mean()
-                mean_test = test_losses.mean()
-                train_means.append(np.asarray([mean_train]))
-                test_means.append(np.asarray([mean_test]))
-                self.writer.add_scalar("Loss/train", mean_train, epoch)
-                self.writer.add_scalar("Loss/test", mean_test, epoch)
-                self.epoch_times.append(_time.perf_counter() - _t0)
+                    self.plot_class.plot(self.colvar_model(), epoch=e)
 
         self.model = model
         self.opt_state = opt_state

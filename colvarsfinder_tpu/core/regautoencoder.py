@@ -147,7 +147,8 @@ class RegAutoEncoderTask(TrainingTask):
                 flush=True,
             )
 
-        self._epoch_fn = None
+        self._epoch_fns = {}
+        self._epoch_body = None
 
     # ------------------------------------------------------------------
     def colvar_model(self) -> ColvarModel:
@@ -246,8 +247,7 @@ class RegAutoEncoderTask(TrainingTask):
         batch_loss = self._batch_loss
         zero_enc = self._zero_encoder_grads
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def epoch_fn(model, opt_state, traj, weights, train_idx, test_idx):
+        def epoch_body(model, opt_state, traj, weights, train_idx, test_idx):
             def train_step(carry, idx):
                 model, opt_state = carry
                 (_, metrics), grads = jax.value_and_grad(
@@ -270,7 +270,44 @@ class RegAutoEncoderTask(TrainingTask):
             _, test_metrics = jax.lax.scan(eval_step, None, test_idx)
             return model, opt_state, train_metrics, test_metrics
 
-        return epoch_fn
+        return epoch_body
+
+    def _get_multi_epoch_fn(self, length: int):
+        """Jitted scan of `length` epochs — one device dispatch per chunk of
+        epochs between host-side hooks; per-epoch metrics stacked."""
+        fn = self._epoch_fns.get(length)
+        if fn is not None:
+            return fn
+        if self._epoch_body is None:
+            self._epoch_body = self._build_epoch_fn()
+        epoch_body = self._epoch_body
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def multi_fn(model, opt_state, traj, weights, train_idx, test_idx):
+            def body(carry, _):
+                model, opt_state = carry
+                model, opt_state, tr, te = epoch_body(
+                    model, opt_state, traj, weights, train_idx, test_idx
+                )
+                return (model, opt_state), (tr, te)
+
+            (model, opt_state), (train_ms, test_ms) = jax.lax.scan(
+                body, (model, opt_state), None, length=length
+            )
+            return model, opt_state, train_ms, test_ms
+
+        self._epoch_fns[length] = multi_fn
+        return multi_fn
+
+    def _next_chunk(self, epoch: int) -> int:
+        """Epochs until the next host-side hook fires (inclusive)."""
+        remaining = self.num_epochs - epoch
+        chunk = remaining
+        for period in (self.save_model_every_step, self.plot_frequency):
+            if period and period > 0:
+                until = period - (epoch % period)
+                chunk = min(chunk, until)
+        return max(1, chunk)
 
     # ------------------------------------------------------------------
     def train(self):
@@ -288,9 +325,6 @@ class RegAutoEncoderTask(TrainingTask):
         test_bd = self._place_batched(test_b)
         model = self._place_replicated(self.model)
         opt_state = self._place_replicated(self.opt_state)
-
-        if self._epoch_fn is None:
-            self._epoch_fn = self._build_epoch_fn()
 
         bs_train, bs_test = train_b.shape[1], test_b.shape[1]
         print(
@@ -327,48 +361,57 @@ class RegAutoEncoderTask(TrainingTask):
 
         self.epoch_times = []
         with profile_trace(self.profile_dir):
-            for epoch in range(self.num_epochs):
+            epoch = 0
+            while epoch < self.num_epochs:
+                chunk = self._next_chunk(epoch)
                 _t0 = _time.perf_counter()
-                model, opt_state, train_m, test_m = self._epoch_fn(
-                    model, opt_state, traj, weights, train_bd, test_bd
+                model, opt_state, train_cm, test_cm = (
+                    self._get_multi_epoch_fn(chunk)(
+                        model, opt_state, traj, weights, train_bd, test_bd
+                    )
                 )
-                train_m = np.asarray(train_m)
-                test_m = np.asarray(test_m)
-                self._cvec = train_m[-1, n_metrics:].astype(int)
-                train_m = train_m[:, :n_metrics]
-                test_m = test_m[:, :n_metrics]
-                self.loss_list.append([train_m, test_m])
+                train_cm = np.asarray(train_cm)
+                test_cm = np.asarray(test_cm)
+                chunk_time = (_time.perf_counter() - _t0) / chunk
+                self._cvec = train_cm[-1, -1, n_metrics:].astype(int)
                 self.model = model
                 self.opt_state = opt_state
 
+                for j in range(chunk):
+                    e = epoch + j
+                    train_m = train_cm[j, :, :n_metrics]
+                    test_m = test_cm[j, :, :n_metrics]
+                    self.loss_list.append([train_m, test_m])
+                    mean_train = train_m.mean(axis=0)
+                    mean_test = test_m.mean(axis=0)
+                    train_means.append(mean_train)
+                    test_means.append(mean_test)
+                    self.writer.add_scalars_split(
+                        loss_names, mean_train, mean_test, e
+                    )
+                    self.epoch_times.append(chunk_time)
+                epoch += chunk
+                e = epoch - 1
+
                 if (
                     self.save_model_every_step > 0
-                    and epoch % self.save_model_every_step
+                    and e % self.save_model_every_step
                     == self.save_model_every_step - 1
                 ):
-                    self.save_model(epoch)
-                    last_loss = float(train_m[-1, 0])
+                    self.save_model(e)
+                    last_loss = float(train_cm[-1, -1, 0])
                     if last_loss < min_loss:  # reference quirk: last-batch loss
                         min_loss = last_loss
-                        self.save_model(epoch, "best")
+                        self.save_model(e, "best")
 
                 if (
                     self.plot_frequency > 0
-                    and epoch % self.plot_frequency == self.plot_frequency - 1
+                    and e % self.plot_frequency == self.plot_frequency - 1
                     and self.plot_class is not None
                 ):
                     self.plot_class.plot(
-                        self.colvar_model(), self.reg_model(), epoch=epoch
+                        self.colvar_model(), self.reg_model(), epoch=e
                     )
-
-                mean_train = train_m.mean(axis=0)
-                mean_test = test_m.mean(axis=0)
-                train_means.append(mean_train)
-                test_means.append(mean_test)
-                self.writer.add_scalars_split(
-                    loss_names, mean_train, mean_test, epoch
-                )
-                self.epoch_times.append(_time.perf_counter() - _t0)
 
         self.model = model
         self.opt_state = opt_state

@@ -2,17 +2,23 @@
 
 Multi-chip sharding is validated without TPU hardware by forcing the host
 CPU platform to expose 8 virtual devices (SURVEY.md §4's multi-chip test
-strategy). Must run before jax is imported anywhere.
+strategy). The session environment pins JAX_PLATFORMS=axon (the TPU tunnel)
+via a sitecustomize hook, so the platform must be forced through
+jax.config *after* importing jax — env vars alone are overridden.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
