@@ -70,6 +70,7 @@ class EigenFunctionTask(TrainingTask):
         plot_frequency: int = 0,
         verbose: bool = True,
         debug_mode: bool = True,
+        precompute_features: bool = False,
         **kwargs,
     ):
         assert isinstance(model, EigenFunctions), (
@@ -108,6 +109,27 @@ class EigenFunctionTask(TrainingTask):
         self._traj_np = np.asarray(traj_obj.trajectory, dtype=np.float32)
         self._weights_np = np.asarray(traj_obj.weights, dtype=np.float32)
         self.tot_dim = int(np.prod(self._traj_np.shape[1:]))
+
+        # optional eager preprocessing (the AE task's pattern, reference
+        # core.py:635, exposed as a pipeline option per SURVEY §7): features
+        # are computed once for the whole trajectory instead of per batch.
+        # Only valid for the transfer-operator loss — the generator takes
+        # input gradients through the preprocessing layer (core.py:424).
+        self.precompute_features = bool(precompute_features)
+        self._pp_for_loss = self.preprocessing_layer
+        if self.precompute_features:
+            assert self.lag_idx > 0, (
+                "precompute_features requires the transfer-operator loss "
+                "(lag_tau > 0); the generator loss differentiates through "
+                "the preprocessing layer"
+            )
+            from ..ops.features import Identity
+
+            feats = jax.jit(self.preprocessing_layer)(
+                jnp.asarray(self._traj_np)
+            )
+            self._traj_np = np.asarray(feats)
+            self._pp_for_loss = Identity()
 
         if self.lag_idx == 0:  # generator
             self._beta = float(beta)
@@ -151,7 +173,7 @@ class EigenFunctionTask(TrainingTask):
         (loss, eig_vals, non_penalty_loss, penalty, cvec)."""
         loss, aux = eigen_loss(
             self.model,
-            self.preprocessing_layer,
+            self._pp_for_loss,
             jnp.asarray(X),
             jnp.asarray(weight),
             None if X_lagged is None else jnp.asarray(X_lagged),
@@ -170,7 +192,7 @@ class EigenFunctionTask(TrainingTask):
     # ------------------------------------------------------------------
     def _build_epoch_fn(self):
         optimizer = self.optimizer
-        pp_layer = self.preprocessing_layer
+        pp_layer = self._pp_for_loss
         k = self.k
         lag_idx = self.lag_idx
         loss_kwargs = dict(

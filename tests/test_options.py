@@ -1,0 +1,98 @@
+"""Pipeline/numerics option tests: precompute_features, bf16 fast mode,
+TensorBoard writer."""
+
+import os
+
+import numpy as np
+import pytest
+
+from colvarsfinder_tpu import config
+from colvarsfinder_tpu.core import AutoEncoderTask, EigenFunctionTask
+from colvarsfinder_tpu.models import AutoEncoder, EigenFunctions
+from colvarsfinder_tpu.ops import Feature, FeatureLayer, PreprocessingANN
+from colvarsfinder_tpu.utils import WeightedTrajectory
+
+
+def _traj(n=200, atoms=4, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, atoms, 3)).astype(np.float32)
+    return WeightedTrajectory(trajectory=x, dt=0.1, verbose=False)
+
+
+def _kw(tmp_path, name, **over):
+    kw = dict(
+        model_path=str(tmp_path / name), learning_rate=0.01, batch_size=40,
+        num_epochs=2, test_ratio=0.25, save_model_every_step=0,
+        verbose=False, tensorboard=False, seed=0,
+    )
+    kw.update(over)
+    return kw
+
+
+def test_precompute_features_matches_per_batch(tmp_path):
+    traj = _traj()
+    pp = PreprocessingANN(
+        None, FeatureLayer([Feature("p", "position", [0, 1, 2, 3])])
+    )
+    common = dict(alpha=5.0, eig_weights=[1.0], lag_tau=0.2, k=1)
+
+    m1 = EigenFunctions([12, 8, 1], k=1, seed=0)
+    t1 = EigenFunctionTask(traj, pp, m1, **common, **_kw(tmp_path, "a"))
+    t1.train()
+
+    m2 = EigenFunctions([12, 8, 1], k=1, seed=0)
+    t2 = EigenFunctionTask(
+        traj, pp, m2, precompute_features=True, **common,
+        **_kw(tmp_path, "b"),
+    )
+    t2.train()
+
+    np.testing.assert_allclose(
+        t1.train_loss_df.to_numpy(), t2.train_loss_df.to_numpy(),
+        rtol=1e-4, atol=1e-6,
+    )
+    # the exported CV model still composes the original pp layer
+    cv = t2.colvar_model()
+    out = np.asarray(cv(traj.trajectory[:3].astype(np.float32)))
+    assert out.shape == (3, 1)
+
+
+def test_precompute_features_rejected_for_generator(tmp_path):
+    traj = _traj()
+    m = EigenFunctions([12, 8, 1], k=1, seed=0)
+    with pytest.raises(AssertionError, match="transfer-operator"):
+        EigenFunctionTask(
+            traj, None, m, alpha=1.0, eig_weights=[1.0], lag_tau=0.0, k=1,
+            precompute_features=True, **_kw(tmp_path, "c"),
+        )
+
+
+def test_bfloat16_fast_mode_trains(tmp_path):
+    """set_matmul_precision('bfloat16') keeps training finite (the fast MXU
+    path users opt into when bit parity doesn't matter)."""
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((120, 2)).astype(np.float32)
+    traj = WeightedTrajectory(trajectory=x, dt=0.1, verbose=False)
+    config.set_matmul_precision("bfloat16")
+    try:
+        model = AutoEncoder([2, 8, 1], [1, 8, 2], seed=0)
+        task = AutoEncoderTask(traj, None, model, **_kw(tmp_path, "bf16"))
+        task.train()
+        assert np.isfinite(task.train_loss_df.to_numpy()).all()
+    finally:
+        config.set_matmul_precision("highest")
+
+
+def test_tensorboard_writer_creates_events(tmp_path):
+    pytest.importorskip("tensorboardX")
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((80, 2)).astype(np.float32)
+    traj = WeightedTrajectory(trajectory=x, dt=0.1, verbose=False)
+    model = AutoEncoder([2, 6, 1], [1, 6, 2], seed=0)
+    task = AutoEncoderTask(
+        traj, None, model, **_kw(tmp_path, "tb", tensorboard=True),
+    )
+    task.train()
+    task.writer.close()
+    files = os.listdir(tmp_path / "tb")
+    assert any("tfevents" in f for f in files)
