@@ -90,26 +90,34 @@ def bench_jax(ref, traj_np, weights_np):
         )
         return loss
 
+    # the framework's execution model: an epoch of batches is ONE jitted
+    # lax.scan dispatch (see core/*.py multi-epoch chunks)
     @jax.jit
-    def train_step(m, os_, idx):
-        loss, grads = jax.value_and_grad(batch_loss)(m, idx)
-        updates, os_ = optimizer.update(grads, os_, m)
-        m = optax.apply_updates(m, updates)
-        return m, os_, loss
+    def train_epoch(m, os_, idxs):
+        def step(carry, idx):
+            m, os_ = carry
+            loss, grads = jax.value_and_grad(batch_loss)(m, idx)
+            updates, os_ = optimizer.update(grads, os_, m)
+            m = optax.apply_updates(m, updates)
+            return (m, os_), loss
+
+        (m, os_), losses = jax.lax.scan(step, (m, os_), idxs)
+        return m, os_, losses
 
     # warmup (compile)
-    for i in range(WARMUP_STEPS):
-        model, opt_state, loss = train_step(model, opt_state, idx_all[i % nb])
-    jax.block_until_ready(loss)
+    model, opt_state, losses = train_epoch(model, opt_state, idx_all)
+    jax.block_until_ready(losses)
 
+    n_epochs = max(1, MEASURE_STEPS // nb)
     t0 = time.perf_counter()
-    for i in range(MEASURE_STEPS):
-        model, opt_state, loss = train_step(model, opt_state, idx_all[i % nb])
-    jax.block_until_ready(loss)
+    for _ in range(n_epochs):
+        model, opt_state, losses = train_epoch(model, opt_state, idx_all)
+    jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
-    sps = MEASURE_STEPS * BATCH / dt
-    log(f"jax: {MEASURE_STEPS} steps in {dt:.3f}s -> {sps:,.0f} samples/s "
-        f"(loss={float(loss):.4f}, backend={jax.default_backend()})")
+    steps = n_epochs * nb
+    sps = steps * BATCH / dt
+    log(f"jax: {steps} steps in {dt:.3f}s -> {sps:,.0f} samples/s "
+        f"(loss={float(losses[-1]):.4f}, backend={jax.default_backend()})")
     return sps
 
 
