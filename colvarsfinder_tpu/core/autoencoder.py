@@ -191,8 +191,8 @@ class AutoEncoderTask(TrainingTask):
         ))
         test_w = self._place_batched(w_test[test_b])
 
-        model = self._place_replicated(self.model)
-        opt_state = self._place_replicated(self.opt_state)
+        model = self._place_replicated(self._protect(self.model))
+        opt_state = self._place_replicated(self._protect(self.opt_state))
 
         bs_train = train_b.shape[1]
         bs_test = test_b.shape[1]

@@ -323,8 +323,8 @@ class RegAutoEncoderTask(TrainingTask):
         weights = self._place_replicated(jnp.asarray(self._weights_np))
         train_bd = self._place_batched(train_b)
         test_bd = self._place_batched(test_b)
-        model = self._place_replicated(self.model)
-        opt_state = self._place_replicated(self.opt_state)
+        model = self._place_replicated(self._protect(self.model))
+        opt_state = self._place_replicated(self._protect(self.opt_state))
 
         bs_train, bs_test = train_b.shape[1], test_b.shape[1]
         print(

@@ -145,6 +145,17 @@ class TrainingTask(ABC):
                 return None
         return None
 
+    @staticmethod
+    def _protect(tree):
+        """Copy array leaves before they are donated into the jitted epoch
+        functions, so user-held references (the initial model object, a
+        loaded checkpoint) are never invalidated by buffer donation."""
+        import jax.numpy as jnp
+
+        return jax.tree_util.tree_map(
+            lambda a: jnp.array(a, copy=True), tree
+        )
+
     def _place_replicated(self, tree):
         if self.mesh is not None:
             return replicate(tree, self.mesh)
