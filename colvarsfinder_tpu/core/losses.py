@@ -27,7 +27,7 @@ Key translation notes:
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Callable, NamedTuple
 
 import jax

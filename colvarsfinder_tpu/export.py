@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .checkpoint import load_pytree, save_pytree
+from .checkpoint import save_pytree
 
 __all__ = ["ColvarModel", "export_colvar", "load_colvar"]
 
