@@ -319,8 +319,18 @@ class RegAutoEncoderTask(TrainingTask):
         train_b = self._make_batches(train_idx, self.batch_size)
         test_b = self._make_batches(test_idx, self.batch_size)
 
-        traj = self._place_replicated(jnp.asarray(self._traj_np))
-        weights = self._place_replicated(jnp.asarray(self._weights_np))
+        if self.shard_trajectory and self.mesh is not None:
+            # long-trajectory scaling (SURVEY.md §5): the frame axis is
+            # sharded across the mesh so trajectories larger than one
+            # chip's HBM can be trained on; per-batch (lagged) gathers
+            # become XLA collectives over ICI
+            from ..parallel.mesh import shard_frames
+
+            traj = shard_frames(jnp.asarray(self._traj_np), self.mesh)
+            weights = shard_frames(jnp.asarray(self._weights_np), self.mesh)
+        else:
+            traj = self._place_replicated(jnp.asarray(self._traj_np))
+            weights = self._place_replicated(jnp.asarray(self._weights_np))
         train_bd = self._place_batched(train_b)
         test_bd = self._place_batched(test_b)
         model = self._place_replicated(self._protect(self.model))

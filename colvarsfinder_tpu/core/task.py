@@ -67,6 +67,10 @@ class TrainingTask(ABC):
         profile_dir: if set, wrap training in a ``jax.profiler`` trace
             written to this directory; per-epoch wall-clock is always
             recorded in :attr:`epoch_times`
+        shard_trajectory: with a mesh, shard the trajectory's frame axis
+            across devices instead of replicating it — memory scaling for
+            trajectories larger than one chip's HBM (lagged gathers become
+            ICI collectives)
     """
 
     def __init__(
@@ -95,6 +99,7 @@ class TrainingTask(ABC):
         export_cv: bool = True,
         tensorboard: bool = True,
         profile_dir=None,
+        shard_trajectory: bool = False,
     ):
         self.traj_obj = traj_obj
         self.preprocessing_layer = pp_layer
@@ -118,6 +123,7 @@ class TrainingTask(ABC):
         self.split_indices = split_indices
         self.export_cv = export_cv
         self.profile_dir = profile_dir
+        self.shard_trajectory = bool(shard_trajectory)
         self.epoch_times: list = []
 
         self.model_name = type(self).__name__

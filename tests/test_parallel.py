@@ -106,3 +106,25 @@ def test_dryrun_multichip_entrypoint():
     out = jax.jit(fn)(*args)
     assert out.shape == (64, 2)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_eigen_task_sharded_trajectory(traj, tmp_path):
+    """Frame-axis-sharded trajectory (long-trajectory scaling, SURVEY §5)
+    must be numerically identical to the replicated layout."""
+    mesh = make_data_mesh(jax.devices()[:8])
+    common = dict(alpha=10.0, eig_weights=[1.0], lag_tau=0.2, k=1)
+
+    m1 = EigenFunctions([2, 10, 1], k=1, seed=3)
+    t1 = EigenFunctionTask(traj, None, m1, mesh=mesh, **common,
+                           **_kw(tmp_path, "repl"))
+    t1.train()
+
+    m2 = EigenFunctions([2, 10, 1], k=1, seed=3)
+    t2 = EigenFunctionTask(traj, None, m2, mesh=mesh, shard_trajectory=True,
+                           **common, **_kw(tmp_path, "shardtraj"))
+    t2.train()
+
+    np.testing.assert_allclose(
+        t1.train_loss_df.to_numpy(), t2.train_loss_df.to_numpy(),
+        rtol=1e-4, atol=1e-6,
+    )
