@@ -22,10 +22,30 @@ Layer map (mirrors SURVEY.md §1, rebuilt TPU-first):
 
 __version__ = "0.1.0"
 
-from . import core, models, ops, parallel, utils
+from . import config, core, models, ops, parallel, utils
+from .core import (
+    AutoEncoderTask,
+    EigenFunctionTask,
+    RegAutoEncoderTask,
+    TrainingTask,
+)
 from .export import ColvarModel, export_colvar, load_colvar
+from .models import (
+    AutoEncoder,
+    EigenFunctions,
+    RegAutoEncoder,
+    RegModel,
+    create_sequential_nn,
+)
+from .utils import (
+    WeightedTrajectory,
+    calc_weights,
+    integrate_md_langevin,
+    integrate_sde_overdamped,
+)
 
 __all__ = [
+    "config",
     "core",
     "models",
     "ops",
@@ -34,5 +54,18 @@ __all__ = [
     "ColvarModel",
     "export_colvar",
     "load_colvar",
+    "TrainingTask",
+    "AutoEncoderTask",
+    "EigenFunctionTask",
+    "RegAutoEncoderTask",
+    "AutoEncoder",
+    "EigenFunctions",
+    "RegAutoEncoder",
+    "RegModel",
+    "create_sequential_nn",
+    "WeightedTrajectory",
+    "calc_weights",
+    "integrate_md_langevin",
+    "integrate_sde_overdamped",
     "__version__",
 ]
