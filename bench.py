@@ -34,7 +34,7 @@ EIG_W = [1.0, 0.2]
 LR = 0.002
 WARMUP_STEPS = 5
 MEASURE_STEPS = 30
-BASELINE_STEPS = 3  # torch CPU is slow; extrapolate from a few steps
+BASELINE_STEPS = 5  # torch CPU is slow; extrapolate from a few steps
 
 log = lambda *a: print(*a, file=sys.stderr, flush=True)
 

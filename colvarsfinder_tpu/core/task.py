@@ -139,17 +139,24 @@ class TrainingTask(ABC):
     def _resolve_device(device):
         if device is None or isinstance(device, jax.Device):
             return device
-        if isinstance(device, str):
-            return jax.devices(device)[0]
-        # tolerate torch.device-style objects with a .type attribute
-        kind = getattr(device, "type", None)
-        if kind is not None:
-            kind = "tpu" if kind == "cuda" else kind
-            try:
-                return jax.devices(kind)[0]
-            except RuntimeError:
-                return None
-        return None
+        kind = device if isinstance(device, str) else None
+        if kind is None:
+            # tolerate torch.device-style objects with a .type attribute
+            kind = getattr(device, "type", None)
+            if kind == "cuda":
+                kind = "tpu"
+        if kind is None:
+            return None
+        try:
+            return jax.devices(kind)[0]
+        except RuntimeError:
+            import warnings
+
+            warnings.warn(
+                f"device kind '{kind}' unavailable on this platform; "
+                "using the default device"
+            )
+            return None
 
     @staticmethod
     def _protect(tree):

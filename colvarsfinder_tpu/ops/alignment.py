@@ -191,12 +191,14 @@ def kabsch_rotations_quat(C: jnp.ndarray, iters: int = 16) -> jnp.ndarray:
     kernel in :mod:`colvarsfinder_tpu.ops.kabsch_pallas`."""
     # scale invariance: R(sC) = R(C); normalizing keeps the quartic
     # coefficients O(1) in f32
-    scale = jnp.sqrt((C * C).sum(axis=(-2, -1), keepdims=True)) + 1e-30
-    Cn = C / scale
+    norm = jnp.sqrt((C * C).sum(axis=(-2, -1), keepdims=True))
+    ok = norm > 1e-12  # degenerate (all-coincident atoms): fall back to I
+    Cn = C / jnp.where(ok, norm, 1.0)
     c9 = tuple(Cn[:, i, j] for i in range(3) for j in range(3))
     q = quaternion_from_covariance(c9, newton_iters=iters)
     entries = quaternion_to_rotation_entries(*q)
-    return jnp.stack(entries, axis=-1).reshape(-1, 3, 3)
+    R = jnp.stack(entries, axis=-1).reshape(-1, 3, 3)
+    return jnp.where(ok, R, jnp.eye(3, dtype=R.dtype))
 
 
 def align_frames(

@@ -64,9 +64,14 @@ def _kabsch_pallas_impl(C: jnp.ndarray, interpret: bool = False):
     nb = max(1, -(-B // TILE_B))
     Bp = nb * TILE_B
 
-    # scale invariance: R(sC) = R(C); keeps the quartic coefficients O(1)
-    scale = jnp.sqrt((C * C).sum(axis=(-2, -1), keepdims=True)) + 1e-30
-    Cn = (C / scale).astype(jnp.float32)
+    # scale invariance: R(sC) = R(C); keeps the quartic coefficients O(1).
+    # Degenerate frames (||C|| ~ 0, all-coincident atoms) are mapped to the
+    # identity covariance -> identity rotation.
+    norm = jnp.sqrt((C * C).sum(axis=(-2, -1), keepdims=True))
+    ok = norm > 1e-12
+    Cn = jnp.where(
+        ok, C / jnp.where(ok, norm, 1.0), jnp.eye(3, dtype=C.dtype)
+    ).astype(jnp.float32)
 
     # SoA layout [16, Bp]; padded frames get C = I -> R = I
     flat = Cn.reshape(B, 9).T  # [9, B]

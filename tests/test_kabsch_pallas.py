@@ -69,3 +69,16 @@ def test_alignment_layer_pallas_method(rng):
     out_svd = np.asarray(layer_svd(jnp.asarray(x)))
     out_pal = np.asarray(layer_pal(jnp.asarray(x)))
     np.testing.assert_allclose(out_pal, out_svd, atol=5e-5)
+
+
+def test_degenerate_covariance_gives_identity():
+    """All-coincident align atoms (zero covariance) must yield the identity
+    rotation, not NaNs, on both quaternion paths."""
+    from colvarsfinder_tpu.ops.alignment import kabsch_rotations_quat
+
+    C = jnp.zeros((4, 3, 3), dtype=jnp.float32)
+    for fn in (kabsch_rotations_quat, kabsch_rotations_pallas):
+        R = np.asarray(fn(C))
+        np.testing.assert_allclose(
+            R, np.broadcast_to(np.eye(3), (4, 3, 3)), atol=1e-6
+        )
