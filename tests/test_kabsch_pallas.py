@@ -82,3 +82,45 @@ def test_degenerate_covariance_gives_identity():
         np.testing.assert_allclose(
             R, np.broadcast_to(np.eye(3), (4, 3, 3)), atol=1e-6
         )
+
+
+def test_fused_alignment_kernel_matches_reference_path(rng):
+    """The fused whole-alignment Pallas kernel must match align_frames and
+    stay differentiable."""
+    from colvarsfinder_tpu.ops.alignment import align_frames
+    from colvarsfinder_tpu.ops.kabsch_pallas import (
+        FusedAlignmentLayer,
+        align_frames_fused_pallas,
+    )
+
+    m, N, B = 6, 10, 300  # align atoms are a subset of all atoms
+    ref = rng.standard_normal((m, 3)).astype(np.float32)
+    ref -= ref.mean(0)
+    x = rng.standard_normal((B, N, 3)).astype(np.float32)
+    align_idx = np.asarray([0, 2, 3, 5, 7, 9])
+
+    out_ref = np.asarray(
+        align_frames(jnp.asarray(x), jnp.asarray(ref),
+                     jnp.asarray(align_idx), method="quaternion")
+    )
+    out_fused = np.asarray(align_frames_fused_pallas(
+        jnp.asarray(x), ref, align_idx
+    ))
+    np.testing.assert_allclose(out_fused, out_ref, atol=5e-5)
+
+    # layer API + jit-through-pytree
+    layer = FusedAlignmentLayer(ref, align_idx)
+    out_layer = np.asarray(jax.jit(lambda l, xx: l(xx))(layer,
+                                                        jnp.asarray(x)))
+    np.testing.assert_allclose(out_layer, out_ref, atol=5e-5)
+
+    # gradients flow (generator-loss requirement)
+    def scalar(xx):
+        return (layer(xx) ** 2).sum()
+
+    g = np.asarray(jax.grad(scalar)(jnp.asarray(x[:4])))
+    def scalar_ref(xx):
+        return (align_frames(xx, jnp.asarray(ref), jnp.asarray(align_idx),
+                             method="quaternion") ** 2).sum()
+    g_ref = np.asarray(jax.grad(scalar_ref)(jnp.asarray(x[:4])))
+    np.testing.assert_allclose(g, g_ref, rtol=1e-3, atol=1e-4)
