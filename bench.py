@@ -71,7 +71,8 @@ def bench_jax(ref, traj_np, weights_np):
     optimizer = optax.adam(LR)
     opt_state = optimizer.init(model)
 
-    traj = jax.device_put(jnp.asarray(traj_np))
+    # flat 2-D gathers are 3-5x faster than N-D gathers on TPU
+    traj = jax.device_put(jnp.asarray(traj_np.reshape(N_FRAMES, -1)))
     weights = jax.device_put(jnp.asarray(weights_np))
 
     nb = (N_FRAMES - LAG) // BATCH
@@ -79,9 +80,9 @@ def bench_jax(ref, traj_np, weights_np):
     idx_all = jax.device_put(jnp.asarray(idx_all))
 
     def batch_loss(m, idx):
-        X = traj[idx]
+        X = traj[idx].reshape(-1, N_ATOMS, 3)
         w = weights[idx]
-        X_l = traj[idx + LAG]
+        X_l = traj[idx + LAG].reshape(-1, N_ATOMS, 3)
         w_l = weights[idx + LAG]
         loss, _ = eigen_loss(
             m, pp, X, w, X_l, w_l,

@@ -149,6 +149,13 @@ class EigenFunctionTask(TrainingTask):
         self._epoch_fns = {}
         self._epoch_body = None
 
+
+    @property
+    def _traj_flat(self):
+        """Trajectory flattened to [n, prod(state)] — the on-device layout
+        (flat 2-D gathers are 3-5x faster than N-D gathers on TPU)."""
+        return self._traj_np.reshape(self._traj_np.shape[0], -1)
+
     # ------------------------------------------------------------------
     def get_reordered_eigenfunctions(self, model, cvec):
         r"""New EigenFunctions with heads permuted by ``cvec``
@@ -206,11 +213,15 @@ class EigenFunctionTask(TrainingTask):
             sort_eigvals=self._sort_eigvals_in_training,
         )
 
+        state_shape = tuple(self._traj_np.shape[1:])
+
         def batch_loss(model, traj, weights, idx):
-            X = traj[idx]
+            # traj is stored flattened [n, prod(state)] — flat 2-D gathers
+            # are 3-5x faster than N-D gathers on TPU; reshape per batch
+            X = traj[idx].reshape((-1,) + state_shape)
             w = weights[idx]
             if lag_idx > 0:
-                X_l = traj[idx + lag_idx]
+                X_l = traj[idx + lag_idx].reshape((-1,) + state_shape)
                 w_l = weights[idx + lag_idx]
             else:
                 X_l = w_l = None
@@ -306,10 +317,10 @@ class EigenFunctionTask(TrainingTask):
             # become XLA collectives over ICI
             from ..parallel.mesh import shard_frames
 
-            traj = shard_frames(jnp.asarray(self._traj_np), self.mesh)
+            traj = shard_frames(jnp.asarray(self._traj_flat), self.mesh)
             weights = shard_frames(jnp.asarray(self._weights_np), self.mesh)
         else:
-            traj = self._place_replicated(jnp.asarray(self._traj_np))
+            traj = self._place_replicated(jnp.asarray(self._traj_flat))
             weights = self._place_replicated(jnp.asarray(self._weights_np))
         train_bd = self._place_batched(train_b)
         test_bd = self._place_batched(test_b)

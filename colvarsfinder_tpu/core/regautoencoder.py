@@ -150,6 +150,13 @@ class RegAutoEncoderTask(TrainingTask):
         self._epoch_fns = {}
         self._epoch_body = None
 
+
+    @property
+    def _traj_flat(self):
+        """Trajectory flattened to [n, prod(state)] — the on-device layout
+        (flat 2-D gathers are 3-5x faster than N-D gathers on TPU)."""
+        return self._traj_np.reshape(self._traj_np.shape[0], -1)
+
     # ------------------------------------------------------------------
     def colvar_model(self) -> ColvarModel:
         r"""CV model: preprocessing layer + encoder
@@ -170,12 +177,15 @@ class RegAutoEncoderTask(TrainingTask):
         """All gated loss terms for one index batch
         (reference core.py:1069-1135)."""
         pp = self.preprocessing_layer
-        X = traj[idx]
+        state_shape = tuple(self._traj_np.shape[1:])
+        X = traj[idx].reshape((-1,) + state_shape)
         w = weights[idx]
 
         if self.alpha > self._eps:
             if self.lag_ae_idx > 0:
-                X_ae_lagged = traj[idx + self.lag_ae_idx]
+                X_ae_lagged = traj[idx + self.lag_ae_idx].reshape(
+                    (-1,) + state_shape
+                )
             else:
                 X_ae_lagged = X
             ae = weighted_mse_lagged_loss(
@@ -199,7 +209,9 @@ class RegAutoEncoderTask(TrainingTask):
 
         if self.gamma[0] + self.gamma[1] > self._eps:
             if self.lag_idx > 0:
-                X_l = traj[idx + self.lag_idx]
+                X_l = traj[idx + self.lag_idx].reshape(
+                    (-1,) + state_shape
+                )
                 w_l = weights[idx + self.lag_idx]
             else:
                 X_l = w_l = None
@@ -326,10 +338,10 @@ class RegAutoEncoderTask(TrainingTask):
             # become XLA collectives over ICI
             from ..parallel.mesh import shard_frames
 
-            traj = shard_frames(jnp.asarray(self._traj_np), self.mesh)
+            traj = shard_frames(jnp.asarray(self._traj_flat), self.mesh)
             weights = shard_frames(jnp.asarray(self._weights_np), self.mesh)
         else:
-            traj = self._place_replicated(jnp.asarray(self._traj_np))
+            traj = self._place_replicated(jnp.asarray(self._traj_flat))
             weights = self._place_replicated(jnp.asarray(self._weights_np))
         train_bd = self._place_batched(train_b)
         test_bd = self._place_batched(test_b)
