@@ -104,3 +104,22 @@ def test_dcd_roundtrip(tmp_path):
     back, dt = read_dcd(path)
     np.testing.assert_allclose(back, coords, atol=1e-6)
     np.testing.assert_allclose(dt, 2.0, rtol=1e-5)
+
+
+def test_example_notebooks_are_valid():
+    """Notebook JSON loads and every code cell compiles."""
+    import json
+    import os
+
+    nb_dir = os.path.join(os.path.dirname(__file__), "..", "examples")
+    found = 0
+    for name in os.listdir(nb_dir):
+        if not name.endswith(".ipynb"):
+            continue
+        found += 1
+        nb = json.load(open(os.path.join(nb_dir, name)))
+        assert nb["nbformat"] == 4
+        for cell in nb["cells"]:
+            if cell["cell_type"] == "code":
+                compile("".join(cell["source"]), name, "exec")
+    assert found >= 2
