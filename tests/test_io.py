@@ -12,28 +12,28 @@ from colvarsfinder_tpu.utils.io import (
 
 GRO_TEXT = """Alanine dipeptide
    22
-    1ACE   HH31    1   0.200   0.100  -0.000
-    1ACE    CH3    2   0.200   0.209   0.000
-    1ACE   HH32    3   0.149   0.245   0.089
-    1ACE   HH33    4   0.149   0.245  -0.089
-    1ACE      C    5   0.343   0.264  -0.000
-    1ACE      O    6   0.439   0.188  -0.000
-    2ALA      N    7   0.356   0.397  -0.000
-    2ALA      H    8   0.273   0.456  -0.000
-    2ALA     CA    9   0.485   0.461  -0.000
-    2ALA     HA   10   0.541   0.432   0.089
-    2ALA     CB   11   0.566   0.422  -0.123
-    2ALA    HB1   12   0.512   0.452  -0.213
-    2ALA    HB2   13   0.663   0.472  -0.121
-    2ALA    HB3   14   0.581   0.314  -0.124
-    2ALA      C   15   0.471   0.613   0.000
-    2ALA      O   16   0.360   0.665   0.000
-    3NME      N   17   0.585   0.683   0.000
-    3NME      H   18   0.674   0.636  -0.000
-    3NME    CH3   19   0.585   0.828   0.000
-    3NME   HH31   20   0.482   0.865   0.000
-    3NME   HH32   21   0.636   0.865   0.089
-    3NME   HH33   22   0.636   0.865  -0.089
+    1ACE   HH31    1   0.661   0.158   0.788
+    1ACE    CH3    2   0.546  -0.359   0.963
+    1ACE   HH32    3   0.642   0.679  -0.308
+    1ACE   HH33    4   0.176   0.056   0.890
+    1ACE      C    5   0.466   0.734   0.165
+    1ACE      O    6  -0.159   0.332  -0.404
+    2ALA      N    7   0.741   0.447   0.637
+    2ALA      H    8   0.032   0.956   0.840
+    2ALA     CA    9   0.668  -0.208   0.200
+    2ALA     HA   10  -0.434  -0.269   0.525
+    2ALA     CB   11   0.617   0.951  -0.011
+    2ALA    HB1   12   0.056   0.204  -0.216
+    2ALA    HB2   13  -0.305   0.214  -0.160
+    2ALA    HB3   14   0.505   0.156   0.749
+    2ALA      C   15   0.550  -0.031   0.748
+    2ALA      O   16   0.707   0.081  -0.068
+    3NME      N   17   0.524  -0.290  -0.200
+    3NME      H   18  -0.489   0.680   0.497
+    3NME    CH3   19   0.558   0.671   0.188
+    3NME   HH31   20   0.353  -0.290  -0.328
+    3NME   HH32   21   0.503   0.207   0.348
+    3NME   HH33   22   0.647   0.452   0.330
    0.52510   0.76480   0.30210
 """
 
@@ -51,7 +51,7 @@ def test_parse_gro_basic(top):
     assert top.names[8] == "CA"
     assert top.resnames[0] == "ACE"
     assert top.resids[-1] == 3
-    np.testing.assert_allclose(top.positions[1], [0.200, 0.209, 0.000],
+    np.testing.assert_allclose(top.positions[1], [0.546, -0.359, 0.963],
                                atol=1e-6)
     np.testing.assert_allclose(top.box, [0.5251, 0.7648, 0.3021], atol=1e-6)
 
