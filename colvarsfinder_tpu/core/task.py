@@ -238,6 +238,12 @@ class TrainingTask(ABC):
     def _make_batches(indices: np.ndarray, batch_size: int) -> np.ndarray:
         """[num_batches, batch] index matrix with drop_last=True,
         shuffle=False semantics (reference core.py:472-481)."""
+        if len(indices) == 0:
+            raise ValueError(
+                "empty data split — check test_ratio against the dataset "
+                "size (the reference silently produced an empty DataLoader "
+                "here, core.py:483)"
+            )
         bs = min(batch_size, len(indices))
         nb = len(indices) // bs
         return np.asarray(indices[: nb * bs], dtype=np.int32).reshape(nb, bs)

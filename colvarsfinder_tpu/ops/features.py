@@ -205,8 +205,24 @@ class FeatureLayer:
     def __init__(self, feature_list: Sequence[Feature], input_ag=None):
         if len(feature_list) == 0:
             raise ValueError("feature_list must not be empty")
+        if input_ag is not None and hasattr(input_ag, "ix"):
+            # molann semantics: features reference atoms by their global
+            # topology index; remap to column positions within the input
+            # atom list (the [batch, N, 3] array columns)
+            lookup = {int(g): j for j, g in enumerate(np.asarray(input_ag.ix))}
+            remapped = []
+            for f in feature_list:
+                try:
+                    rel = tuple(lookup[int(i)] for i in f.atom_indices)
+                except KeyError as e:
+                    raise ValueError(
+                        f"feature '{f.name}' references atom {e} which is "
+                        "not part of input_ag"
+                    ) from None
+                remapped.append(Feature(f.name, f.feature_type, rel))
+            feature_list = remapped
         self.feature_list = tuple(feature_list)
-        self.input_ag = input_ag  # kept for display only
+        self.input_ag = input_ag
 
     @property
     def output_dimension(self) -> int:

@@ -223,3 +223,25 @@ def test_preprocessing_ann_composition(rng):
     np.testing.assert_allclose(
         np.asarray(pp2(jnp.asarray(x))), x.reshape(3, -1), atol=1e-6
     )
+
+
+def test_feature_layer_remaps_global_indices():
+    """molann semantics: Features referencing global topology indices are
+    remapped to columns of the input atom list when input_ag is given."""
+
+    class AG:
+        def __init__(self, ix):
+            self.ix = np.asarray(ix)
+
+    input_ag = AG([4, 7, 9, 12])  # global indices of the 4 input atoms
+    f = Feature("b", "bond", [7, 12])  # global indices
+    layer = FeatureLayer([f], input_ag=input_ag)
+    assert layer.feature_list[0].atom_indices == (1, 3)
+
+    x = np.zeros((1, 4, 3), dtype=np.float32)
+    x[0, 3] = [0.0, 3.0, 4.0]
+    out = np.asarray(layer(jnp.asarray(x)))
+    np.testing.assert_allclose(out, [[5.0]], rtol=1e-6)
+
+    with pytest.raises(ValueError, match="not part of input_ag"):
+        FeatureLayer([Feature("b", "bond", [7, 99])], input_ag=input_ag)
