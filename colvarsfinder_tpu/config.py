@@ -28,6 +28,10 @@ def set_matmul_precision(precision) -> None:
 
     Accepts a ``jax.lax.Precision`` or one of
     'default' | 'high' | 'highest' | 'bfloat16' | 'float32'.
+
+    The value is read at trace time; the tasks key their compiled-program
+    caches on it, so changing the precision mid-training triggers a
+    recompile of subsequent epochs rather than being silently ignored.
     """
     global _PRECISION
     if isinstance(precision, str):

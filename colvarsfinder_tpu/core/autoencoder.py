@@ -137,7 +137,10 @@ class AutoEncoderTask(TrainingTask):
         """Jitted scan of `length` epochs — one device dispatch per chunk of
         epochs between host-side hooks (checkpoint/plot). Per-epoch metrics
         are returned stacked so TensorBoard logging stays per-epoch."""
-        fn = self._epoch_fns.get(length)
+        from ..config import matmul_precision
+
+        cache_key = (length, matmul_precision())
+        fn = self._epoch_fns.get(cache_key)
         if fn is not None:
             return fn
         epoch_body = self._epoch_body
@@ -156,7 +159,7 @@ class AutoEncoderTask(TrainingTask):
             )
             return model, opt_state, train_ms, test_ms
 
-        self._epoch_fns[length] = multi_fn
+        self._epoch_fns[cache_key] = multi_fn
         return multi_fn
 
     def _next_chunk(self, epoch: int) -> int:
@@ -194,26 +197,7 @@ class AutoEncoderTask(TrainingTask):
         model = self._place_replicated(self._protect(self.model))
         opt_state = self._place_replicated(self._protect(self.opt_state))
 
-        bs_train = train_b.shape[1]
-        bs_test = test_b.shape[1]
-        print(
-            "\nTraining starts.\n%d epochs in total, batch sizes "
-            "(train/test): %d/%d" % (self.num_epochs, bs_train, bs_test)
-        )
-        print(
-            "\nTrain set:\n\t%d data, %d iterations per epoch, %d "
-            "iterations in total."
-            % (len(train_idx), train_b.shape[0],
-               train_b.shape[0] * self.num_epochs),
-            flush=True,
-        )
-        print(
-            "Test set:\n\t%d data, %d iterations per epoch, %d iterations "
-            "in total."
-            % (len(test_idx), test_b.shape[0],
-               test_b.shape[0] * self.num_epochs),
-            flush=True,
-        )
+        self._print_train_banner(train_b, test_b)
 
         self.loss_list = []
         min_loss = float("inf")

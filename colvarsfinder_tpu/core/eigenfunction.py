@@ -147,8 +147,6 @@ class EigenFunctionTask(TrainingTask):
             self._diag_coeff = None
 
         self._epoch_fns = {}
-        self._epoch_body = None
-
 
     @property
     def _traj_flat(self):
@@ -267,12 +265,13 @@ class EigenFunctionTask(TrainingTask):
     def _get_multi_epoch_fn(self, length: int):
         """Jitted scan of `length` epochs — one device dispatch per chunk of
         epochs between host-side hooks; per-epoch metrics stacked."""
-        fn = self._epoch_fns.get(length)
+        from ..config import matmul_precision
+
+        cache_key = (length, matmul_precision())
+        fn = self._epoch_fns.get(cache_key)
         if fn is not None:
             return fn
-        if self._epoch_body is None:
-            self._epoch_body = self._build_epoch_fn()
-        epoch_body = self._epoch_body
+        epoch_body = self._build_epoch_fn()
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def multi_fn(model, opt_state, traj, weights, train_idx, test_idx):
@@ -288,7 +287,7 @@ class EigenFunctionTask(TrainingTask):
             )
             return model, opt_state, train_ms, test_ms
 
-        self._epoch_fns[length] = multi_fn
+        self._epoch_fns[cache_key] = multi_fn
         return multi_fn
 
     def _next_chunk(self, epoch: int) -> int:
@@ -327,25 +326,7 @@ class EigenFunctionTask(TrainingTask):
         model = self._place_replicated(self._protect(self.model))
         opt_state = self._place_replicated(self._protect(self.opt_state))
 
-        bs_train, bs_test = train_b.shape[1], test_b.shape[1]
-        print(
-            "\nTraining starts.\n%d epochs in total, batch sizes "
-            "(train/test): %d/%d" % (self.num_epochs, bs_train, bs_test)
-        )
-        print(
-            "\nTrain set:\n\t%d data, %d iterations per epoch, %d "
-            "iterations in total."
-            % (len(train_idx), train_b.shape[0],
-               train_b.shape[0] * self.num_epochs),
-            flush=True,
-        )
-        print(
-            "Test set:\n\t%d data, %d iterations per epoch, %d iterations "
-            "in total."
-            % (len(test_idx), test_b.shape[0],
-               test_b.shape[0] * self.num_epochs),
-            flush=True,
-        )
+        self._print_train_banner(train_b, test_b)
 
         loss_names = ["loss", "eigen_non_penalty", "eigen_penalty"] + [
             "eig_%d" % (i + 1) for i in range(self.k)

@@ -148,8 +148,6 @@ class RegAutoEncoderTask(TrainingTask):
             )
 
         self._epoch_fns = {}
-        self._epoch_body = None
-
 
     @property
     def _traj_flat(self):
@@ -249,9 +247,18 @@ class RegAutoEncoderTask(TrainingTask):
         return loss, metrics
 
     def _zero_encoder_grads(self, grads):
-        children, aux = grads.tree_flatten()
-        enc = jax.tree_util.tree_map(jnp.zeros_like, children[0])
-        return type(grads).tree_unflatten(aux, (enc,) + tuple(children[1:]))
+        # masked by named field (not pytree child position) so a future
+        # reordering of RegAutoEncoder.tree_flatten cannot silently freeze
+        # the wrong subtree
+        from ..models.ae import RegAutoEncoder
+
+        return RegAutoEncoder(
+            encoder=jax.tree_util.tree_map(jnp.zeros_like, grads.encoder),
+            decoder=grads.decoder,
+            reg=grads.reg,
+            _reg_layer_dims=grads.reg_layer_dims,
+            _num_reg=grads.num_reg,
+        )
 
     def _build_epoch_fn(self):
         optimizer = self.optimizer
@@ -287,12 +294,13 @@ class RegAutoEncoderTask(TrainingTask):
     def _get_multi_epoch_fn(self, length: int):
         """Jitted scan of `length` epochs — one device dispatch per chunk of
         epochs between host-side hooks; per-epoch metrics stacked."""
-        fn = self._epoch_fns.get(length)
+        from ..config import matmul_precision
+
+        cache_key = (length, matmul_precision())
+        fn = self._epoch_fns.get(cache_key)
         if fn is not None:
             return fn
-        if self._epoch_body is None:
-            self._epoch_body = self._build_epoch_fn()
-        epoch_body = self._epoch_body
+        epoch_body = self._build_epoch_fn()
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def multi_fn(model, opt_state, traj, weights, train_idx, test_idx):
@@ -308,7 +316,7 @@ class RegAutoEncoderTask(TrainingTask):
             )
             return model, opt_state, train_ms, test_ms
 
-        self._epoch_fns[length] = multi_fn
+        self._epoch_fns[cache_key] = multi_fn
         return multi_fn
 
     def _next_chunk(self, epoch: int) -> int:
@@ -348,25 +356,7 @@ class RegAutoEncoderTask(TrainingTask):
         model = self._place_replicated(self._protect(self.model))
         opt_state = self._place_replicated(self._protect(self.opt_state))
 
-        bs_train, bs_test = train_b.shape[1], test_b.shape[1]
-        print(
-            "\nTraining starts.\n%d epochs in total, batch sizes "
-            "(train/test): %d/%d" % (self.num_epochs, bs_train, bs_test)
-        )
-        print(
-            "\nTrain set:\n\t%d data, %d iterations per epoch, %d "
-            "iterations in total."
-            % (len(train_idx), train_b.shape[0],
-               train_b.shape[0] * self.num_epochs),
-            flush=True,
-        )
-        print(
-            "Test set:\n\t%d data, %d iterations per epoch, %d iterations "
-            "in total."
-            % (len(test_idx), test_b.shape[0],
-               test_b.shape[0] * self.num_epochs),
-            flush=True,
-        )
+        self._print_train_banner(train_b, test_b)
 
         loss_names = (
             ["loss", "ae_loss", "eigen_non_penalty", "eigen_penalty"]

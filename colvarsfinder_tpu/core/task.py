@@ -143,8 +143,14 @@ class TrainingTask(ABC):
         if kind is None:
             # tolerate torch.device-style objects with a .type attribute
             kind = getattr(device, "type", None)
-            if kind == "cuda":
-                kind = "tpu"
+        if kind == "cuda":
+            import warnings
+
+            warnings.warn(
+                "device 'cuda' requested; this framework targets TPU — "
+                "remapping to the 'tpu' backend"
+            )
+            kind = "tpu"
         if kind is None:
             return None
         try:
@@ -233,6 +239,21 @@ class TrainingTask(ABC):
             idx, test_size=self.test_ratio, random_state=self.seed
         )
         return train_idx, test_idx
+
+    def _print_train_banner(self, train_b: np.ndarray, test_b: np.ndarray):
+        """Print the pre-training summary shared by all tasks (the reference
+        printed an equivalent block at the top of each train(); this is the
+        framework's own wording)."""
+        nb_tr, bs_tr = train_b.shape
+        nb_te, bs_te = test_b.shape
+        print(
+            f"\n=== training: {self.num_epochs} epochs ===\n"
+            f"  train split: {nb_tr * bs_tr} samples -> {nb_tr} batches of "
+            f"{bs_tr} ({nb_tr * self.num_epochs} steps total)\n"
+            f"  test split:  {nb_te * bs_te} samples -> {nb_te} batches of "
+            f"{bs_te}",
+            flush=True,
+        )
 
     @staticmethod
     def _make_batches(indices: np.ndarray, batch_size: int) -> np.ndarray:

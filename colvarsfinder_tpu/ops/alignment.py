@@ -223,8 +223,14 @@ def align_frames(
     """
     sel = x[:, align_idx, :]  # [B, m, 3]
     if align_weights is not None:
+        # weighted Kabsch: BOTH structures must be centered on the
+        # weighted centroid, so re-center the (unweighted-mean-centered)
+        # reference with the same weights
         w = align_weights / align_weights.sum()
         com = jnp.einsum("m,bmi->bi", w, sel, precision=matmul_precision())
+        ref_centered = ref_centered - jnp.einsum(
+            "m,mi->i", w, ref_centered, precision=matmul_precision()
+        )
     else:
         com = sel.mean(axis=1)
     x_c = x - com[:, None, :]

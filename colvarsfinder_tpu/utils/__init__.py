@@ -1,15 +1,23 @@
-"""Data pipeline: weighted trajectories, samplers, reweighting.
+"""Data pipeline: weighted trajectories, samplers, reweighting, IO.
 
 TPU-native counterpart of the reference module ``colvarsfinder.utils``
 (reference: colvarsfinder/utils.py).
 """
 
-from .trajectory import WeightedTrajectory, calc_weights
+from .io import Topology, parse_gro, read_dcd, write_dcd
 from .sampling import integrate_md_langevin, integrate_sde_overdamped
+from .trajectory import WeightedTrajectory, calc_weights
+from .xtc import read_xtc, write_xtc
 
 __all__ = [
     "WeightedTrajectory",
     "calc_weights",
     "integrate_md_langevin",
     "integrate_sde_overdamped",
+    "Topology",
+    "parse_gro",
+    "read_dcd",
+    "write_dcd",
+    "read_xtc",
+    "write_xtc",
 ]

@@ -271,9 +271,16 @@ def write_dcd(
     OpenMM's DCDReporter and MDAnalysis emit (84-byte header block, title
     block, natoms block, per-frame x/y/z float32 records with Fortran-style
     length prefixes).
+
+    ``dt_ps`` is the time between *stored frames* (ps); ``step_interval``
+    is NSAVC, the number of integrator steps per stored frame. Following
+    the CHARMM convention (frame spacing = DELTA * NSAVC, the convention
+    OpenMM's DCDReporter and MDAnalysis use), DELTA is written as the
+    per-integrator-step time ``dt_ps / step_interval`` in AKMA units.
     """
     coords = np.asarray(coords, dtype=np.float32)
     n_frames, n_atoms, _ = coords.shape
+    step_interval = max(1, int(step_interval))
     with open(filename, "wb") as f:
         def record(payload: bytes):
             f.write(struct.pack("<i", len(payload)))
@@ -286,9 +293,9 @@ def write_dcd(
         icntrl[1] = step_interval      # ISTART
         icntrl[2] = step_interval      # NSAVC
         icntrl[19] = 24                 # CHARMM version tag
-        # AKMA timestep in control word 10 as float
+        # AKMA per-step timestep (DELTA) in control word 10 as float
         header = _DCD_MAGIC + struct.pack("<9i", *icntrl[:9])
-        header += struct.pack("<f", dt_ps / 0.04888821)
+        header += struct.pack("<f", dt_ps / step_interval / 0.04888821)
         header += struct.pack("<10i", *icntrl[10:])
         record(header)
         title = b"Created by colvarsfinder-tpu".ljust(80)
@@ -329,7 +336,11 @@ def read_dcd(filename: str):
     (akma_dt,) = struct.unpack_from("<f", header, 40)
     extra = struct.unpack_from("<10i", header, 44)
     has_unitcell = extra[0] == 1  # ICNTRL[11]: crystal record flag
-    dt_ps = akma_dt * 0.04888821
+    # frame spacing = DELTA * NSAVC (CHARMM convention; OpenMM's DCDReporter
+    # writes DELTA = integrator step and NSAVC = report_interval, so ignoring
+    # NSAVC would understate dt by that factor and corrupt lag_idx)
+    nsavc = max(1, icntrl[2])
+    dt_ps = akma_dt * 0.04888821 * nsavc
 
     record()  # title block
     natoms_payload = record()

@@ -97,6 +97,29 @@ def load_time_series(filename: str) -> Optional[np.ndarray]:
     return out
 
 
+def decode_xtc(filename: str):
+    """Bulk-decode an XTC file into ([n, atoms, 3] float32, times [n]) via
+    the native library, or None to fall back to the Python codec."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "xtc_scan"):
+        return None
+    n_frames = ctypes.c_int64()
+    n_atoms = ctypes.c_int64()
+    rc = lib.xtc_scan(
+        filename.encode(), ctypes.byref(n_frames), ctypes.byref(n_atoms)
+    )
+    if rc != 0 or n_frames.value == 0:
+        return None
+    coords = np.empty((n_frames.value, n_atoms.value, 3), dtype=np.float32)
+    times = np.empty(n_frames.value, dtype=np.float32)
+    got = lib.xtc_decode(
+        filename.encode(), coords, times, n_frames.value, n_atoms.value
+    )
+    if got != n_frames.value:
+        return None
+    return coords, times.astype(np.float64)
+
+
 def decode_dcd_frames(
     filename: str,
     frame0_offset: int,

@@ -144,7 +144,7 @@ def integrate_sde_overdamped(
     sampling_beta = float(pot_obj.beta)
 
     if verbose:
-        print(f"Directory to save trajectory ouptuts: {sampling_output_path}")
+        print(f"writing trajectory outputs to: {sampling_output_path}")
         print(f"sampling beta={sampling_beta:.3f}, dt={step_size:.3f}\n")
 
     if seed is None:
@@ -231,27 +231,51 @@ def _run_jax(pot_obj, X0, key, step_size, beta, report_interval,
     return np.asarray(jnp.swapaxes(frames, 0, 1), dtype=np.float64)
 
 
+def _numpy_grad(pot_obj):
+    """Host-side gradient for the numpy fallback: ``gradV`` if the potential
+    defines it, else central finite differences on ``V`` (the jax path
+    derives gradV by autodiff, but a potential that reached this fallback is
+    not traceable, so derive it numerically instead of crashing)."""
+    grad_fn = getattr(pot_obj, "gradV", None)
+    if grad_fn is not None:
+        return lambda x: np.asarray(grad_fn(x), dtype=np.float64)
+    V = getattr(pot_obj, "V", None)
+    if V is None:
+        raise AttributeError(
+            "potential defines neither gradV nor V; cannot integrate"
+        )
+
+    def fd_grad(x, eps=1e-6):
+        g = np.empty_like(x)
+        for i in range(x.shape[0]):
+            xp, xm = x.copy(), x.copy()
+            xp[i] += eps
+            xm[i] -= eps
+            g[i] = (float(V(xp)) - float(V(xm))) / (2 * eps)
+        return g
+
+    return fd_grad
+
+
 def _run_numpy(pot_obj, X0, seed, step_size, beta, report_interval,
                n_reports, pre_steps, n_steps):
     """Host fallback replicating the reference loop semantics
     (utils.py:320-348)."""
     rng = np.random.default_rng(seed)
+    grad_fn = _numpy_grad(pot_obj)
     n_chains, dim = X0.shape
     frames = np.zeros((n_chains, n_reports, dim))
+    noise_scale = np.sqrt(2 * step_size / beta)
     for c in range(n_chains):
         x = np.array(X0[c], dtype=np.float64)
         for _ in range(pre_steps):
             xi = rng.standard_normal(dim)
-            x = x - np.asarray(pot_obj.gradV(x)) * step_size + np.sqrt(
-                2 * step_size / beta
-            ) * xi
+            x = x - grad_fn(x) * step_size + noise_scale * xi
         j = 0
         last_record = (n_reports - 1) * report_interval
         for i in range(last_record + 1):
             xi = rng.standard_normal(dim)
-            x = x - np.asarray(pot_obj.gradV(x)) * step_size + np.sqrt(
-                2 * step_size / beta
-            ) * xi
+            x = x - grad_fn(x) * step_size + noise_scale * xi
             if i % report_interval == 0:
                 frames[c, j] = x
                 j += 1
@@ -286,75 +310,84 @@ def integrate_md_langevin(
     report_interval: int = 100,
     report_interval_stdout: int = 100,
     plumed_script: Optional[str] = None,
+    verbose: bool = True,
 ):
-    r"""Generate MD trajectory data by integrating Langevin dynamics with
-    OpenMM (reference: colvarsfinder/utils.py:172-255).
+    r"""Generate MD trajectory data by running Langevin dynamics in OpenMM
+    (same capability as reference colvarsfinder/utils.py:172-255).
 
-    The MD engine is host-side C++/CUDA inside OpenMM; output crosses back
-    via DCD + CSV files exactly as in the reference. Raises ImportError with
-    guidance if OpenMM is unavailable in this environment.
+    MD integration is inherently sequential engine work and stays on the
+    host (OpenMM's C++/CUDA engine); the products — a DCD trajectory and a
+    statistics CSV under ``sampling_output_path`` — feed the on-device
+    training pipeline via :class:`WeightedTrajectory` /
+    :func:`colvarsfinder_tpu.utils.calc_weights`.
+
+    Pipeline: [optional PLUMED bias] -> energy minimization ->
+    ``pre_steps`` of un-recorded equilibration -> ``n_steps`` of production
+    with a DCD reporter (every ``report_interval`` steps), a CSV reporter
+    recording time/potential/total energy/temperature (needed downstream by
+    ``calc_weights``), and a stdout progress reporter.
+
+    Returns ``(dcd_path, csv_path, elapsed_seconds)``.
     """
     try:
-        from openmm.app import (  # noqa: F401
-            DCDReporter,
-            Simulation,
-            StateDataReporter,
-        )
+        import openmm.app as mm_app
     except ImportError as e:  # pragma: no cover - depends on environment
         raise ImportError(
             "integrate_md_langevin requires OpenMM "
             "(pip install openmm); for SDE systems use "
             "integrate_sde_overdamped instead"
         ) from e
-    from sys import stdout
+    import sys
 
-    print("Directory to save trajectory ouptuts: %s" % sampling_output_path)
-
-    traj_dcd_filename = os.path.join(sampling_output_path, traj_dcd_filename)
-    csv_filename = os.path.join(sampling_output_path, csv_filename)
+    os.makedirs(sampling_output_path, exist_ok=True)
+    dcd_path = os.path.join(sampling_output_path, traj_dcd_filename)
+    csv_path = os.path.join(sampling_output_path, csv_filename)
 
     if plumed_script is not None:
+        # bias the dynamics with a PLUMED script (optional plugin)
         from openmmplumed import PlumedForce
 
-        print("plumed script: %s" % plumed_script)
         system.addForce(PlumedForce(plumed_script))
+        if verbose:
+            print(f"PLUMED bias enabled:\n{plumed_script}", flush=True)
 
-    simulation = Simulation(pdb.topology, system, integrator)
+    simulation = mm_app.Simulation(pdb.topology, system, integrator)
     simulation.context.setPositions(pdb.positions)
+    if verbose:
+        name = simulation.context.getPlatform().getName()
+        print(f"OpenMM platform: {name}", flush=True)
+        print("minimizing energy...", flush=True)
 
-    platform = simulation.context.getPlatform()
-    print("\nUsing OpenMM platform: %s\n" % platform.getName())
-
-    print("\nStep 1: Energy minimization...", end="")
     simulation.minimizeEnergy()
-    print("done.\n")
-    print(
-        "Step 2: Run {} steps before recording statistics...".format(pre_steps),
-        end="",
-        flush=True,
-    )
-    simulation.step(pre_steps)
-    print("done.\n")
 
-    simulation.reporters = []
-    simulation.reporters.append(DCDReporter(traj_dcd_filename, report_interval))
-    simulation.reporters.append(
-        StateDataReporter(
-            stdout, report_interval_stdout, step=True,
-            temperature=True, elapsedTime=True,
-        )
-    )
-    simulation.reporters.append(
-        StateDataReporter(
-            csv_filename, report_interval, time=True,
+    if pre_steps > 0:
+        if verbose:
+            print(f"equilibrating for {pre_steps} steps...", flush=True)
+        simulation.step(pre_steps)
+
+    # reporters attach only for the production phase, so equilibration
+    # frames never reach the trajectory file
+    simulation.reporters = [
+        mm_app.DCDReporter(dcd_path, report_interval),
+        mm_app.StateDataReporter(
+            csv_path, report_interval, time=True,
             potentialEnergy=True, totalEnergy=True, temperature=True,
-        )
-    )
+        ),
+        mm_app.StateDataReporter(
+            sys.stdout, report_interval_stdout, step=True,
+            temperature=True, elapsedTime=True,
+        ),
+    ]
 
-    print("Step 3: Simulation starts.", flush=True)
-    start = time.time()
+    if verbose:
+        print(f"production run: {n_steps} steps...", flush=True)
+    t0 = time.time()
     simulation.step(n_steps)
-    end = time.time()
-    print("Simulation ends, %d sec. elapsed." % (end - start))
-
-    del simulation
+    elapsed = time.time() - t0
+    if verbose:
+        print(
+            f"done in {elapsed:.1f} s; trajectory -> {dcd_path}, "
+            f"statistics -> {csv_path}",
+            flush=True,
+        )
+    return dcd_path, csv_path, elapsed

@@ -102,7 +102,8 @@ class WeightedTrajectory:
             w = np.asarray(weights, dtype=np.float64)
             if self.n_frames != w.shape[0]:
                 raise ValueError(
-                    "length of weights does match the trajectory data!\n"
+                    f"weights ({w.shape[0]}) and trajectory "
+                    f"({self.n_frames} frames) have different lengths"
                 )
             self._apply_weight_filter(w, min_w, max_w, verbose)
         elif weight_filename:
@@ -110,7 +111,8 @@ class WeightedTrajectory:
             w = weight_vec[0].to_numpy(dtype=np.float64)
             if self.n_frames != w.shape[0]:
                 raise ValueError(
-                    "length in weight file does match the trajectory data!\n"
+                    f"weight file has {w.shape[0]} rows but the trajectory "
+                    f"has {self.n_frames} frames"
                 )
             if verbose:
                 print("\nloading weights from file: ", weight_filename)

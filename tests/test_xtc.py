@@ -1,0 +1,147 @@
+"""XTC codec tests: quantization semantics, roundtrips across coordinate
+regimes (exercising the run-length / magnitude-class transitions), file
+structure golden bytes, and trajectory-pipeline integration."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from colvarsfinder_tpu.utils.xtc import (
+    XTC_MAGIC,
+    _decode_frame_coords,
+    _encode_frame_coords,
+    read_xtc,
+    write_xtc,
+)
+
+
+def _roundtrip_frame(coords, precision=1000.0):
+    blob = _encode_frame_coords(np.asarray(coords, np.float32), precision)
+    out, prec, off = _decode_frame_coords(
+        memoryview(blob), 0, len(coords)
+    )
+    assert off == len(blob)
+    assert prec == precision
+    return out
+
+
+def test_frame_roundtrip_random_spread_out():
+    """Widely spread coordinates: no small-delta runs, pure big encoding."""
+    rng = np.random.default_rng(0)
+    coords = rng.uniform(-5, 5, (50, 3)).astype(np.float32)
+    out = _roundtrip_frame(coords)
+    np.testing.assert_allclose(out, coords, atol=0.5e-3 + 1e-6)
+
+
+def test_frame_roundtrip_clustered():
+    """Tightly clustered atoms trigger the small-delta run path (and the
+    water-swap heuristic)."""
+    rng = np.random.default_rng(1)
+    base = rng.uniform(-2, 2, (10, 1, 3))
+    jitter = rng.uniform(-0.005, 0.005, (10, 8, 3))
+    coords = (base + jitter).reshape(-1, 3).astype(np.float32)
+    out = _roundtrip_frame(coords)
+    np.testing.assert_allclose(out, coords, atol=0.5e-3 + 1e-6)
+
+
+def test_frame_roundtrip_molecule_like():
+    """Bonded-chain geometry (~0.1 nm steps): mixed big/small encoding with
+    magnitude-class growth and shrinkage."""
+    rng = np.random.default_rng(2)
+    steps = rng.normal(0, 0.1, (200, 3))
+    coords = np.cumsum(steps, axis=0).astype(np.float32)
+    out = _roundtrip_frame(coords)
+    np.testing.assert_allclose(out, coords, atol=0.5e-3 + 1e-6)
+
+
+def test_frame_roundtrip_high_precision():
+    rng = np.random.default_rng(3)
+    coords = rng.uniform(-1, 1, (22, 3)).astype(np.float32)
+    out = _roundtrip_frame(coords, precision=100000.0)
+    np.testing.assert_allclose(out, coords, atol=0.5e-5 + 1e-7)
+
+
+def test_frame_roundtrip_identical_atoms():
+    """Degenerate case: all atoms at the same point (sizeint == 1)."""
+    coords = np.ones((12, 3), dtype=np.float32) * 0.25
+    out = _roundtrip_frame(coords)
+    np.testing.assert_allclose(out, coords, atol=1e-3)
+
+
+def test_quantization_is_round_to_nearest():
+    coords = np.array([[0.0012344, -0.0016, 0.0024]], dtype=np.float32)
+    # natoms <= 9 stores plain floats; force the compressed path with 10
+    coords = np.tile(coords, (10, 1)) + np.arange(10)[:, None] * 0.1
+    out = _roundtrip_frame(coords, precision=1000.0)
+    np.testing.assert_allclose(
+        out, np.round(coords * 1000) / 1000, atol=1e-6
+    )
+
+
+def test_file_roundtrip_multiframe(tmp_path):
+    rng = np.random.default_rng(4)
+    coords = np.cumsum(
+        rng.normal(0, 0.05, (7, 22, 3)), axis=0
+    ).astype(np.float32)
+    path = str(tmp_path / "t.xtc")
+    write_xtc(path, coords, dt_ps=10.0, t0_ps=5.0)
+    back, dt, times = read_xtc(path)
+    assert back.shape == coords.shape
+    np.testing.assert_allclose(back, coords, atol=0.5e-3 + 1e-6)
+    assert abs(dt - 10.0) < 1e-5
+    np.testing.assert_allclose(times, 5.0 + 10.0 * np.arange(7), atol=1e-4)
+
+
+def test_file_roundtrip_small_system_plain_floats(tmp_path):
+    """natoms <= 9 stores uncompressed floats (format rule) — lossless."""
+    rng = np.random.default_rng(5)
+    coords = rng.standard_normal((4, 5, 3)).astype(np.float32)
+    path = str(tmp_path / "small.xtc")
+    write_xtc(path, coords, dt_ps=2.0)
+    back, dt, _ = read_xtc(path)
+    np.testing.assert_array_equal(back, coords)
+    assert abs(dt - 2.0) < 1e-6
+
+
+def test_header_layout_golden(tmp_path):
+    """Fixed header fields: XDR big-endian magic/natoms/step/time."""
+    coords = np.zeros((2, 5, 3), dtype=np.float32)
+    path = str(tmp_path / "h.xtc")
+    write_xtc(path, coords, dt_ps=4.0, step_interval=100)
+    with open(path, "rb") as f:
+        data = f.read()
+    magic, natoms, step, t = struct.unpack_from(">iiif", data, 0)
+    assert magic == XTC_MAGIC and natoms == 5 and step == 0 and t == 0.0
+    # second frame follows 16-byte header + 36-byte box + 5*12 plain floats
+    off2 = 16 + 36 + 60
+    magic2, _, step2, t2 = struct.unpack_from(">iiif", data, off2)
+    assert magic2 == XTC_MAGIC and step2 == 100 and abs(t2 - 4.0) < 1e-6
+
+
+def test_bad_magic_raises(tmp_path):
+    path = str(tmp_path / "bad.xtc")
+    with open(path, "wb") as f:
+        f.write(struct.pack(">iiif", 1234, 3, 0, 0.0) + b"\x00" * 64)
+    with pytest.raises(ValueError, match="magic"):
+        read_xtc(path)
+
+
+def test_xtc_feeds_weighted_trajectory(tmp_path):
+    """End-to-end: XTC -> WeightedTrajectory (the reference's dipeptide
+    ingestion path, main.ipynb cell 2, without MDAnalysis)."""
+    from colvarsfinder_tpu.utils import WeightedTrajectory
+
+    rng = np.random.default_rng(6)
+    coords = np.cumsum(
+        rng.normal(0, 0.02, (20, 10, 3)), axis=0
+    ).astype(np.float32)
+    path = str(tmp_path / "traj.xtc")
+    write_xtc(path, coords, dt_ps=10.0)
+
+    frames, dt_ps, _ = read_xtc(path)
+    traj = WeightedTrajectory(
+        trajectory=frames, dt=dt_ps * 1e-3  # ps -> ns, reference convention
+    )
+    assert traj.trajectory.shape == (20, 10, 3)
+    assert abs(traj.dt - 0.01) < 1e-9
