@@ -31,16 +31,15 @@ def _load() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_SO_PATH) and os.path.exists(
-        os.path.join(_NATIVE_DIR, "Makefile")
-    ):
+    if os.path.exists(os.path.join(_NATIVE_DIR, "Makefile")):
+        # (re)build if sources are newer than the library; no-op otherwise
         try:
             subprocess.run(
                 ["make", "-C", _NATIVE_DIR],
                 check=True, capture_output=True, timeout=120,
             )
         except Exception:
-            return None
+            pass
     if not os.path.exists(_SO_PATH):
         return None
     try:
@@ -70,6 +69,21 @@ def _load() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS"),
     ]
     lib.dcd_decode.restype = ctypes.c_int64
+    if hasattr(lib, "xtc_scan"):
+        lib.xtc_scan.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.xtc_scan.restype = ctypes.c_int
+        lib.xtc_decode.argtypes = [
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ]
+        lib.xtc_decode.restype = ctypes.c_int64
     _LIB = lib
     return _LIB
 

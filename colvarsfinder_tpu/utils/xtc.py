@@ -211,8 +211,7 @@ def _decode_frame_coords(buf: memoryview, off: int, natoms: int):
     sizesmall = [_magic(smallidx)] * 3
 
     reader = _BitReader(payload)
-    inv = 1.0 / precision
-    coords = np.empty((natoms, 3), dtype=np.float32)
+    coords = np.empty((natoms, 3), dtype=np.int32)
     run = 0
     i = 0
     out = 0
@@ -242,14 +241,14 @@ def _decode_frame_coords(buf: memoryview, off: int, natoms: int):
                     # heuristic); emit in swapped order and keep the
                     # delta-decoded atom as the base for the next delta
                     this, prev = prev, this
-                    coords[out] = [prev[d] * inv for d in range(3)]
+                    coords[out] = prev
                     out += 1
                 else:
                     prev = this
-                coords[out] = [this[d] * inv for d in range(3)]
+                coords[out] = this
                 out += 1
         else:
-            coords[out] = [this[d] * inv for d in range(3)]
+            coords[out] = this
             out += 1
 
         smallidx += is_smaller
@@ -262,7 +261,10 @@ def _decode_frame_coords(buf: memoryview, off: int, natoms: int):
             smaller = smallnum
             smallnum = _magic(smallidx) // 2
         sizesmall = [_magic(smallidx)] * 3
-    return coords, precision, off
+    # single vectorized f32 dequantization (bit-identical to the C++ path:
+    # int -> f32 conversion, then f32 multiply by 1/precision)
+    inv = np.float32(1.0) / np.float32(precision)
+    return coords.astype(np.float32) * inv, precision, off
 
 
 def _encode_frame_coords(coords: np.ndarray, precision: float) -> bytes:

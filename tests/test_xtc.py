@@ -127,6 +127,39 @@ def test_bad_magic_raises(tmp_path):
         read_xtc(path)
 
 
+def test_native_decoder_matches_python(tmp_path):
+    """The C++ bulk decoder must agree bit-exactly with the Python codec
+    across mixed big/small-delta encodings."""
+    from colvarsfinder_tpu.utils import native_io
+
+    if not native_io.available() or native_io.decode_xtc.__doc__ is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(7)
+    coords = np.cumsum(
+        rng.normal(0, 0.03, (50, 64, 3)), axis=0
+    ).astype(np.float32) + 2.0
+    path = str(tmp_path / "x.xtc")
+    write_xtc(path, coords, dt_ps=2.0)
+
+    native = native_io.decode_xtc(path)
+    if native is None:
+        pytest.skip("native xtc decoder not built")
+    ncoords, ntimes = native
+
+    # python path, bypassing the native fast path
+    with open(path, "rb") as f:
+        buf = memoryview(f.read())
+    frames, off = [], 0
+    while off + 16 <= len(buf):
+        off += 52
+        fr, _p, off = _decode_frame_coords(buf, off, 64)
+        frames.append(fr)
+    py = np.stack(frames)
+    np.testing.assert_array_equal(ncoords, py)
+    np.testing.assert_allclose(ntimes, 2.0 * np.arange(50), atol=1e-4)
+
+
 def test_xtc_feeds_weighted_trajectory(tmp_path):
     """End-to-end: XTC -> WeightedTrajectory (the reference's dipeptide
     ingestion path, main.ipynb cell 2, without MDAnalysis)."""
