@@ -34,7 +34,7 @@ EIG_W = [1.0, 0.2]
 LR = 0.002
 WARMUP_STEPS = 5
 MEASURE_STEPS = 30
-BASELINE_STEPS = 5  # torch CPU is slow; extrapolate from a few steps
+
 
 log = lambda *a: print(*a, file=sys.stderr, flush=True)
 
@@ -122,87 +122,45 @@ def bench_jax(ref, traj_np, weights_np):
     return sps
 
 
-def bench_torch_baseline(ref, traj_np, weights_np):
-    """Reference-equivalent PyTorch CPU implementation: per-batch pp
-    (torch SVD Kabsch + flatten), ModuleList eigenfunction heads, transfer
-    loss, Adam — the reference's execution style."""
+def bench_reference(ref, traj_np, weights_np):
+    """The ACTUAL reference package (/root/reference) on the same workload:
+    its EigenFunctionTask with a torch Kabsch-alignment + position pp layer
+    standing in for molann (not installable here). Measures one training
+    epoch wall-clock; the test split is made negligible so only the train
+    loop is timed (matching what the jax side measures)."""
+    import tempfile
+
     import torch
 
     torch.set_num_threads(os.cpu_count() or 1)
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks")
+    )
+    from run_baselines import _RefTraj, _import_reference, _torch_pp_layers
 
-    ref_t = torch.from_numpy(ref - ref.mean(0, keepdims=True))
+    ref_core, ref_nn = _import_reference()
+    AlignPosition, _ = _torch_pp_layers()
 
-    def pp(x):  # x [B, N, 3]
-        com = x.mean(dim=1, keepdim=True)
-        xc = x - com
-        C = torch.einsum("bmi,mj->bij", xc, ref_t)
-        U, S, Vt = torch.linalg.svd(C)
-        det = torch.det(torch.bmm(U, Vt))
-        D = torch.stack(
-            [torch.ones_like(det), torch.ones_like(det), det], dim=-1
-        )
-        R = torch.einsum("bij,bj,bjk->bik", U, D, Vt)
-        return torch.einsum("bni,bij->bnj", xc, R).reshape(x.shape[0], -1)
-
-    def make_head():
-        return torch.nn.Sequential(
-            torch.nn.Linear(D_R, 20), torch.nn.Tanh(),
-            torch.nn.Linear(20, 20), torch.nn.Tanh(),
-            torch.nn.Linear(20, 20), torch.nn.Tanh(),
-            torch.nn.Linear(20, 1),
-        )
-
-    heads = torch.nn.ModuleList([make_head() for _ in range(K)])
-    opt = torch.optim.Adam(heads.parameters(), lr=LR)
-
-    traj = torch.from_numpy(traj_np)
-    weights = torch.from_numpy(weights_np)
-    nb = (N_FRAMES - LAG) // BATCH
-
-    def step(b):
-        i0 = (b % nb) * BATCH
-        idx = torch.arange(i0, i0 + BATCH)
-        X, w = traj[idx], weights[idx]
-        X_l, w_l = traj[idx + LAG], weights[idx + LAG]
-        opt.zero_grad()
-        y = torch.cat([h(pp(X)) for h in heads], dim=1)
-        y_l = torch.cat([h(pp(X_l)) for h in heads], dim=1)
-        tw, tw_l = w.sum(), w_l.sum()
-        means = [(y[:, i] * w).sum() / tw for i in range(K)]
-        variances = [
-            (y[:, i] ** 2 * w).sum() / tw - means[i] ** 2 for i in range(K)
-        ]
-        means_l = [(y_l[:, i] * w_l).sum() / tw_l for i in range(K)]
-        vars_l = [
-            (y_l[:, i] ** 2 * w_l).sum() / tw_l - means_l[i] ** 2
-            for i in range(K)
-        ]
-        sqd = [((y_l[:, i] - y[:, i]) ** 2 * w).sum() for i in range(K)]
-        quot = [
-            sqd[i] / tw / (variances[i] + vars_l[i]) / (TRAJ_DT * LAG)
-            for i in range(K)
-        ]
-        cvec = np.argsort([q.item() for q in quot])
-        non_p = sum(
-            EIG_W[i] * sqd[i] / tw
-            / (variances[cvec[i]] + vars_l[cvec[i]])
-            for i in range(K)
-        ) / (TRAJ_DT * LAG)
-        pen = sum((v - 1.0) ** 2 for v in variances)
-        cov = (y[:, 0] * y[:, 1] * w).sum() / tw - means[0] * means[1]
-        pen = pen + cov**2
-        loss = non_p + ALPHA * pen
-        loss.backward()
-        opt.step()
-        return loss.item()
-
-    step(0)  # warm caches
+    traj_obj = _RefTraj(
+        traj_np.astype(np.float64), dt=TRAJ_DT,
+        weights=weights_np.astype(np.float64),
+    )
+    model = ref_nn.EigenFunctions([D_R, 20, 20, 20, 1], K)
+    task = ref_core.EigenFunctionTask(
+        traj_obj, AlignPosition(ref), model, tempfile.mkdtemp("ref_bench"),
+        alpha=ALPHA, eig_weights=EIG_W, lag_tau=LAG * TRAJ_DT, k=K,
+        learning_rate=LR, batch_size=BATCH, num_epochs=1,
+        test_ratio=0.001,  # train-loop timing only (test split ~120 frames)
+        save_model_every_step=0, verbose=False, debug_mode=False,
+    )
+    nb = int((N_FRAMES - LAG) * 0.999) // BATCH
     t0 = time.perf_counter()
-    for b in range(BASELINE_STEPS):
-        loss = step(b + 1)
+    task.train()
     dt = time.perf_counter() - t0
-    sps = BASELINE_STEPS * BATCH / dt
-    log(f"torch-cpu baseline: {BASELINE_STEPS} steps in {dt:.3f}s -> "
+    sps = nb * BATCH / dt
+    loss = float(task.train_loss_df["loss"].iloc[-1])
+    log(f"reference (torch CPU): {nb} steps in {dt:.3f}s -> "
         f"{sps:,.0f} samples/s (loss={loss:.4f})")
     return sps
 
@@ -216,7 +174,7 @@ def main():
     if os.environ.get("BENCH_SKIP_BASELINE") and os.path.exists(baseline_file):
         base_sps = json.load(open(baseline_file))["samples_per_sec"]
     else:
-        base_sps = bench_torch_baseline(ref, traj, weights)
+        base_sps = bench_reference(ref, traj, weights)
         with open(baseline_file, "w") as f:
             json.dump({"samples_per_sec": base_sps}, f)
 

@@ -1,13 +1,26 @@
-"""Measure the ACTUAL reference package and this framework on the
-BASELINE.json 2D configs (1: AE, 2: generator eigenfunctions).
+"""Measure the ACTUAL reference package and this framework on ALL FIVE
+BASELINE.json configs:
+
+  1. 2D toy, AutoEncoderTask                     (2d.ipynb cells 6, 16)
+  2. 2D toy, EigenFunctionTask (generator loss)
+  3. Dipeptide AutoEncoder + Kabsch alignment    (main.ipynb cell 12 shape)
+  4. Dipeptide eigenfunctions, dihedral feature layer + Boltzmann
+     reweighting (transfer operator, lag_tau = 0.01 ns)
+  5. Multi-replica sweep: R independent replica datasets trained in
+     sequence (aggregate steady-state throughput)
 
 The reference is imported from /root/reference with a minimal OpenMM import
-stub (unused by SDE workflows). Both sides train on identical synthetic 2D
-data at the reference notebook's scale: 5,000 frames, batch 1,000, k=1,
-lr=0.005 (examples/2d/2d.ipynb cells 6, 16). Reported metric: training
-samples/sec (steady state, excluding compile/warmup).
+stub (unused by these workflows). The reference's dipeptide preprocessing
+lives in the companion package `molann` (not installable here), so its
+torch pp_layers (Kabsch alignment + position features; dihedral features)
+are reproduced in torch in this file with the same math — the task/loss
+code being measured is the real reference throughout.
 
-Run:  python benchmarks/run_baselines.py [--epochs 20]
+Reported metric: training samples/sec, steady state (this framework is
+timed on a second `train()` with warm jit caches; the reference has no
+compile phase). Run:
+
+    python benchmarks/run_baselines.py [--epochs 20] [--configs 1,2,3,4,5]
 """
 
 import argparse
@@ -20,21 +33,81 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-N_FRAMES = 5_000
-BATCH = 1_000
-LR = 0.005
-K = 1
-DIMS_E = [2, 20, 20, 20, K]
-DIMS_D = [K, 20, 20, 2]
-EIG_DIMS = [2, 20, 20, 20, 1]
+# config 1-2 scale (reference examples/2d/2d.ipynb cells 6, 16)
+N_FRAMES_2D = 5_000
+BATCH_2D = 1_000
+LR_2D = 0.005
+DIMS_E_2D = [2, 20, 20, 20, 1]
+DIMS_D_2D = [1, 20, 20, 2]
+EIG_DIMS_2D = [2, 20, 20, 20, 1]
+
+# config 3-4 scale (reference examples/dipeptide/main.ipynb cells 10, 14)
+N_FRAMES_MD = 20_000
+BATCH_MD = 20_000
+N_HEAVY = 10
+LR_MD = 0.002
+LAG_TAU = 0.01  # ns, dt = 10 ps
+# heavy-atom-relative Ramachandran quadruples (see examples/dipeptide.py)
+PHI_REL = (1, 3, 4, 6)
+PSI_REL = (3, 4, 6, 8)
 
 
-def make_data(seed=30):
+def make_data_2d(seed=30):
     rng = np.random.default_rng(seed)
-    theta = rng.uniform(-np.pi, np.pi, N_FRAMES)
-    r = 1.0 + 0.15 * rng.standard_normal(N_FRAMES)
+    theta = rng.uniform(-np.pi, np.pi, N_FRAMES_2D)
+    r = 1.0 + 0.15 * rng.standard_normal(N_FRAMES_2D)
     x = np.stack([r * np.cos(theta), r * np.sin(theta)], 1).astype(np.float32)
     return x
+
+
+def make_data_dipeptide(n_frames=N_FRAMES_MD):
+    """Synthetic heavy-atom dipeptide trajectory + per-frame energies."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "dipeptide_example",
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "dipeptide.py"),
+    )
+    ex = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ex)
+    import tempfile
+
+    top = ex.build_topology()
+    outdir = tempfile.mkdtemp(prefix="bl_dipep_")
+    xtc_path, psi = ex.synthesize_trajectory(top, n_frames, 10.0, outdir)
+    from colvarsfinder_tpu.utils import read_xtc
+
+    coords, dt_ps, _ = read_xtc(xtc_path)
+    heavy = top.select_atoms("type C or type O or type N")
+    x = coords[:, heavy.ix, :].astype(np.float32)
+    ref_pos = heavy.positions
+    # synthetic potential energies for reweighting: the torsional mode's
+    # double well (kJ/mol-ish scale)
+    energies = 6.0 * np.cos(psi - 0.4) + 1.5 * np.random.default_rng(
+        1
+    ).standard_normal(n_frames)
+    return x, ref_pos, energies, dt_ps
+
+
+def make_weights(energies, outdir):
+    """Boltzmann reweighting via the REAL reference calc_weights."""
+    import pandas as pd
+
+    csv = os.path.join(outdir, "energy.csv")
+    pd.DataFrame(
+        {"Time": np.arange(len(energies)), "Energy": energies}
+    ).to_csv(csv, index=False)
+    wfile = os.path.join(outdir, "weights.csv")
+    import colvarsfinder.utils as ref_utils
+
+    ref_utils.calc_weights(
+        csv, sampling_beta=1.0, sys_beta=1.2,
+        traj_weight_filename=wfile, energy_col_idx=1,
+    )
+    import pandas as pd
+
+    return pd.read_csv(wfile, header=None)[0].to_numpy()
 
 
 def _import_reference():
@@ -56,110 +129,362 @@ def _import_reference():
 
 
 class _RefTraj:
-    def __init__(self, x, dt=0.1):
+    def __init__(self, x, dt=0.1, weights=None):
         self.trajectory = x
-        self.weights = np.ones(len(x))
+        self.weights = (
+            np.ones(len(x)) if weights is None else np.asarray(weights)
+        )
         self.dt = dt
         self.n_frames = len(x)
 
 
-def bench_reference(x, epochs, outdir):
+# ---------------------------------------------------------------------------
+# torch preprocessing layers standing in for molann (not installable here)
+# ---------------------------------------------------------------------------
+
+def _torch_pp_layers():
     import torch
 
-    ref_core, ref_nn = _import_reference()
-    traj = _RefTraj(x.astype(np.float64))
-    results = {}
+    class AlignPosition(torch.nn.Module):
+        """Kabsch alignment onto a reference + flattened positions
+        (molann AlignmentLayer + position FeatureLayer semantics)."""
 
-    # config 1: autoencoder
-    model = ref_nn.AutoEncoder(DIMS_E, DIMS_D)
-    task = ref_core.AutoEncoderTask(
-        traj, torch.nn.Identity(), model, os.path.join(outdir, "ref_ae"),
-        learning_rate=LR, batch_size=BATCH, num_epochs=epochs,
-        test_ratio=0.2, save_model_every_step=0, verbose=False,
-    )
+        def __init__(self, ref_pos):
+            super().__init__()
+            ref = torch.as_tensor(ref_pos, dtype=torch.get_default_dtype())
+            self.register_buffer("ref_c", ref - ref.mean(0, keepdim=True))
+
+        def forward(self, x):  # [B, N, 3]
+            xc = x - x.mean(1, keepdim=True)
+            C = torch.einsum("bni,nj->bij", xc, self.ref_c)
+            U, S, Vt = torch.linalg.svd(C)
+            det = torch.det(torch.bmm(U, Vt))
+            D = torch.stack(
+                [torch.ones_like(det), torch.ones_like(det), det], -1
+            )
+            R = torch.einsum("bij,bj,bjk->bik", U, D, Vt)
+            aligned = torch.einsum("bni,bij->bnj", xc, R)
+            return aligned.reshape(x.shape[0], -1)
+
+    class DihedralFeatures(torch.nn.Module):
+        """(cos, sin) of torsion angles (molann dihedral Feature
+        semantics)."""
+
+        def __init__(self, quadruples):
+            super().__init__()
+            self.quadruples = quadruples
+
+        def forward(self, x):  # [B, N, 3]
+            feats = []
+            for (a, b, c, d) in self.quadruples:
+                b1 = x[:, b] - x[:, a]
+                b2 = x[:, c] - x[:, b]
+                b3 = x[:, d] - x[:, c]
+                n1 = torch.cross(b1, b2, dim=1)
+                n2 = torch.cross(b2, b3, dim=1)
+                m1 = torch.cross(
+                    n1, b2 / b2.norm(dim=1, keepdim=True), dim=1
+                )
+                cosv = (n1 * n2).sum(1)
+                sinv = (m1 * n2).sum(1)
+                norm = torch.sqrt(cosv**2 + sinv**2)
+                feats += [cosv / norm, sinv / norm]
+            return torch.stack(feats, dim=1)
+
+    return AlignPosition, DihedralFeatures
+
+
+# ---------------------------------------------------------------------------
+# timing helpers
+# ---------------------------------------------------------------------------
+
+def _steady_train_ours(task):
+    task.train()  # includes compile
+    t0 = time.perf_counter()
+    task.train()  # steady state (jit cache warm)
+    return time.perf_counter() - t0
+
+
+def _train_ref(task):
     t0 = time.perf_counter()
     task.train()
-    dt = time.perf_counter() - t0
-    n_train = int(N_FRAMES * 0.8) // BATCH * BATCH
-    results["reference_ae_sps"] = epochs * n_train / dt
-    results["reference_ae_epoch_s"] = dt / epochs
-
-    # config 2: generator eigenfunctions
-    model = ref_nn.EigenFunctions(EIG_DIMS, K)
-    task = ref_core.EigenFunctionTask(
-        traj, torch.nn.Identity(), model, os.path.join(outdir, "ref_eig"),
-        alpha=20.0, eig_weights=[1.0], diag_coeff=torch.ones(2), beta=1.0,
-        lag_tau=0.0, k=K, learning_rate=LR, batch_size=BATCH,
-        num_epochs=epochs, test_ratio=0.2, save_model_every_step=0,
-        verbose=False, debug_mode=False,
-    )
-    t0 = time.perf_counter()
-    task.train()
-    dt = time.perf_counter() - t0
-    results["reference_eigen_sps"] = epochs * n_train / dt
-    results["reference_eigen_epoch_s"] = dt / epochs
-    return results
+    return time.perf_counter() - t0
 
 
-def bench_ours(x, epochs, outdir):
+# ---------------------------------------------------------------------------
+# configs
+# ---------------------------------------------------------------------------
+
+def config_1_2(epochs, outdir, results):
+    """2D AE + generator eigenfunctions, ours vs reference."""
+    import torch
+
     from colvarsfinder_tpu.core import AutoEncoderTask, EigenFunctionTask
     from colvarsfinder_tpu.models import AutoEncoder, EigenFunctions
     from colvarsfinder_tpu.utils import WeightedTrajectory
 
-    traj = WeightedTrajectory(trajectory=x, dt=0.1, verbose=False)
-    results = {}
+    ref_core, ref_nn = _import_reference()
+    x = make_data_2d()
+    n_train = int(N_FRAMES_2D * 0.8) // BATCH_2D * BATCH_2D
+    samples = epochs * n_train
+
+    traj_j = WeightedTrajectory(trajectory=x, dt=0.1, verbose=False)
     common = dict(
-        learning_rate=LR, batch_size=BATCH, num_epochs=epochs,
+        learning_rate=LR_2D, batch_size=BATCH_2D, num_epochs=epochs,
         test_ratio=0.2, save_model_every_step=0, verbose=False,
-        tensorboard=False, seed=0,
+        tensorboard=False, seed=0, debug_mode=False,
     )
-    n_train = int(N_FRAMES * 0.8) // BATCH * BATCH
 
-    def timed(task):
-        task.train()  # includes compile
-        t0 = time.perf_counter()
-        task.train()  # steady state (jit cache warm)
-        return time.perf_counter() - t0
+    task = AutoEncoderTask(
+        traj_j, None, AutoEncoder(DIMS_E_2D, DIMS_D_2D, seed=0),
+        os.path.join(outdir, "our_ae"), **common,
+    )
+    results["1_2d_ae"] = {"ours_sps": samples / _steady_train_ours(task)}
 
-    model = AutoEncoder(DIMS_E, DIMS_D, seed=0)
-    task = AutoEncoderTask(traj, None, model,
-                           os.path.join(outdir, "our_ae"), **common)
-    dt = timed(task)
-    results["ours_ae_sps"] = epochs * n_train / dt
-    results["ours_ae_epoch_s"] = dt / epochs
-
-    model = EigenFunctions(EIG_DIMS, K, seed=0)
     task = EigenFunctionTask(
-        traj, None, model, os.path.join(outdir, "our_eig"),
+        traj_j, None, EigenFunctions(EIG_DIMS_2D, 1, seed=0),
+        os.path.join(outdir, "our_eig"),
         alpha=20.0, eig_weights=[1.0], diag_coeff=np.ones(2), beta=1.0,
-        lag_tau=0.0, k=K, **common,
+        lag_tau=0.0, k=1, **common,
     )
-    dt = timed(task)
-    results["ours_eigen_sps"] = epochs * n_train / dt
-    results["ours_eigen_epoch_s"] = dt / epochs
-    return results
+    results["2_2d_eigen_gen"] = {
+        "ours_sps": samples / _steady_train_ours(task)
+    }
+
+    traj_t = _RefTraj(x.astype(np.float64))
+    task = ref_core.AutoEncoderTask(
+        traj_t, torch.nn.Identity(),
+        ref_nn.AutoEncoder(DIMS_E_2D, DIMS_D_2D),
+        os.path.join(outdir, "ref_ae"),
+        learning_rate=LR_2D, batch_size=BATCH_2D, num_epochs=epochs,
+        test_ratio=0.2, save_model_every_step=0, verbose=False,
+    )
+    results["1_2d_ae"]["ref_sps"] = samples / _train_ref(task)
+
+    task = ref_core.EigenFunctionTask(
+        traj_t, torch.nn.Identity(), ref_nn.EigenFunctions(EIG_DIMS_2D, 1),
+        os.path.join(outdir, "ref_eig"),
+        alpha=20.0, eig_weights=[1.0], diag_coeff=torch.ones(2), beta=1.0,
+        lag_tau=0.0, k=1, learning_rate=LR_2D, batch_size=BATCH_2D,
+        num_epochs=epochs, test_ratio=0.2, save_model_every_step=0,
+        verbose=False, debug_mode=False,
+    )
+    results["2_2d_eigen_gen"]["ref_sps"] = samples / _train_ref(task)
+
+
+def config_3(epochs, outdir, results, data):
+    """Dipeptide AE with Kabsch alignment + position features."""
+    import torch
+
+    from colvarsfinder_tpu.core import AutoEncoderTask
+    from colvarsfinder_tpu.models import AutoEncoder
+    from colvarsfinder_tpu.ops import (
+        AlignmentLayer,
+        Feature,
+        FeatureLayer,
+        PreprocessingANN,
+    )
+    from colvarsfinder_tpu.utils import WeightedTrajectory
+
+    ref_core, ref_nn = _import_reference()
+    x, ref_pos, _, dt_ps = data
+    d_r = 3 * N_HEAVY
+    dims_e, dims_d = [d_r, 30, 30, 2], [2, 30, 30, d_r]
+    n_train = int(len(x) * 0.8) // min(BATCH_MD, int(len(x) * 0.8)) * min(
+        BATCH_MD, int(len(x) * 0.8)
+    )
+    samples = epochs * n_train
+
+    align = AlignmentLayer(ref_pos, align_indices=list(range(N_HEAVY)))
+    feat = FeatureLayer([Feature("p", "position", list(range(N_HEAVY)))])
+    pp_j = PreprocessingANN(align, feat)
+    traj_j = WeightedTrajectory(trajectory=x, dt=dt_ps * 1e-3, verbose=False)
+    task = AutoEncoderTask(
+        traj_j, pp_j, AutoEncoder(dims_e, dims_d, seed=0),
+        os.path.join(outdir, "our_md_ae"),
+        learning_rate=LR_MD, batch_size=BATCH_MD, num_epochs=epochs,
+        test_ratio=0.2, save_model_every_step=0, verbose=False,
+        tensorboard=False, seed=0, debug_mode=False,
+    )
+    results["3_dipeptide_ae_kabsch"] = {
+        "ours_sps": samples / _steady_train_ours(task)
+    }
+
+    AlignPosition, _ = _torch_pp_layers()
+    traj_t = _RefTraj(x.astype(np.float64), dt=dt_ps * 1e-3)
+    task = ref_core.AutoEncoderTask(
+        traj_t, AlignPosition(ref_pos),
+        ref_nn.AutoEncoder(dims_e, dims_d),
+        os.path.join(outdir, "ref_md_ae"),
+        learning_rate=LR_MD, batch_size=BATCH_MD, num_epochs=epochs,
+        test_ratio=0.2, save_model_every_step=0, verbose=False,
+    )
+    results["3_dipeptide_ae_kabsch"]["ref_sps"] = samples / _train_ref(task)
+
+
+def config_4(epochs, outdir, results, data):
+    """Dipeptide transfer-operator eigenfunctions with a DIHEDRAL feature
+    layer and Boltzmann reweighting — BASELINE config 4 in its exact
+    shape."""
+    import torch
+
+    from colvarsfinder_tpu.core import EigenFunctionTask
+    from colvarsfinder_tpu.models import EigenFunctions
+    from colvarsfinder_tpu.ops import Feature, FeatureLayer
+    from colvarsfinder_tpu.utils import WeightedTrajectory
+
+    ref_core, ref_nn = _import_reference()
+    x, _, energies, dt_ps = data
+    weights = make_weights(energies, outdir)
+    d_r = 4  # 2 dihedrals x (cos, sin)
+    dims = [d_r, 20, 20, 20, 1]
+    k = 2
+    bs = min(BATCH_MD, int((len(x) - 1) * 0.8))
+    n_train = int((len(x) - 1) * 0.8) // bs * bs
+    samples = epochs * n_train
+
+    feat = FeatureLayer(
+        [Feature("phi", "dihedral", list(PHI_REL)),
+         Feature("psi", "dihedral", list(PSI_REL))]
+    )
+    traj_j = WeightedTrajectory(
+        trajectory=x, weights=weights, dt=dt_ps * 1e-3, verbose=False
+    )
+    task = EigenFunctionTask(
+        traj_j, feat, EigenFunctions(dims, k, seed=0),
+        os.path.join(outdir, "our_md_eig"),
+        alpha=20.0, eig_weights=[1.0, 0.5], lag_tau=LAG_TAU, k=k,
+        learning_rate=LR_MD, batch_size=BATCH_MD, num_epochs=epochs,
+        test_ratio=0.2, save_model_every_step=0, verbose=False,
+        tensorboard=False, seed=0, debug_mode=False,
+    )
+    results["4_dipeptide_eigen_dihedral_reweighted"] = {
+        "ours_sps": samples / _steady_train_ours(task)
+    }
+
+    _, DihedralFeatures = _torch_pp_layers()
+    traj_t = _RefTraj(
+        x.astype(np.float64), dt=dt_ps * 1e-3, weights=weights
+    )
+    task = ref_core.EigenFunctionTask(
+        traj_t, DihedralFeatures([PHI_REL, PSI_REL]),
+        ref_nn.EigenFunctions(dims, k),
+        os.path.join(outdir, "ref_md_eig"),
+        alpha=20.0, eig_weights=[1.0, 0.5], lag_tau=LAG_TAU, k=k,
+        learning_rate=LR_MD, batch_size=BATCH_MD, num_epochs=epochs,
+        test_ratio=0.2, save_model_every_step=0, verbose=False,
+        debug_mode=False,
+    )
+    results["4_dipeptide_eigen_dihedral_reweighted"]["ref_sps"] = (
+        samples / _train_ref(task)
+    )
+
+
+def config_5(epochs, outdir, results, data, n_replicas=4):
+    """Multi-replica sweep: train one eigenfunction task per replica
+    dataset in sequence; aggregate steady-state throughput. This
+    framework's compiled epoch programs are shape-polymorphic across the
+    sweep only in parameters, so each replica reuses the jit cache of a
+    task with identical shapes (first replica is trained twice to warm
+    it)."""
+    import torch
+
+    from colvarsfinder_tpu.core import EigenFunctionTask
+    from colvarsfinder_tpu.models import EigenFunctions
+    from colvarsfinder_tpu.ops import Feature, FeatureLayer
+    from colvarsfinder_tpu.utils import WeightedTrajectory
+
+    ref_core, ref_nn = _import_reference()
+    x, _, _, dt_ps = data
+    # full-size replicas: independent realizations stand-in (time-rolled
+    # copies — identical compute profile, different values per replica)
+    n = len(x)
+    replicas = [np.roll(x, i * (n // n_replicas), axis=0)
+                for i in range(n_replicas)]
+    d_r = 4
+    dims = [d_r, 20, 20, 20, 1]
+    k = 2
+    bs = min(BATCH_MD, int((n - 1) * 0.8))
+    n_train = int((n - 1) * 0.8) // bs * bs
+    samples = n_replicas * epochs * n_train
+
+    def build_ours(rep, i):
+        feat = FeatureLayer(
+            [Feature("phi", "dihedral", list(PHI_REL)),
+             Feature("psi", "dihedral", list(PSI_REL))]
+        )
+        traj = WeightedTrajectory(
+            trajectory=rep, dt=dt_ps * 1e-3, verbose=False
+        )
+        return EigenFunctionTask(
+            traj, feat, EigenFunctions(dims, k, seed=i),
+            os.path.join(outdir, f"our_rep{i}"),
+            alpha=20.0, eig_weights=[1.0, 0.5], lag_tau=LAG_TAU, k=k,
+            learning_rate=LR_MD, batch_size=BATCH_MD, num_epochs=epochs,
+            test_ratio=0.2, save_model_every_step=0, verbose=False,
+            tensorboard=False, seed=i, debug_mode=False,
+        )
+
+    # warm compile on replica 0, then time the full sweep
+    build_ours(replicas[0], 0).train()
+    t0 = time.perf_counter()
+    for i, rep in enumerate(replicas):
+        build_ours(rep, i).train()
+    ours_dt = time.perf_counter() - t0
+    results["5_multireplica_sweep"] = {"ours_sps": samples / ours_dt}
+
+    _, DihedralFeatures = _torch_pp_layers()
+    t0 = time.perf_counter()
+    for i, rep in enumerate(replicas):
+        traj_t = _RefTraj(rep.astype(np.float64), dt=dt_ps * 1e-3)
+        task = ref_core.EigenFunctionTask(
+            traj_t, DihedralFeatures([PHI_REL, PSI_REL]),
+            ref_nn.EigenFunctions(dims, k),
+            os.path.join(outdir, f"ref_rep{i}"),
+            alpha=20.0, eig_weights=[1.0, 0.5], lag_tau=LAG_TAU, k=k,
+            learning_rate=LR_MD, batch_size=BATCH_MD, num_epochs=epochs,
+            test_ratio=0.2, save_model_every_step=0, verbose=False,
+            debug_mode=False,
+        )
+        task.train()
+    results["5_multireplica_sweep"]["ref_sps"] = samples / (
+        time.perf_counter() - t0
+    )
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--outdir", default="/tmp/cvf_baselines")
-    ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--json", default=None)
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
+    wanted = set(args.configs.split(","))
 
-    x = make_data()
     results = {}
-    results.update(bench_ours(x, args.epochs, args.outdir))
-    if not args.skip_reference:
-        results.update(bench_reference(x, args.epochs, args.outdir))
-        results["speedup_ae"] = (
-            results["ours_ae_sps"] / results["reference_ae_sps"]
-        )
-        results["speedup_eigen"] = (
-            results["ours_eigen_sps"] / results["reference_eigen_sps"]
-        )
-    print(json.dumps({k: round(v, 2) for k, v in results.items()}, indent=2))
+    if {"1", "2"} & wanted:
+        config_1_2(args.epochs, args.outdir, results)
+    if {"3", "4", "5"} & wanted:
+        data = make_data_dipeptide()
+        if "3" in wanted:
+            config_3(args.epochs, args.outdir, results, data)
+        if "4" in wanted:
+            config_4(args.epochs, args.outdir, results, data)
+        if "5" in wanted:
+            config_5(args.epochs, args.outdir, results, data)
+
+    for name, r in results.items():
+        if "ref_sps" in r:
+            r["speedup"] = r["ours_sps"] / r["ref_sps"]
+    print(json.dumps(
+        {k: {kk: round(vv, 1) for kk, vv in v.items()}
+         for k, v in results.items()},
+        indent=1,
+    ))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -42,3 +42,34 @@ def set_matmul_precision(precision) -> None:
 def matmul_precision():
     """Current contraction precision."""
     return _PRECISION
+
+
+_DTYPE_NAME = "float32"
+
+
+def set_default_dtype(dtype) -> None:
+    """Set the floating dtype used for model parameters and trajectories.
+
+    Accepts 'float32' (default) or 'float64'. Selecting float64 enables
+    jax's x64 mode (safe to call at any time — it is a tracing flag, not a
+    backend-initialization flag) and exists primarily for the parity
+    harness: in f64 the framework's losses match the PyTorch reference to
+    ~1e-9, isolating algorithmic equivalence from f32 arithmetic noise.
+    Must be set before models/tasks are constructed to take effect.
+    """
+    global _DTYPE_NAME
+    import numpy as np
+
+    name = np.dtype(dtype).name
+    if name not in ("float32", "float64"):
+        raise ValueError(f"unsupported default dtype {name}")
+    if name == "float64":
+        jax.config.update("jax_enable_x64", True)
+    _DTYPE_NAME = name
+
+
+def default_dtype():
+    """Current default floating dtype (a jax.numpy dtype)."""
+    import jax.numpy as jnp
+
+    return jnp.float64 if _DTYPE_NAME == "float64" else jnp.float32

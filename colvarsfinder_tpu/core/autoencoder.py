@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..config import default_dtype
 from ..export import ColvarModel
 from ..logging_utils import losses_to_dataframe, profile_trace
 from ..models.ae import AutoEncoder
@@ -75,11 +76,11 @@ class AutoEncoderTask(TrainingTask):
         self.init_model_and_optimizer()
 
         # eager preprocessing of the whole trajectory (reference core.py:635)
-        traj = jnp.asarray(traj_obj.trajectory, dtype=jnp.float32)
+        traj = jnp.asarray(traj_obj.trajectory, dtype=default_dtype())
         self._feature_traj = np.asarray(
             jax.jit(self.preprocessing_layer)(traj)
         )
-        self._weights = np.asarray(traj_obj.weights, dtype=np.float32)
+        self._weights = np.asarray(traj_obj.weights, dtype=default_dtype())
 
         if self.verbose:
             print(

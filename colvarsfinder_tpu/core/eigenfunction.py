@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..config import default_dtype
 from ..export import ColvarModel
 from ..logging_utils import losses_to_dataframe, profile_trace
 from ..models.eigen import EigenFunctions
@@ -29,6 +30,97 @@ from .losses import eigen_loss
 from .task import TrainingTask
 
 __all__ = ["EigenFunctionTask"]
+
+# compiled multi-epoch programs shared ACROSS task instances: keyed by the
+# static configuration baked into the trace; model parameters, the
+# preprocessing layer, diag coefficients, and the data are all traced
+# arguments. A multi-replica sweep over same-shaped tasks compiles once.
+_EPOCH_FN_CACHE: dict = {}
+
+
+def _multi_epoch_fn(length: int, static: tuple):
+    from ..config import matmul_precision
+
+    key = (length, matmul_precision()) + static
+    fn = _EPOCH_FN_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    (state_shape, k, alpha, eig_w, beta, lag_idx, traj_dt,
+     sort_eigvals, opt_name, lr) = static
+    from .task import TrainingTask
+
+    optimizer = TrainingTask.make_optimizer(opt_name, lr)
+
+    def batch_loss(model, pp_layer, diag_coeff, traj, weights, idx):
+        # traj is stored flattened [n, prod(state)] — flat 2-D gathers
+        # are 3-5x faster than N-D gathers on TPU; reshape per batch
+        X = traj[idx].reshape((-1,) + state_shape)
+        w = weights[idx]
+        if lag_idx > 0:
+            X_l = traj[idx + lag_idx].reshape((-1,) + state_shape)
+            w_l = weights[idx + lag_idx]
+        else:
+            X_l = w_l = None
+        loss, aux = eigen_loss(
+            model, pp_layer, X, w, X_l, w_l,
+            k=k, alpha=alpha, eig_w=list(eig_w), beta=beta,
+            diag_coeff=diag_coeff, lag_idx=lag_idx, traj_dt=traj_dt,
+            sort_eigvals=sort_eigvals,
+        )
+        metrics = jnp.concatenate(
+            [
+                jnp.stack([loss, aux.non_penalty_loss, aux.penalty]),
+                aux.eig_vals,
+                aux.cvec.astype(loss.dtype),
+            ]
+        )
+        return loss, metrics
+
+    def epoch_body(model, opt_state, pp_layer, diag_coeff, traj, weights,
+                   train_idx, test_idx):
+        def train_step(carry, idx):
+            model, opt_state = carry
+            (_, metrics), grads = jax.value_and_grad(
+                batch_loss, has_aux=True
+            )(model, pp_layer, diag_coeff, traj, weights, idx)
+            updates, opt_state = optimizer.update(grads, opt_state, model)
+            model = optax.apply_updates(model, updates)
+            return (model, opt_state), metrics
+
+        (model, opt_state), train_metrics = jax.lax.scan(
+            train_step, (model, opt_state), train_idx
+        )
+
+        def eval_step(_, idx):
+            # the reference evaluates the test loss with gradients
+            # enabled (core.py:535-551) — semantics identical here
+            _, metrics = batch_loss(
+                model, pp_layer, diag_coeff, traj, weights, idx
+            )
+            return None, metrics
+
+        _, test_metrics = jax.lax.scan(eval_step, None, test_idx)
+        return model, opt_state, train_metrics, test_metrics
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def multi_fn(model, opt_state, pp_layer, diag_coeff, traj, weights,
+                 train_idx, test_idx):
+        def body(carry, _):
+            model, opt_state = carry
+            model, opt_state, tr, te = epoch_body(
+                model, opt_state, pp_layer, diag_coeff, traj, weights,
+                train_idx, test_idx
+            )
+            return (model, opt_state), (tr, te)
+
+        (model, opt_state), (train_ms, test_ms) = jax.lax.scan(
+            body, (model, opt_state), None, length=length
+        )
+        return model, opt_state, train_ms, test_ms
+
+    _EPOCH_FN_CACHE[key] = multi_fn
+    return multi_fn
 
 
 class EigenFunctionTask(TrainingTask):
@@ -106,8 +198,8 @@ class EigenFunctionTask(TrainingTask):
 
         self.init_model_and_optimizer()
 
-        self._traj_np = np.asarray(traj_obj.trajectory, dtype=np.float32)
-        self._weights_np = np.asarray(traj_obj.weights, dtype=np.float32)
+        self._traj_np = np.asarray(traj_obj.trajectory, dtype=default_dtype())
+        self._weights_np = np.asarray(traj_obj.weights, dtype=default_dtype())
         self.tot_dim = int(np.prod(self._traj_np.shape[1:]))
 
         # optional eager preprocessing (the AE task's pattern, reference
@@ -134,19 +226,18 @@ class EigenFunctionTask(TrainingTask):
         if self.lag_idx == 0:  # generator
             self._beta = float(beta)
             if diag_coeff is not None:
-                dc = np.asarray(diag_coeff, dtype=np.float32).reshape(-1)
+                dc = np.asarray(diag_coeff, dtype=default_dtype()).reshape(-1)
                 assert dc.shape[0] == self.tot_dim, (
                     f"diag_coeff should be a 1d tensor of length "
                     f"{self.tot_dim}, current shape: {dc.shape}"
                 )
                 self._diag_coeff = jnp.asarray(dc)
             else:
-                self._diag_coeff = jnp.ones(self.tot_dim, dtype=jnp.float32)
+                self._diag_coeff = jnp.ones(self.tot_dim, dtype=default_dtype())
         else:
             self._beta = float(beta)
             self._diag_coeff = None
 
-        self._epoch_fns = {}
 
     @property
     def _traj_flat(self):
@@ -195,100 +286,27 @@ class EigenFunctionTask(TrainingTask):
         return loss, aux.eig_vals, aux.non_penalty_loss, aux.penalty, aux.cvec
 
     # ------------------------------------------------------------------
-    def _build_epoch_fn(self):
-        optimizer = self.optimizer
-        pp_layer = self._pp_for_loss
-        k = self.k
-        lag_idx = self.lag_idx
-        loss_kwargs = dict(
-            k=k,
-            alpha=self._alpha,
-            eig_w=self._eig_w,
-            beta=self._beta,
-            diag_coeff=self._diag_coeff,
-            lag_idx=lag_idx,
-            traj_dt=self.traj_dt,
-            sort_eigvals=self._sort_eigvals_in_training,
+    def _static_config(self):
+        """Hashable tuple of everything baked into the compiled epoch
+        program. Two tasks with equal static configs share one compiled
+        program (the preprocessing layer, diag coefficients, data, and
+        parameters are traced *arguments*), so e.g. a multi-replica sweep
+        compiles once instead of once per replica."""
+        return (
+            tuple(self._traj_np.shape[1:]),
+            self.k,
+            self._alpha,
+            tuple(float(w) for w in self._eig_w),
+            self._beta,
+            self.lag_idx,
+            self.traj_dt,
+            self._sort_eigvals_in_training,
+            self.optimizer_name.lower(),
+            float(self.learning_rate),
         )
 
-        state_shape = tuple(self._traj_np.shape[1:])
-
-        def batch_loss(model, traj, weights, idx):
-            # traj is stored flattened [n, prod(state)] — flat 2-D gathers
-            # are 3-5x faster than N-D gathers on TPU; reshape per batch
-            X = traj[idx].reshape((-1,) + state_shape)
-            w = weights[idx]
-            if lag_idx > 0:
-                X_l = traj[idx + lag_idx].reshape((-1,) + state_shape)
-                w_l = weights[idx + lag_idx]
-            else:
-                X_l = w_l = None
-            loss, aux = eigen_loss(
-                model, pp_layer, X, w, X_l, w_l, **loss_kwargs
-            )
-            metrics = jnp.concatenate(
-                [
-                    jnp.stack(
-                        [loss, aux.non_penalty_loss, aux.penalty]
-                    ),
-                    aux.eig_vals,
-                    aux.cvec.astype(jnp.float32),
-                ]
-            )
-            return loss, metrics
-
-        def epoch_body(model, opt_state, traj, weights, train_idx, test_idx):
-            def train_step(carry, idx):
-                model, opt_state = carry
-                (_, metrics), grads = jax.value_and_grad(
-                    batch_loss, has_aux=True
-                )(model, traj, weights, idx)
-                updates, opt_state = optimizer.update(grads, opt_state, model)
-                model = optax.apply_updates(model, updates)
-                return (model, opt_state), metrics
-
-            (model, opt_state), train_metrics = jax.lax.scan(
-                train_step, (model, opt_state), train_idx
-            )
-
-            def eval_step(_, idx):
-                # the reference evaluates the test loss with gradients
-                # enabled (core.py:535-551) — semantics identical here
-                _, metrics = batch_loss(model, traj, weights, idx)
-                return None, metrics
-
-            _, test_metrics = jax.lax.scan(eval_step, None, test_idx)
-            return model, opt_state, train_metrics, test_metrics
-
-        return epoch_body
-
     def _get_multi_epoch_fn(self, length: int):
-        """Jitted scan of `length` epochs — one device dispatch per chunk of
-        epochs between host-side hooks; per-epoch metrics stacked."""
-        from ..config import matmul_precision
-
-        cache_key = (length, matmul_precision())
-        fn = self._epoch_fns.get(cache_key)
-        if fn is not None:
-            return fn
-        epoch_body = self._build_epoch_fn()
-
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def multi_fn(model, opt_state, traj, weights, train_idx, test_idx):
-            def body(carry, _):
-                model, opt_state = carry
-                model, opt_state, tr, te = epoch_body(
-                    model, opt_state, traj, weights, train_idx, test_idx
-                )
-                return (model, opt_state), (tr, te)
-
-            (model, opt_state), (train_ms, test_ms) = jax.lax.scan(
-                body, (model, opt_state), None, length=length
-            )
-            return model, opt_state, train_ms, test_ms
-
-        self._epoch_fns[cache_key] = multi_fn
-        return multi_fn
+        return _multi_epoch_fn(length, self._static_config())
 
     def _next_chunk(self, epoch: int) -> int:
         """Epochs until the next host-side hook fires (inclusive)."""
@@ -347,7 +365,8 @@ class EigenFunctionTask(TrainingTask):
                 _t0 = _time.perf_counter()
                 model, opt_state, train_cm, test_cm = (
                     self._get_multi_epoch_fn(chunk)(
-                        model, opt_state, traj, weights, train_bd, test_bd
+                        model, opt_state, self._pp_for_loss,
+                        self._diag_coeff, traj, weights, train_bd, test_bd
                     )
                 )
                 train_cm = np.asarray(train_cm)  # [chunk, nb, n_metrics + k]

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..config import default_dtype
 from ..export import ColvarModel
 from ..logging_utils import losses_to_dataframe, profile_trace
 from ..models.ae import RegAutoEncoder, RegModel
@@ -99,8 +100,8 @@ class RegAutoEncoderTask(TrainingTask):
 
         self.init_model_and_optimizer()
 
-        self._traj_np = np.asarray(traj_obj.trajectory, dtype=np.float32)
-        self._weights_np = np.asarray(traj_obj.weights, dtype=np.float32)
+        self._traj_np = np.asarray(traj_obj.trajectory, dtype=default_dtype())
+        self._weights_np = np.asarray(traj_obj.weights, dtype=default_dtype())
 
         self.alpha = float(alpha)
         self.gamma = [float(g) for g in gamma]
@@ -133,7 +134,7 @@ class RegAutoEncoderTask(TrainingTask):
             if self.lag_idx == 0:
                 # identity diffusion matrix only, as in the reference
                 # (core.py:852)
-                self._diag_coeff = jnp.ones(self.tot_dim, dtype=jnp.float32)
+                self._diag_coeff = jnp.ones(self.tot_dim, dtype=default_dtype())
             else:
                 self._diag_coeff = None
         else:
@@ -241,7 +242,7 @@ class RegAutoEncoderTask(TrainingTask):
                 jnp.stack([loss, ae, g0, g1]),
                 eig_vals,
                 jnp.stack([e0, e1, e2]),
-                cvec.astype(jnp.float32),
+                cvec.astype(loss.dtype),
             ]
         )
         return loss, metrics

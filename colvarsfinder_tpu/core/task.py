@@ -213,11 +213,18 @@ class TrainingTask(ABC):
         self.opt_state = self.optimizer.init(self.model)
 
     def _build_optimizer(self):
-        if self.optimizer_name.lower() == "adam":
+        return self.make_optimizer(self.optimizer_name, self.learning_rate)
+
+    @staticmethod
+    def make_optimizer(name: str, learning_rate: float):
+        """Optax optimizer from (name, lr) — also used by the shared
+        compiled-epoch-program caches, where optimizers are reconstructed
+        from hashable config instead of captured from a task instance."""
+        if name.lower() == "adam":
             # matches torch.optim.Adam defaults: betas=(0.9, 0.999),
             # eps applied outside the sqrt of the bias-corrected second moment
-            return optax.adam(self.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
-        return optax.sgd(self.learning_rate)
+            return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+        return optax.sgd(learning_rate)
 
     # ------------------------------------------------------------------
     def _make_split(self, n: int):

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import matmul_precision
+from ..config import default_dtype, matmul_precision
 
 __all__ = [
     "ACTIVATIONS",
@@ -100,13 +100,15 @@ def resolve_activation(activation) -> str:
 # ---------------------------------------------------------------------------
 
 
-def linear_init(key: jax.Array, d_in: int, d_out: int, dtype=jnp.float32) -> dict:
+def linear_init(key: jax.Array, d_in: int, d_out: int, dtype=None) -> dict:
     """Init one linear layer with the torch.nn.Linear default distribution.
 
     Both weight and bias ~ U(-1/sqrt(d_in), 1/sqrt(d_in)); weight is
     [d_out, d_in] (torch convention) so transplant tests can copy
     state dicts without transposes.
     """
+    if dtype is None:
+        dtype = default_dtype()
     kw, kb = jax.random.split(key)
     bound = 1.0 / math.sqrt(d_in)
     weight = jax.random.uniform(kw, (d_out, d_in), dtype, -bound, bound)
@@ -115,7 +117,7 @@ def linear_init(key: jax.Array, d_in: int, d_out: int, dtype=jnp.float32) -> dic
 
 
 def mlp_init(
-    key: jax.Array, layer_dims: Sequence[int], dtype=jnp.float32
+    key: jax.Array, layer_dims: Sequence[int], dtype=None
 ) -> Tuple[dict, ...]:
     """Init parameters of a feedforward net with the given layer dims."""
     assert len(layer_dims) >= 2, (
@@ -150,7 +152,7 @@ def mlp_apply(params: Sequence[dict], x: jnp.ndarray, activation: str) -> jnp.nd
 
 
 def stacked_mlp_init(
-    key: jax.Array, layer_dims: Sequence[int], k: int, dtype=jnp.float32
+    key: jax.Array, layer_dims: Sequence[int], k: int, dtype=None
 ) -> Tuple[dict, ...]:
     """Init k independent MLPs stored stacked along a leading axis.
 
@@ -264,7 +266,7 @@ def create_sequential_nn(
     *,
     key: jax.Array | None = None,
     seed: int = 0,
-    dtype=jnp.float32,
+    dtype=None,
 ) -> Sequential:
     """Construct a feedforward network (reference: colvarsfinder/nn.py:29).
 

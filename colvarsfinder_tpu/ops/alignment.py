@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import matmul_precision
+from ..config import default_dtype, matmul_precision
 
 __all__ = [
     "AlignmentLayer",
@@ -286,7 +286,7 @@ class AlignmentLayer:
             return
         ag = align_positions
         if hasattr(ag, "positions"):  # MDAnalysis AtomGroup
-            pos = np.asarray(ag.positions, dtype=np.float32)
+            pos = np.asarray(ag.positions, dtype=default_dtype())
             if align_indices is None:
                 if input_ag is None:
                     raise ValueError(
@@ -296,7 +296,7 @@ class AlignmentLayer:
                 input_ix = list(np.asarray(input_ag.ix))
                 align_indices = [input_ix.index(i) for i in np.asarray(ag.ix)]
         else:
-            pos = np.asarray(align_positions, dtype=np.float32)
+            pos = np.asarray(align_positions, dtype=default_dtype())
             if align_indices is None:
                 raise ValueError("align_indices is required")
         pos = pos - pos.mean(axis=0, keepdims=True)
