@@ -1,0 +1,154 @@
+"""Device-time / MFU analysis of the headline workload, plus measured
+optimization experiments: fused x/x_lagged forward, matmul precision,
+batch-size sweep.
+
+Prints a table to stderr and a JSON summary to stdout.
+Run on the TPU:  python benchmarks/perf_sweep.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+N_ATOMS = 10
+D_R = 3 * N_ATOMS
+K = 2
+N_FRAMES = 120_000
+LAG = 5
+TRAJ_DT = 0.002
+ALPHA = 20.0
+EIG_W = [1.0, 0.2]
+LR = 0.002
+
+log = lambda *a: print(*a, file=sys.stderr, flush=True)
+
+
+def flops_per_sample(widths=(30, 20, 20, 20, 1), k=K, lagged=True):
+    """Analytic MAC count for the transfer-op step, per trajectory sample:
+    forward both time points, backward ~2x forward (dgrad+wgrad)."""
+    macs = sum(a * b for a, b in zip(widths[:-1], widths[1:]))
+    passes = 2 if lagged else 1  # x and x_lagged
+    fwd_bwd = 3.0  # fwd + ~2x fwd for backward
+    kabsch = 9 * N_ATOMS + 250  # covariance + QCP per frame, approx
+    return 2 * macs * k * passes * fwd_bwd + kabsch * passes
+
+
+def build(batch, precision, fuse):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from colvarsfinder_tpu import config
+    from colvarsfinder_tpu.core.losses import eigen_loss
+    from colvarsfinder_tpu.models import EigenFunctions
+    from colvarsfinder_tpu.ops import (
+        AlignmentLayer, Feature, FeatureLayer, PreprocessingANN,
+    )
+
+    config.set_matmul_precision(precision)
+
+    rng = np.random.default_rng(0)
+    ref = rng.standard_normal((N_ATOMS, 3)).astype(np.float32)
+    traj_np = (
+        ref[None] + 0.3 * rng.standard_normal((N_FRAMES, N_ATOMS, 3))
+    ).astype(np.float32)
+    weights_np = rng.uniform(0.5, 1.5, N_FRAMES).astype(np.float32)
+
+    align = AlignmentLayer(ref, align_indices=list(range(N_ATOMS)))
+    feat = FeatureLayer([Feature("p", "position", list(range(N_ATOMS)))])
+    pp = PreprocessingANN(align, feat)
+    model = EigenFunctions([D_R, 20, 20, 20, 1], k=K, seed=0)
+    optimizer = optax.adam(LR)
+    opt_state = optimizer.init(model)
+
+    traj = jax.device_put(jnp.asarray(traj_np.reshape(N_FRAMES, -1)))
+    weights = jax.device_put(jnp.asarray(weights_np))
+    nb = (N_FRAMES - LAG) // batch
+    idx_all = jax.device_put(jnp.asarray(
+        np.arange(nb * batch, dtype=np.int32).reshape(nb, batch)
+    ))
+
+    def batch_loss(m, idx):
+        X = traj[idx].reshape(-1, N_ATOMS, 3)
+        w = weights[idx]
+        X_l = traj[idx + LAG].reshape(-1, N_ATOMS, 3)
+        w_l = weights[idx + LAG]
+        loss, _ = eigen_loss(
+            m, pp, X, w, X_l, w_l,
+            k=K, alpha=ALPHA, eig_w=EIG_W, beta=1.0, diag_coeff=None,
+            lag_idx=LAG, traj_dt=TRAJ_DT, sort_eigvals=True,
+            fuse_lagged=fuse,
+        )
+        return loss
+
+    @jax.jit
+    def train_epoch(m, os_, idxs):
+        def step(carry, idx):
+            m, os_ = carry
+            loss, grads = jax.value_and_grad(batch_loss)(m, idx)
+            updates, os_ = optimizer.update(grads, os_, m)
+            m = optax.apply_updates(m, updates)
+            return (m, os_), loss
+
+        (m, os_), losses = jax.lax.scan(step, (m, os_), idxs)
+        return m, os_, losses
+
+    return train_epoch, model, opt_state, idx_all, nb
+
+
+def measure(batch=20_000, precision="highest", fuse=False, steps=30):
+    import jax
+
+    train_epoch, model, opt_state, idx_all, nb = build(batch, precision, fuse)
+    model, opt_state, losses = train_epoch(model, opt_state, idx_all)
+    jax.block_until_ready(losses)
+    n_epochs = max(1, steps // nb)
+    t0 = time.perf_counter()
+    for _ in range(n_epochs):
+        model, opt_state, losses = train_epoch(model, opt_state, idx_all)
+    jax.block_until_ready(losses)
+    dt = time.perf_counter() - t0
+    sps = n_epochs * nb * batch / dt
+    return sps, float(losses[-1])
+
+
+def main():
+    import jax
+
+    results = {}
+    fps = flops_per_sample()
+    log(f"analytic flops/sample ~= {fps:,.0f}")
+
+    base_sps, base_loss = measure()
+    results["baseline"] = base_sps
+    log(f"baseline (batch 20k, f32, unfused):   {base_sps:,.0f} sps  "
+        f"loss={base_loss:.4f}")
+
+    for name, kw in [
+        ("fused_xl", dict(fuse=True)),
+        ("bf16", dict(precision="default")),
+        ("bf16_fused", dict(precision="default", fuse=True)),
+        ("batch_40k", dict(batch=40_000)),
+        ("batch_80k", dict(batch=80_000)),
+        ("batch_80k_fused", dict(batch=80_000, fuse=True)),
+    ]:
+        sps, loss = measure(**kw)
+        results[name] = sps
+        log(f"{name:22s} {sps:,.0f} sps ({sps / base_sps - 1:+.1%} vs "
+            f"baseline)  loss={loss:.4f}")
+
+    best = max(results.values())
+    tflops = best * fps / 1e12
+    log(f"\nbest effective compute: {tflops:.2f} TFLOP/s "
+        f"(~{100 * tflops / 66:.2f}% of v5e f32-effective peak ~66 TF; "
+        "the 30->20 contractions use ~4% of MXU lanes, which bounds MFU)")
+    print(json.dumps({k: round(v, 0) for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -65,6 +65,18 @@ class AutoEncoderTask(TrainingTask):
         assert isinstance(model, AutoEncoder), (
             "model must be an object of the class AutoEncoder"
         )
+        if kwargs.get("shard_trajectory"):
+            # option-surface consistency (docs/api.md option matrix): the
+            # AE task precomputes features once and pre-gathers batches, so
+            # there is no trajectory left on device to frame-shard; batches
+            # are already split over the mesh's data axis.
+            import warnings
+
+            warnings.warn(
+                "AutoEncoderTask ignores shard_trajectory: features are "
+                "precomputed and pre-batched; batches are sharded over the "
+                "mesh's data axis instead"
+            )
         pp_layer = as_pp_layer(pp_layer)
         super().__init__(
             traj_obj, pp_layer, model, model_path, learning_rate,

@@ -128,6 +128,7 @@ def eigen_loss(
     lag_idx: int,
     traj_dt: float,
     sort_eigvals: bool,
+    fuse_lagged: bool = False,
 ):
     r"""Eigenfunction loss (reference: colvarsfinder/core.py:387-457).
 
@@ -137,9 +138,21 @@ def eigen_loss(
     preprocessing layer. Transfer-operator case (``lag_idx > 0``): lagged
     square-difference quotients (docs/math_backgrounds.rst:54-105).
 
+    ``fuse_lagged``: evaluate the x and x_lagged batches in ONE
+    concatenated forward pass (2B-row matmuls) instead of two B-row
+    passes — row-wise identical math. Measured on v5e at batch 20k this
+    is 7% SLOWER (the concat materialization outweighs the kernel
+    savings; benchmarks/perf_sweep.py), so it is off by default; it wins
+    only in combination with bf16 fast mode.
+
     Returns ``(loss, EigenAux)``.
     """
-    y = model(pp_layer(X))  # [B, k]
+    if lag_idx > 0 and fuse_lagged and X_lagged is not None:
+        both = model(pp_layer(jnp.concatenate([X, X_lagged], axis=0)))
+        y, y_lagged_fused = both[: X.shape[0]], both[X.shape[0]:]
+    else:
+        y = model(pp_layer(X))  # [B, k]
+        y_lagged_fused = None
     tot_weight = weight.sum()
     means, variances = _weighted_moments(y, weight, tot_weight)
 
@@ -158,7 +171,10 @@ def eigen_loss(
         quotients = dirichlet / (tot_weight * beta) / variances  # [k], traced
         eig_vals = jax.lax.stop_gradient(quotients)
     else:
-        y_lagged = model(pp_layer(X_lagged))
+        y_lagged = (
+            y_lagged_fused if y_lagged_fused is not None
+            else model(pp_layer(X_lagged))
+        )
         tot_weight_lagged = weight_lagged.sum()
         _, variances_lagged = _weighted_moments(
             y_lagged, weight_lagged, tot_weight_lagged

@@ -82,6 +82,7 @@ class RegAutoEncoderTask(TrainingTask):
         freeze_encoder: bool = False,
         verbose: bool = True,
         debug_mode: bool = True,
+        precompute_features: bool = False,
         **kwargs,
     ):
         assert isinstance(model, RegAutoEncoder), (
@@ -125,6 +126,32 @@ class RegAutoEncoderTask(TrainingTask):
         )
         self.lag_ae_idx = int(round(lag_ae_idx))
         self.lag_idx = int(round(lag_idx))
+
+        # optional eager preprocessing (docs/api.md option matrix). The AE
+        # and encoder-constraint terms act on features (the reference takes
+        # enc gradients w.r.t. r(x), core.py:910-911), so precompute is
+        # valid unless the generator-type eigen regularizer (gamma on,
+        # lag_tau_reg == 0) needs gradients through the raw coordinates.
+        self.precompute_features = bool(precompute_features)
+        if self.precompute_features:
+            assert not (
+                float(gamma[0]) + float(gamma[1]) > _EPS and self.lag_idx == 0
+            ), (
+                "precompute_features is incompatible with the generator "
+                "eigen regularizer (gamma > 0 with lag_tau_reg == 0), which "
+                "differentiates through the preprocessing layer"
+            )
+            from ..ops.features import Identity
+
+            feats = jax.jit(self.preprocessing_layer)(
+                jnp.asarray(self._traj_np)
+            )
+            self._traj_np = np.asarray(feats)
+            # keep self.preprocessing_layer intact for colvar_model();
+            # only the in-loss preprocessing becomes the identity
+            self._pp_for_loss = Identity()
+        else:
+            self._pp_for_loss = self.preprocessing_layer
 
         self._beta = float(beta)
         if self.gamma[0] + self.gamma[1] > self._eps:
@@ -175,7 +202,7 @@ class RegAutoEncoderTask(TrainingTask):
     def _batch_loss(self, model, traj, weights, idx):
         """All gated loss terms for one index batch
         (reference core.py:1069-1135)."""
-        pp = self.preprocessing_layer
+        pp = self._pp_for_loss
         state_shape = tuple(self._traj_np.shape[1:])
         X = traj[idx].reshape((-1,) + state_shape)
         w = weights[idx]

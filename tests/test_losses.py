@@ -190,3 +190,27 @@ def test_weighted_mse_lagged_loss():
     out = dec_t(enc_t(Xt))
     lt = (wt * ((out - Xlt) ** 2).sum(dim=1)).sum() / wt.sum()
     np.testing.assert_allclose(float(lj), lt.item(), rtol=RTOL)
+
+
+def test_eigen_loss_fused_lagged_matches_unfused():
+    """fuse_lagged evaluates x/x_lagged in one concatenated pass — the
+    result must match the two-pass evaluation."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from colvarsfinder_tpu.core.losses import eigen_loss
+    from colvarsfinder_tpu.models import EigenFunctions
+
+    rng = np.random.default_rng(9)
+    X = jnp.asarray(rng.standard_normal((64, 4)).astype(np.float32))
+    Xl = jnp.asarray(rng.standard_normal((64, 4)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(0.5, 1.5, 64).astype(np.float32))
+    model = EigenFunctions([4, 10, 1], k=2, seed=0)
+    kw = dict(k=2, alpha=5.0, eig_w=[1.0, 0.5], beta=1.0, diag_coeff=None,
+              lag_idx=2, traj_dt=0.1, sort_eigvals=True)
+    l1, a1 = eigen_loss(model, lambda z: z, X, w, Xl, w, fuse_lagged=False, **kw)
+    l2, a2 = eigen_loss(model, lambda z: z, X, w, Xl, w, fuse_lagged=True, **kw)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(a1.eig_vals), np.asarray(a2.eig_vals), rtol=1e-6
+    )

@@ -96,3 +96,87 @@ def test_tensorboard_writer_creates_events(tmp_path):
     task.writer.close()
     files = os.listdir(tmp_path / "tb")
     assert any("tfevents" in f for f in files)
+
+
+def test_regae_precompute_features_matches_per_batch(tmp_path):
+    """RegAE with precompute_features must train identically to per-batch
+    preprocessing (transfer-op regularizer + all feature-space terms)."""
+    import numpy as np
+
+    from colvarsfinder_tpu.core import RegAutoEncoderTask
+    from colvarsfinder_tpu.models import RegAutoEncoder
+    from colvarsfinder_tpu.ops import Feature, FeatureLayer
+    from colvarsfinder_tpu.utils import WeightedTrajectory
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((300, 4, 3)).astype(np.float32)
+    traj = WeightedTrajectory(trajectory=x, dt=0.1, verbose=False)
+    feat = FeatureLayer([Feature("b", "bond", [0, 2]),
+                         Feature("p", "position", [1, 3])])
+    kw = dict(
+        eig_weights=[1.0], alpha=1.0, gamma=[0.5, 2.0],
+        eta=[0.05, 0.1, 0.0], lag_tau_ae=0.1, lag_tau_reg=0.2,
+        learning_rate=0.01, batch_size=64, num_epochs=3, test_ratio=0.25,
+        save_model_every_step=0, verbose=False, tensorboard=False,
+        debug_mode=False, seed=0,
+    )
+
+    def run(precompute):
+        model = RegAutoEncoder([7, 10, 1], [1, 10, 7], [1, 8, 1], 1, seed=2)
+        t = RegAutoEncoderTask(
+            traj, feat, model, str(tmp_path / f"pc{precompute}"),
+            precompute_features=precompute, **kw,
+        )
+        t.train()
+        return t
+
+    t1, t2 = run(False), run(True)
+    np.testing.assert_allclose(
+        t1.train_loss_df.to_numpy(), t2.train_loss_df.to_numpy(),
+        rtol=2e-4, atol=1e-6,
+    )
+    # colvar_model must keep the real preprocessing layer in both modes
+    out1 = np.asarray(t1.colvar_model()(x[:4]))
+    out2 = np.asarray(t2.colvar_model()(x[:4]))
+    np.testing.assert_allclose(out1, out2, rtol=2e-3, atol=1e-5)
+
+
+def test_regae_precompute_rejected_for_generator_regularizer(tmp_path):
+    import numpy as np
+    import pytest
+
+    from colvarsfinder_tpu.core import RegAutoEncoderTask
+    from colvarsfinder_tpu.models import RegAutoEncoder
+    from colvarsfinder_tpu.utils import WeightedTrajectory
+
+    traj = WeightedTrajectory(
+        trajectory=np.zeros((50, 2), np.float32), dt=0.1, verbose=False
+    )
+    model = RegAutoEncoder([2, 8, 1], [1, 8, 2], [1, 6, 1], 1, seed=0)
+    with pytest.raises(AssertionError, match="precompute_features"):
+        RegAutoEncoderTask(
+            traj, None, model, str(tmp_path / "bad"),
+            eig_weights=[1.0], gamma=[1.0, 1.0], lag_tau_reg=0.0,
+            precompute_features=True, batch_size=16, num_epochs=1,
+            save_model_every_step=0, verbose=False, tensorboard=False,
+        )
+
+
+def test_ae_shard_trajectory_warns(tmp_path):
+    import numpy as np
+    import pytest
+
+    from colvarsfinder_tpu.core import AutoEncoderTask
+    from colvarsfinder_tpu.models import AutoEncoder
+    from colvarsfinder_tpu.utils import WeightedTrajectory
+
+    traj = WeightedTrajectory(
+        trajectory=np.zeros((50, 2), np.float32), dt=0.1, verbose=False
+    )
+    model = AutoEncoder([2, 6, 1], [1, 6, 2], seed=0)
+    with pytest.warns(UserWarning, match="shard_trajectory"):
+        AutoEncoderTask(
+            traj, None, model, str(tmp_path / "warn"),
+            shard_trajectory=True, batch_size=16, num_epochs=1,
+            save_model_every_step=0, verbose=False, tensorboard=False,
+        )
