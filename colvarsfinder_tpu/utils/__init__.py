@@ -4,7 +4,14 @@ TPU-native counterpart of the reference module ``colvarsfinder.utils``
 (reference: colvarsfinder/utils.py).
 """
 
-from .io import Topology, parse_gro, read_dcd, write_dcd
+from .io import (
+    Topology,
+    Universe,
+    parse_gro,
+    read_dcd,
+    write_dcd,
+    write_gro,
+)
 from .sampling import integrate_md_langevin, integrate_sde_overdamped
 from .trajectory import WeightedTrajectory, calc_weights
 from .xtc import read_xtc, write_xtc
@@ -15,7 +22,9 @@ __all__ = [
     "integrate_md_langevin",
     "integrate_sde_overdamped",
     "Topology",
+    "Universe",
     "parse_gro",
+    "write_gro",
     "read_dcd",
     "write_dcd",
     "read_xtc",

@@ -34,7 +34,9 @@ __all__ = [
     "Atom",
     "AtomGroup",
     "Topology",
+    "Universe",
     "parse_gro",
+    "write_gro",
     "read_dcd",
     "write_dcd",
 ]
@@ -224,6 +226,25 @@ class _SelectionParser:
         raise ValueError(f"unknown selection keyword '{tok}'")
 
 
+def write_gro(filename: str, top: Topology) -> None:
+    """Write a Topology as a GROMACS .gro file (fixed-column format,
+    positions in nm) — inverse of :func:`parse_gro`."""
+    pos = np.asarray(top.positions, dtype=np.float64)
+    with open(filename, "w") as f:
+        f.write((top.title or "written by colvarsfinder-tpu") + "\n")
+        f.write(f"{top.n_atoms:>5d}\n")
+        for i in range(top.n_atoms):
+            f.write(
+                f"{top.resids[i]:>5d}{top.resnames[i]:<5s}"
+                f"{top.names[i]:>5s}{i + 1:>5d}"
+                f"{pos[i, 0]:8.3f}{pos[i, 1]:8.3f}{pos[i, 2]:8.3f}\n"
+            )
+        if top.box is not None:
+            f.write("".join(f"{b:10.5f}" for b in top.box) + "\n")
+        else:
+            f.write(f"{0.0:10.5f}{0.0:10.5f}{0.0:10.5f}\n")
+
+
 def parse_gro(filename: str) -> Topology:
     """Parse a GROMACS .gro file (fixed-column format, positions in nm)."""
     with open(filename) as f:
@@ -250,6 +271,107 @@ def parse_gro(filename: str) -> Topology:
         names=names, resids=resids, resnames=resnames,
         positions=pos, box=box, title=title,
     )
+
+
+# ---------------------------------------------------------------------------
+# Universe: topology + trajectory, MDAnalysis-style entry point
+# ---------------------------------------------------------------------------
+
+
+class _TrajectoryView:
+    """The ``universe.trajectory`` facade: frames + timing metadata with the
+    slice of the MDAnalysis Reader API the framework consumes
+    (``timeseries(order='fac')``, ``dt`` in ps, ``n_frames``)."""
+
+    def __init__(self, coords: np.ndarray, dt_ps: float):
+        self._coords = np.asarray(coords, dtype=np.float32)
+        self.dt = float(dt_ps)
+
+    @property
+    def n_frames(self) -> int:
+        return self._coords.shape[0]
+
+    def timeseries(self, order: str = "fac") -> np.ndarray:
+        if order != "fac":
+            raise ValueError(
+                f"only order='fac' (frame, atom, coordinate) is supported, "
+                f"got {order!r}"
+            )
+        return self._coords
+
+    def __len__(self):
+        return self.n_frames
+
+
+class Universe:
+    """Native replacement for the reference's MDAnalysis entry point
+    (reference: examples/dipeptide/main.ipynb cell 2,
+    ``mda.Universe('top.gro', 'md_center.xtc')``).
+
+    Couples a topology file (.gro) with a trajectory file (.xtc, .dcd, or
+    none — topology coordinates become a single frame). Exposes the
+    duck-type surface :class:`colvarsfinder_tpu.utils.WeightedTrajectory`'s
+    MD branch consumes: ``.atoms``, ``.select_atoms``, and ``.trajectory``
+    with ``timeseries(order='fac')`` / ``dt`` (ps) / ``n_frames``.
+
+    Args:
+        topology_file: path to a .gro file
+        trajectory_file: optional path to a .xtc or .dcd trajectory
+        dt_ps: override the frame spacing (ps) when the trajectory file has
+            none (e.g. single-frame or zero-time XTC files)
+    """
+
+    def __init__(
+        self,
+        topology_file: str,
+        trajectory_file: Optional[str] = None,
+        dt_ps: Optional[float] = None,
+    ):
+        self._top = parse_gro(topology_file)
+        if trajectory_file is None:
+            coords = self._top.positions[None]
+            dt = dt_ps if dt_ps is not None else 1.0
+        else:
+            ext = os.path.splitext(trajectory_file)[1].lower()
+            if ext == ".xtc":
+                from .xtc import read_xtc
+
+                coords, dt, _times = read_xtc(trajectory_file)
+            elif ext == ".dcd":
+                coords, dt = read_dcd(trajectory_file)
+            else:
+                raise ValueError(
+                    f"unsupported trajectory format '{ext}' "
+                    "(supported: .xtc, .dcd)"
+                )
+            if coords.shape[1] != self._top.n_atoms:
+                raise ValueError(
+                    f"trajectory has {coords.shape[1]} atoms but the "
+                    f"topology has {self._top.n_atoms}"
+                )
+            if dt_ps is not None:
+                dt = dt_ps
+            elif dt <= 0:
+                dt = 1.0
+        self.trajectory = _TrajectoryView(coords, dt)
+
+    @property
+    def atoms(self) -> AtomGroup:
+        return self._top.atoms
+
+    def select_atoms(self, expr: str) -> AtomGroup:
+        return self._top.select_atoms(expr)
+
+    @property
+    def topology(self) -> Topology:
+        return self._top
+
+    def __repr__(self):
+        return (
+            f"<Universe: {self._top.n_atoms} atoms, "
+            f"{self.trajectory.n_frames} frames, "
+            f"dt={self.trajectory.dt:g} ps>"
+        )
 
 
 # ---------------------------------------------------------------------------

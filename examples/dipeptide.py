@@ -37,8 +37,12 @@ from colvarsfinder_tpu.ops import (
     FeatureLayer,
     PreprocessingANN,
 )
-from colvarsfinder_tpu.utils import WeightedTrajectory, read_xtc, write_xtc
-from colvarsfinder_tpu.utils.io import Topology
+from colvarsfinder_tpu.utils import (
+    Universe,
+    WeightedTrajectory,
+    write_xtc,
+)
+from colvarsfinder_tpu.utils.io import Topology, write_gro
 
 # full-topology atom indices of the Ramachandran backbone quadruples
 PHI_ATOMS = (4, 6, 8, 14)   # C(ACE) - N - CA - C
@@ -200,22 +204,23 @@ def main():
     os.makedirs(args.outdir, exist_ok=True)
 
     top = build_topology()
+    gro_path = os.path.join(args.outdir, "top.gro")
+    write_gro(gro_path, top)
     xtc_path, _psi_planted = synthesize_trajectory(
         top, args.n_frames, dt_ps=10.0, outdir=args.outdir
     )
-    coords, dt_ps, _times = read_xtc(xtc_path)
-    print(f"trajectory: {coords.shape} frames (XTC), dt={dt_ps:.1f} ps")
 
-    # heavy atoms (reference main.ipynb cell 10 selectors)
-    input_ag = top.select_atoms("type C or type O or type N")
-    align_ag = top.select_atoms("type C or type O or type N")
+    # the reference's exact entry pattern (main.ipynb cell 2):
+    # Universe(top.gro, md_center.xtc) -> select heavy atoms ->
+    # WeightedTrajectory(universe, input_ag)
+    u = Universe(gro_path, xtc_path)
+    print(f"loaded {u!r}")
+    input_ag = u.select_atoms("type C or type O or type N")
+    align_ag = u.select_atoms("type C or type O or type N")
     print(f"input atoms: {len(input_ag)} ({input_ag.names})")
 
-    traj_obj = WeightedTrajectory(
-        trajectory=coords[:, input_ag.ix, :],
-        dt=dt_ps * 1e-3,  # ps -> ns, as the reference's MD branch does
-        verbose=False,
-    )
+    traj_obj = WeightedTrajectory(universe=u, input_ag=input_ag,
+                                  verbose=False)
 
     # preprocessing: alignment + positions (d_r = 30)
     align = AlignmentLayer(

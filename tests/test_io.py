@@ -123,3 +123,74 @@ def test_example_notebooks_are_valid():
             if cell["cell_type"] == "code":
                 compile("".join(cell["source"]), name, "exec")
     assert found >= 2
+
+
+def test_universe_xtc_end_to_end(tmp_path):
+    """Native Universe (gro + xtc) must drive WeightedTrajectory's MD
+    branch exactly like an MDAnalysis Universe (reference main.ipynb
+    cell 2 -> utils.py:96-130)."""
+    from colvarsfinder_tpu.utils import Universe, WeightedTrajectory
+    from colvarsfinder_tpu.utils.xtc import write_xtc
+
+    gro = tmp_path / "top.gro"
+    gro.write_text(GRO_TEXT)
+    rng = np.random.default_rng(0)
+    coords = np.cumsum(
+        rng.normal(0, 0.01, (15, 22, 3)), axis=0
+    ).astype(np.float32) + 1.0
+    xtc = str(tmp_path / "md_center.xtc")
+    write_xtc(xtc, coords, dt_ps=10.0)
+
+    u = Universe(str(gro), xtc)
+    assert u.trajectory.n_frames == 15
+    assert abs(u.trajectory.dt - 10.0) < 1e-4
+
+    heavy = u.select_atoms("type C or type O or type N")
+    traj = WeightedTrajectory(universe=u, input_ag=heavy, verbose=False)
+    assert traj.trajectory.shape == (15, 10, 3)
+    assert abs(traj.dt - 0.01) < 1e-9  # ps -> ns conversion
+    np.testing.assert_allclose(
+        traj.trajectory, coords[:, heavy.ix, :], atol=6e-4
+    )
+
+
+def test_universe_dcd_and_errors(tmp_path):
+    from colvarsfinder_tpu.utils import Universe
+
+    gro = tmp_path / "top.gro"
+    gro.write_text(GRO_TEXT)
+    coords = np.zeros((3, 22, 3), dtype=np.float32)
+    dcd = str(tmp_path / "t.dcd")
+    write_dcd(dcd, coords, dt_ps=2.0)
+    u = Universe(str(gro), dcd)
+    assert u.trajectory.n_frames == 3 and abs(u.trajectory.dt - 2.0) < 1e-4
+
+    # topology-only: single frame from the gro coordinates
+    u1 = Universe(str(gro))
+    assert u1.trajectory.n_frames == 1
+    assert u1.trajectory.timeseries().shape == (1, 22, 3)
+
+    with pytest.raises(ValueError, match="unsupported trajectory format"):
+        Universe(str(gro), str(tmp_path / "t.pdb"))
+
+    # atom-count mismatch
+    bad = str(tmp_path / "bad.dcd")
+    write_dcd(bad, np.zeros((2, 5, 3), np.float32))
+    with pytest.raises(ValueError, match="atoms"):
+        Universe(str(gro), bad)
+
+    with pytest.raises(ValueError, match="order"):
+        u.trajectory.timeseries(order="afc")
+
+
+def test_gro_write_read_roundtrip(tmp_path, top):
+    from colvarsfinder_tpu.utils.io import write_gro
+
+    out = str(tmp_path / "rt.gro")
+    write_gro(out, top)
+    back = parse_gro(out)
+    assert back.names == top.names
+    assert back.resids == top.resids
+    assert back.resnames == top.resnames
+    np.testing.assert_allclose(back.positions, top.positions, atol=5e-4)
+    np.testing.assert_allclose(back.box, top.box, atol=1e-5)
