@@ -30,6 +30,60 @@ from .task import TrainingTask
 
 __all__ = ["AutoEncoderTask"]
 
+# compiled multi-epoch programs shared ACROSS task instances (see
+# core/eigenfunction.py for the design rationale): model, optimizer state,
+# and batched feature/weight arrays are all traced arguments, so the key
+# only needs the config baked into the trace.
+_EPOCH_FN_CACHE: dict = {}
+
+
+def _multi_epoch_fn(length: int, opt_name: str, lr: float):
+    from ..config import matmul_precision
+    from .task import TrainingTask
+
+    key = (length, matmul_precision(), opt_name, lr)
+    fn = _EPOCH_FN_CACHE.get(key)
+    if fn is not None:
+        return fn
+    optimizer = TrainingTask.make_optimizer(opt_name, lr)
+
+    def epoch_body(model, opt_state, train_X, train_w, test_X, test_w):
+        def train_step(carry, batch):
+            model, opt_state = carry
+            X, w = batch
+            loss, grads = jax.value_and_grad(weighted_mse_loss)(model, X, w)
+            updates, opt_state = optimizer.update(grads, opt_state, model)
+            model = optax.apply_updates(model, updates)
+            return (model, opt_state), loss
+
+        (model, opt_state), train_losses = jax.lax.scan(
+            train_step, (model, opt_state), (train_X, train_w)
+        )
+
+        def eval_step(_, batch):
+            X, w = batch
+            return None, weighted_mse_loss(model, X, w)
+
+        _, test_losses = jax.lax.scan(eval_step, None, (test_X, test_w))
+        return model, opt_state, train_losses, test_losses
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def multi_fn(model, opt_state, train_X, train_w, test_X, test_w):
+        def body(carry, _):
+            model, opt_state = carry
+            model, opt_state, tr, te = epoch_body(
+                model, opt_state, train_X, train_w, test_X, test_w
+            )
+            return (model, opt_state), (tr, te)
+
+        (model, opt_state), (train_ms, test_ms) = jax.lax.scan(
+            body, (model, opt_state), None, length=length
+        )
+        return model, opt_state, train_ms, test_ms
+
+    _EPOCH_FN_CACHE[key] = multi_fn
+    return multi_fn
+
 
 class AutoEncoderTask(TrainingTask):
     r"""Train an autoencoder with the weighted reconstruction loss
@@ -102,7 +156,6 @@ class AutoEncoderTask(TrainingTask):
                 flush=True,
             )
 
-        self._epoch_fns = {}
 
     # ------------------------------------------------------------------
     def colvar_model(self) -> ColvarModel:
@@ -119,61 +172,15 @@ class AutoEncoderTask(TrainingTask):
         return weighted_mse_loss(self.model, jnp.asarray(X), jnp.asarray(weight))
 
     # ------------------------------------------------------------------
-    def _epoch_body(self, model, opt_state, train_X, train_w, test_X,
-                    test_w):
-        """One epoch: scanned train steps + scanned eval (pure, un-jitted)."""
-        optimizer = self.optimizer
-
-        def loss_fn(model, X, w):
-            return weighted_mse_loss(model, X, w)
-
-        def train_step(carry, batch):
-            model, opt_state = carry
-            X, w = batch
-            loss, grads = jax.value_and_grad(loss_fn)(model, X, w)
-            updates, opt_state = optimizer.update(grads, opt_state, model)
-            model = optax.apply_updates(model, updates)
-            return (model, opt_state), loss
-
-        (model, opt_state), train_losses = jax.lax.scan(
-            train_step, (model, opt_state), (train_X, train_w)
-        )
-
-        def eval_step(_, batch):
-            X, w = batch
-            return None, loss_fn(model, X, w)
-
-        _, test_losses = jax.lax.scan(eval_step, None, (test_X, test_w))
-        return model, opt_state, train_losses, test_losses
-
     def _get_multi_epoch_fn(self, length: int):
         """Jitted scan of `length` epochs — one device dispatch per chunk of
         epochs between host-side hooks (checkpoint/plot). Per-epoch metrics
-        are returned stacked so TensorBoard logging stays per-epoch."""
-        from ..config import matmul_precision
-
-        cache_key = (length, matmul_precision())
-        fn = self._epoch_fns.get(cache_key)
-        if fn is not None:
-            return fn
-        epoch_body = self._epoch_body
-
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def multi_fn(model, opt_state, train_X, train_w, test_X, test_w):
-            def body(carry, _):
-                model, opt_state = carry
-                model, opt_state, tr, te = epoch_body(
-                    model, opt_state, train_X, train_w, test_X, test_w
-                )
-                return (model, opt_state), (tr, te)
-
-            (model, opt_state), (train_ms, test_ms) = jax.lax.scan(
-                body, (model, opt_state), None, length=length
-            )
-            return model, opt_state, train_ms, test_ms
-
-        self._epoch_fns[cache_key] = multi_fn
-        return multi_fn
+        are returned stacked so TensorBoard logging stays per-epoch.
+        Compiled programs are shared across task instances (sweeps over
+        same-shaped tasks compile once)."""
+        return _multi_epoch_fn(
+            length, self.optimizer_name.lower(), float(self.learning_rate)
+        )
 
     def _next_chunk(self, epoch: int) -> int:
         """Epochs until the next host-side hook fires (inclusive)."""

@@ -42,6 +42,160 @@ __all__ = ["RegAutoEncoderTask"]
 
 _EPS = 1e-5
 
+# compiled multi-epoch programs shared ACROSS task instances (see
+# core/eigenfunction.py for the design rationale)
+_EPOCH_FN_CACHE: dict = {}
+
+
+def _regae_batch_loss(loss_static, model, pp, diag_coeff, traj, weights,
+                      idx):
+    """All gated loss terms for one index batch
+    (reference core.py:1069-1135). ``loss_static`` is the hashable config
+    prefix (state_shape, k, num_reg, alpha, gamma, eta, eig_w, beta,
+    lag_ae_idx, lag_idx, traj_dt); gating is Python-level so disabled terms
+    compile out of the step."""
+    (state_shape, k, num_reg, alpha, gamma, eta, eig_w, beta,
+     lag_ae_idx, lag_idx, traj_dt) = loss_static
+    X = traj[idx].reshape((-1,) + state_shape)
+    w = weights[idx]
+
+    if alpha > _EPS:
+        if lag_ae_idx > 0:
+            X_ae_lagged = traj[idx + lag_ae_idx].reshape(
+                (-1,) + state_shape
+            )
+        else:
+            X_ae_lagged = X
+        ae = weighted_mse_lagged_loss(
+            model.forward_ae, pp, X, X_ae_lagged, w
+        )
+    else:
+        ae = jnp.zeros(())
+
+    e0 = enc_grad_loss(model.encoder, pp, X, w, k) if eta[0] > _EPS else (
+        jnp.zeros(())
+    )
+    e1 = enc_norm_loss(model.encoder, pp, X, w, k) if eta[1] > _EPS else (
+        jnp.zeros(())
+    )
+    e2 = (
+        enc_orthogonality_loss(model.encoder, pp, X, w, k)
+        if eta[2] > _EPS else jnp.zeros(())
+    )
+
+    if gamma[0] + gamma[1] > _EPS:
+        if lag_idx > 0:
+            X_l = traj[idx + lag_idx].reshape((-1,) + state_shape)
+            w_l = weights[idx + lag_idx]
+        else:
+            X_l = w_l = None
+        eig_vals, g0, g1, cvec = reg_eigen_loss(
+            model, pp, X, w, X_l, w_l,
+            num_reg=num_reg,
+            eig_w=list(eig_w),
+            beta=beta,
+            diag_coeff=diag_coeff,
+            lag_idx=lag_idx,
+            traj_dt=traj_dt,
+        )
+    else:
+        g0 = jnp.zeros(())
+        g1 = jnp.zeros(())
+        eig_vals = jnp.zeros(num_reg)
+        cvec = jnp.arange(num_reg)
+
+    loss = (
+        alpha * ae
+        + gamma[0] * g0
+        + gamma[1] * g1
+        + eta[0] * e0
+        + eta[1] * e1
+        + eta[2] * e2
+    )
+    metrics = jnp.concatenate(
+        [
+            jnp.stack([loss, ae, g0, g1]),
+            eig_vals,
+            jnp.stack([e0, e1, e2]),
+            cvec.astype(loss.dtype),
+        ]
+    )
+    return loss, metrics
+
+
+def _zero_encoder_grads(grads):
+    # masked by named field (not pytree child position) so a future
+    # reordering of RegAutoEncoder.tree_flatten cannot silently freeze
+    # the wrong subtree
+    return RegAutoEncoder(
+        encoder=jax.tree_util.tree_map(jnp.zeros_like, grads.encoder),
+        decoder=grads.decoder,
+        reg=grads.reg,
+        _reg_layer_dims=grads.reg_layer_dims,
+        _num_reg=grads.num_reg,
+    )
+
+
+def _multi_epoch_fn(length: int, static: tuple):
+    from ..config import matmul_precision
+    from .task import TrainingTask
+
+    key = (length, matmul_precision()) + static
+    fn = _EPOCH_FN_CACHE.get(key)
+    if fn is not None:
+        return fn
+    loss_static = static[:11]
+    freeze, opt_name, lr = static[11:]
+    optimizer = TrainingTask.make_optimizer(opt_name, lr)
+
+    def epoch_body(model, opt_state, pp, diag_coeff, traj, weights,
+                   train_idx, test_idx):
+        def batch_loss(model, idx):
+            return _regae_batch_loss(
+                loss_static, model, pp, diag_coeff, traj, weights, idx
+            )
+
+        def train_step(carry, idx):
+            model, opt_state = carry
+            (_, metrics), grads = jax.value_and_grad(
+                batch_loss, has_aux=True
+            )(model, idx)
+            if freeze:
+                grads = _zero_encoder_grads(grads)
+            updates, opt_state = optimizer.update(grads, opt_state, model)
+            model = optax.apply_updates(model, updates)
+            return (model, opt_state), metrics
+
+        (model, opt_state), train_metrics = jax.lax.scan(
+            train_step, (model, opt_state), train_idx
+        )
+
+        def eval_step(_, idx):
+            _, metrics = batch_loss(model, idx)
+            return None, metrics
+
+        _, test_metrics = jax.lax.scan(eval_step, None, test_idx)
+        return model, opt_state, train_metrics, test_metrics
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def multi_fn(model, opt_state, pp, diag_coeff, traj, weights,
+                 train_idx, test_idx):
+        def body(carry, _):
+            model, opt_state = carry
+            model, opt_state, tr, te = epoch_body(
+                model, opt_state, pp, diag_coeff, traj, weights,
+                train_idx, test_idx
+            )
+            return (model, opt_state), (tr, te)
+
+        (model, opt_state), (train_ms, test_ms) = jax.lax.scan(
+            body, (model, opt_state), None, length=length
+        )
+        return model, opt_state, train_ms, test_ms
+
+    _EPOCH_FN_CACHE[key] = multi_fn
+    return multi_fn
+
 
 class RegAutoEncoderTask(TrainingTask):
     r"""Train a regularized autoencoder
@@ -175,7 +329,6 @@ class RegAutoEncoderTask(TrainingTask):
                 flush=True,
             )
 
-        self._epoch_fns = {}
 
     @property
     def _traj_flat(self):
@@ -199,153 +352,37 @@ class RegAutoEncoderTask(TrainingTask):
         return ColvarModel(self.preprocessing_layer, reg_reordered)
 
     # ------------------------------------------------------------------
+    def _static_config(self):
+        """Hashable tuple of everything baked into the compiled epoch
+        program (see core/eigenfunction.py for the shared-cache design)."""
+        return (
+            tuple(self._traj_np.shape[1:]),
+            self.k,
+            self.num_reg,
+            self.alpha,
+            tuple(self.gamma),
+            tuple(self.eta),
+            tuple(float(w) for w in self._eig_w),
+            self._beta,
+            self.lag_ae_idx,
+            self.lag_idx,
+            self.traj_dt,
+            self.freeze_encoder,
+            self.optimizer_name.lower(),
+            float(self.learning_rate),
+        )
+
     def _batch_loss(self, model, traj, weights, idx):
         """All gated loss terms for one index batch
-        (reference core.py:1069-1135)."""
-        pp = self._pp_for_loss
-        state_shape = tuple(self._traj_np.shape[1:])
-        X = traj[idx].reshape((-1,) + state_shape)
-        w = weights[idx]
-
-        if self.alpha > self._eps:
-            if self.lag_ae_idx > 0:
-                X_ae_lagged = traj[idx + self.lag_ae_idx].reshape(
-                    (-1,) + state_shape
-                )
-            else:
-                X_ae_lagged = X
-            ae = weighted_mse_lagged_loss(
-                model.forward_ae, pp, X, X_ae_lagged, w
-            )
-        else:
-            ae = jnp.zeros(())
-
-        if self.eta[0] > self._eps:
-            e0 = enc_grad_loss(model.encoder, pp, X, w, self.k)
-        else:
-            e0 = jnp.zeros(())
-        if self.eta[1] > self._eps:
-            e1 = enc_norm_loss(model.encoder, pp, X, w, self.k)
-        else:
-            e1 = jnp.zeros(())
-        if self.eta[2] > self._eps:
-            e2 = enc_orthogonality_loss(model.encoder, pp, X, w, self.k)
-        else:
-            e2 = jnp.zeros(())
-
-        if self.gamma[0] + self.gamma[1] > self._eps:
-            if self.lag_idx > 0:
-                X_l = traj[idx + self.lag_idx].reshape(
-                    (-1,) + state_shape
-                )
-                w_l = weights[idx + self.lag_idx]
-            else:
-                X_l = w_l = None
-            eig_vals, g0, g1, cvec = reg_eigen_loss(
-                model, pp, X, w, X_l, w_l,
-                num_reg=self.num_reg,
-                eig_w=self._eig_w,
-                beta=self._beta,
-                diag_coeff=self._diag_coeff,
-                lag_idx=self.lag_idx,
-                traj_dt=self.traj_dt,
-            )
-        else:
-            g0 = jnp.zeros(())
-            g1 = jnp.zeros(())
-            eig_vals = jnp.zeros(self.num_reg)
-            cvec = jnp.arange(self.num_reg)
-
-        loss = (
-            self.alpha * ae
-            + self.gamma[0] * g0
-            + self.gamma[1] * g1
-            + self.eta[0] * e0
-            + self.eta[1] * e1
-            + self.eta[2] * e2
+        (reference core.py:1069-1135); kept as a method for direct use —
+        the compiled epoch programs use the module-level equivalent."""
+        return _regae_batch_loss(
+            self._static_config()[:11], model, self._pp_for_loss,
+            self._diag_coeff, traj, weights, idx,
         )
-        metrics = jnp.concatenate(
-            [
-                jnp.stack([loss, ae, g0, g1]),
-                eig_vals,
-                jnp.stack([e0, e1, e2]),
-                cvec.astype(loss.dtype),
-            ]
-        )
-        return loss, metrics
-
-    def _zero_encoder_grads(self, grads):
-        # masked by named field (not pytree child position) so a future
-        # reordering of RegAutoEncoder.tree_flatten cannot silently freeze
-        # the wrong subtree
-        from ..models.ae import RegAutoEncoder
-
-        return RegAutoEncoder(
-            encoder=jax.tree_util.tree_map(jnp.zeros_like, grads.encoder),
-            decoder=grads.decoder,
-            reg=grads.reg,
-            _reg_layer_dims=grads.reg_layer_dims,
-            _num_reg=grads.num_reg,
-        )
-
-    def _build_epoch_fn(self):
-        optimizer = self.optimizer
-        freeze = self.freeze_encoder
-        batch_loss = self._batch_loss
-        zero_enc = self._zero_encoder_grads
-
-        def epoch_body(model, opt_state, traj, weights, train_idx, test_idx):
-            def train_step(carry, idx):
-                model, opt_state = carry
-                (_, metrics), grads = jax.value_and_grad(
-                    batch_loss, has_aux=True
-                )(model, traj, weights, idx)
-                if freeze:
-                    grads = zero_enc(grads)
-                updates, opt_state = optimizer.update(grads, opt_state, model)
-                model = optax.apply_updates(model, updates)
-                return (model, opt_state), metrics
-
-            (model, opt_state), train_metrics = jax.lax.scan(
-                train_step, (model, opt_state), train_idx
-            )
-
-            def eval_step(_, idx):
-                _, metrics = batch_loss(model, traj, weights, idx)
-                return None, metrics
-
-            _, test_metrics = jax.lax.scan(eval_step, None, test_idx)
-            return model, opt_state, train_metrics, test_metrics
-
-        return epoch_body
 
     def _get_multi_epoch_fn(self, length: int):
-        """Jitted scan of `length` epochs — one device dispatch per chunk of
-        epochs between host-side hooks; per-epoch metrics stacked."""
-        from ..config import matmul_precision
-
-        cache_key = (length, matmul_precision())
-        fn = self._epoch_fns.get(cache_key)
-        if fn is not None:
-            return fn
-        epoch_body = self._build_epoch_fn()
-
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def multi_fn(model, opt_state, traj, weights, train_idx, test_idx):
-            def body(carry, _):
-                model, opt_state = carry
-                model, opt_state, tr, te = epoch_body(
-                    model, opt_state, traj, weights, train_idx, test_idx
-                )
-                return (model, opt_state), (tr, te)
-
-            (model, opt_state), (train_ms, test_ms) = jax.lax.scan(
-                body, (model, opt_state), None, length=length
-            )
-            return model, opt_state, train_ms, test_ms
-
-        self._epoch_fns[cache_key] = multi_fn
-        return multi_fn
+        return _multi_epoch_fn(length, self._static_config())
 
     def _next_chunk(self, epoch: int) -> int:
         """Epochs until the next host-side hook fires (inclusive)."""
@@ -407,7 +444,8 @@ class RegAutoEncoderTask(TrainingTask):
                 _t0 = _time.perf_counter()
                 model, opt_state, train_cm, test_cm = (
                     self._get_multi_epoch_fn(chunk)(
-                        model, opt_state, traj, weights, train_bd, test_bd
+                        model, opt_state, self._pp_for_loss,
+                        self._diag_coeff, traj, weights, train_bd, test_bd
                     )
                 )
                 train_cm = np.asarray(train_cm)

@@ -155,14 +155,18 @@ def test_precision_change_recompiles_epoch_fns(tmp_path):
         num_epochs=1, test_ratio=0.25, verbose=False,
         debug_mode=False, export_cv=False, tensorboard=False,
     )
+    from colvarsfinder_tpu.core import autoencoder as ae_mod
+
     old = config.matmul_precision()
     try:
-        task._get_multi_epoch_fn(1)
+        fn_highest = task._get_multi_epoch_fn(1)
         config.set_matmul_precision("default")
-        task._get_multi_epoch_fn(1)
-        keys = set(task._epoch_fns)
-        assert (1, jax.lax.Precision.HIGHEST) in keys
-        assert (1, jax.lax.Precision.DEFAULT) in keys
+        fn_default = task._get_multi_epoch_fn(1)
+        # different precision -> different compiled program
+        assert fn_highest is not fn_default
+        precisions = {k[1] for k in ae_mod._EPOCH_FN_CACHE if k[0] == 1}
+        assert {jax.lax.Precision.HIGHEST,
+                jax.lax.Precision.DEFAULT} <= precisions
     finally:
         config.set_matmul_precision(old)
 
