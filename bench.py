@@ -117,8 +117,16 @@ def bench_jax(ref, traj_np, weights_np):
     dt = time.perf_counter() - t0
     steps = n_epochs * nb
     sps = steps * BATCH / dt
+    # effective compute: analytic ~35k flops/sample (two fwd+bwd MLP passes
+    # through k=2 heads + batched Kabsch; benchmarks/perf_sweep.py) — MFU is
+    # structurally bounded at this model scale because the 30->20
+    # contractions fill ~4% of the 128x128 MXU's lanes
+    flops_per_sample = 34_760
+    tflops = sps * flops_per_sample / 1e12
     log(f"jax: {steps} steps in {dt:.3f}s -> {sps:,.0f} samples/s "
-        f"(loss={float(losses[-1]):.4f}, backend={jax.default_backend()})")
+        f"(loss={float(losses[-1]):.4f}, backend={jax.default_backend()}, "
+        f"~{tflops:.2f} TFLOP/s effective, "
+        f"~{100 * tflops / 66:.2f}% of v5e f32-effective peak)")
     return sps
 
 
