@@ -433,6 +433,20 @@ def config_5(epochs, outdir, results, data, n_replicas=4):
     ours_dt = time.perf_counter() - t0
     results["5_multireplica_sweep"] = {"ours_sps": samples / ours_dt}
 
+    # vmapped replica ensemble: all replicas advance in ONE compiled
+    # program (colvarsfinder_tpu.parallel.train_replica_ensemble)
+    from colvarsfinder_tpu.parallel import train_replica_ensemble
+
+    train_replica_ensemble(
+        [build_ours(rep, i) for i, rep in enumerate(replicas)]
+    )  # compile
+    tasks = [build_ours(rep, i) for i, rep in enumerate(replicas)]
+    t0 = time.perf_counter()
+    train_replica_ensemble(tasks)
+    results["5_multireplica_sweep"]["ours_ensemble_sps"] = samples / (
+        time.perf_counter() - t0
+    )
+
     _, DihedralFeatures = _torch_pp_layers()
     t0 = time.perf_counter()
     for i, rep in enumerate(replicas):

@@ -42,9 +42,9 @@ def _multi_epoch_fn(length: int, static: tuple):
     from ..config import matmul_precision
 
     key = (length, matmul_precision()) + static
-    fn = _EPOCH_FN_CACHE.get(key)
-    if fn is not None:
-        return fn
+    cached = _EPOCH_FN_CACHE.get(key)
+    if cached is not None:
+        return cached[0]
 
     (state_shape, k, alpha, eig_w, beta, lag_idx, traj_dt,
      sort_eigvals, opt_name, lr) = static
@@ -103,9 +103,8 @@ def _multi_epoch_fn(length: int, static: tuple):
         _, test_metrics = jax.lax.scan(eval_step, None, test_idx)
         return model, opt_state, train_metrics, test_metrics
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def multi_fn(model, opt_state, pp_layer, diag_coeff, traj, weights,
-                 train_idx, test_idx):
+    def multi_impl(model, opt_state, pp_layer, diag_coeff, traj, weights,
+                   train_idx, test_idx):
         def body(carry, _):
             model, opt_state = carry
             model, opt_state, tr, te = epoch_body(
@@ -119,8 +118,18 @@ def _multi_epoch_fn(length: int, static: tuple):
         )
         return model, opt_state, train_ms, test_ms
 
-    _EPOCH_FN_CACHE[key] = multi_fn
+    multi_fn = jax.jit(multi_impl, donate_argnums=(0, 1))
+    _EPOCH_FN_CACHE[key] = (multi_fn, multi_impl)
     return multi_fn
+
+
+def _multi_epoch_impl(length: int, static: tuple):
+    """Un-jitted multi-epoch program (for the replica-ensemble vmap)."""
+    from ..config import matmul_precision
+
+    _multi_epoch_fn(length, static)  # populate the cache
+    key = (length, matmul_precision()) + static
+    return _EPOCH_FN_CACHE[key][1]
 
 
 class EigenFunctionTask(TrainingTask):

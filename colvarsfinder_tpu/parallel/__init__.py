@@ -1,5 +1,12 @@
 """Parallelism: device meshes and sharding for data-parallel training."""
 
+from .ensemble import train_replica_ensemble
 from .mesh import make_data_mesh, replicate, shard_batches, shard_frames
 
-__all__ = ["make_data_mesh", "replicate", "shard_batches", "shard_frames"]
+__all__ = [
+    "make_data_mesh",
+    "replicate",
+    "shard_batches",
+    "shard_frames",
+    "train_replica_ensemble",
+]
