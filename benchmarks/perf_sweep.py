@@ -117,12 +117,82 @@ def measure(batch=20_000, precision="highest", fuse=False, steps=30):
     return sps, float(losses[-1])
 
 
+def phase_breakdown(batch=20_000, steps=50):
+    """Measured device-time breakdown of one training step: time each
+    pipeline phase as its own jitted program (gathers, alignment+features,
+    MLP forward, full loss forward, full grad step). Phases overlap under
+    XLA fusion in the real step, so these are upper bounds that localize
+    where the time goes."""
+    import jax
+    import jax.numpy as jnp
+
+    from colvarsfinder_tpu.core.losses import eigen_loss
+    from colvarsfinder_tpu.models import EigenFunctions
+    from colvarsfinder_tpu.ops import (
+        AlignmentLayer, Feature, FeatureLayer, PreprocessingANN,
+    )
+
+    rng = np.random.default_rng(0)
+    ref = rng.standard_normal((N_ATOMS, 3)).astype(np.float32)
+    traj_np = (
+        ref[None] + 0.3 * rng.standard_normal((N_FRAMES, N_ATOMS, 3))
+    ).astype(np.float32)
+    weights_np = rng.uniform(0.5, 1.5, N_FRAMES).astype(np.float32)
+    align = AlignmentLayer(ref, align_indices=list(range(N_ATOMS)))
+    feat = FeatureLayer([Feature("p", "position", list(range(N_ATOMS)))])
+    pp = PreprocessingANN(align, feat)
+    model = EigenFunctions([D_R, 20, 20, 20, 1], k=K, seed=0)
+    traj = jax.device_put(jnp.asarray(traj_np.reshape(N_FRAMES, -1)))
+    weights = jax.device_put(jnp.asarray(weights_np))
+    idx = jax.device_put(jnp.arange(batch, dtype=jnp.int32))
+
+    def timed(fn, *args):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return 1000 * (time.perf_counter() - t0) / steps
+
+    gather = jax.jit(lambda i: (traj[i], traj[i + LAG], weights[i],
+                                weights[i + LAG]))
+    pp_fn = jax.jit(lambda i: pp(traj[i].reshape(-1, N_ATOMS, 3)))
+    fwd_fn = jax.jit(lambda m, i: m(pp(traj[i].reshape(-1, N_ATOMS, 3))))
+
+    def loss_fn(m, i):
+        X = traj[i].reshape(-1, N_ATOMS, 3)
+        X_l = traj[i + LAG].reshape(-1, N_ATOMS, 3)
+        loss, _ = eigen_loss(
+            m, pp, X, weights[i], X_l, weights[i + LAG],
+            k=K, alpha=ALPHA, eig_w=EIG_W, beta=1.0, diag_coeff=None,
+            lag_idx=LAG, traj_dt=TRAJ_DT, sort_eigvals=True,
+        )
+        return loss
+
+    loss_jit = jax.jit(loss_fn)
+    grad_jit = jax.jit(jax.grad(loss_fn))
+
+    rows = [
+        ("gathers (x, x_lagged, w)", timed(gather, idx)),
+        ("align + features (1 pass)", timed(pp_fn, idx)),
+        ("pp + MLP forward (1 pass)", timed(fwd_fn, model, idx)),
+        ("full loss forward (2 passes)", timed(loss_jit, model, idx)),
+        ("full grad step", timed(grad_jit, model, idx)),
+    ]
+    log("\nper-phase device time (batch 20k, isolated jitted programs):")
+    for name, ms in rows:
+        log(f"  {name:30s} {ms:7.3f} ms")
+    return {name: round(ms, 3) for name, ms in rows}
+
+
 def main():
     import jax
 
     results = {}
     fps = flops_per_sample()
     log(f"analytic flops/sample ~= {fps:,.0f}")
+    results["phase_breakdown_ms"] = phase_breakdown()
 
     base_sps, base_loss = measure()
     results["baseline"] = base_sps
@@ -142,12 +212,12 @@ def main():
         log(f"{name:22s} {sps:,.0f} sps ({sps / base_sps - 1:+.1%} vs "
             f"baseline)  loss={loss:.4f}")
 
-    best = max(results.values())
+    best = max(v for v in results.values() if isinstance(v, float))
     tflops = best * fps / 1e12
     log(f"\nbest effective compute: {tflops:.2f} TFLOP/s "
         f"(~{100 * tflops / 66:.2f}% of v5e f32-effective peak ~66 TF; "
         "the 30->20 contractions use ~4% of MXU lanes, which bounds MFU)")
-    print(json.dumps({k: round(v, 0) for k, v in results.items()}))
+    print(json.dumps({k: (v if isinstance(v, dict) else round(v, 0)) for k, v in results.items()}))
 
 
 if __name__ == "__main__":
