@@ -71,19 +71,24 @@ def bench_jax(ref, traj_np, weights_np):
     optimizer = optax.adam(LR)
     opt_state = optimizer.init(model)
 
-    # flat 2-D gathers are 3-5x faster than N-D gathers on TPU
-    traj = jax.device_put(jnp.asarray(traj_np.reshape(N_FRAMES, -1)))
-    weights = jax.device_put(jnp.asarray(weights_np))
-
+    # the framework's default data layout (EigenFunctionTask prebatch):
+    # the static batch schedule is gathered ONCE on the host into
+    # [nb, B, ...] arrays the epoch scan streams — ~15% faster than
+    # per-step device gathers (benchmarks/RESULTS.md)
     nb = (N_FRAMES - LAG) // BATCH
-    idx_all = np.arange(nb * BATCH, dtype=np.int32).reshape(nb, BATCH)
-    idx_all = jax.device_put(jnp.asarray(idx_all))
+    idx = np.arange(nb * BATCH, dtype=np.int64).reshape(nb, BATCH)
+    flat = traj_np.reshape(N_FRAMES, -1)
+    Xb = jax.device_put(jnp.asarray(
+        flat[idx.reshape(-1)].reshape(nb, BATCH, N_ATOMS, 3)
+    ))
+    Xlb = jax.device_put(jnp.asarray(
+        flat[(idx + LAG).reshape(-1)].reshape(nb, BATCH, N_ATOMS, 3)
+    ))
+    wb = jax.device_put(jnp.asarray(weights_np[idx]))
+    wlb = jax.device_put(jnp.asarray(weights_np[idx + LAG]))
 
-    def batch_loss(m, idx):
-        X = traj[idx].reshape(-1, N_ATOMS, 3)
-        w = weights[idx]
-        X_l = traj[idx + LAG].reshape(-1, N_ATOMS, 3)
-        w_l = weights[idx + LAG]
+    def batch_loss(m, batch):
+        X, X_l, w, w_l = batch
         loss, _ = eigen_loss(
             m, pp, X, w, X_l, w_l,
             k=K, alpha=ALPHA, eig_w=EIG_W, beta=1.0, diag_coeff=None,
@@ -94,25 +99,27 @@ def bench_jax(ref, traj_np, weights_np):
     # the framework's execution model: an epoch of batches is ONE jitted
     # lax.scan dispatch (see core/*.py multi-epoch chunks)
     @jax.jit
-    def train_epoch(m, os_, idxs):
-        def step(carry, idx):
+    def train_epoch(m, os_, Xb, Xlb, wb, wlb):
+        def step(carry, batch):
             m, os_ = carry
-            loss, grads = jax.value_and_grad(batch_loss)(m, idx)
+            loss, grads = jax.value_and_grad(batch_loss)(m, batch)
             updates, os_ = optimizer.update(grads, os_, m)
             m = optax.apply_updates(m, updates)
             return (m, os_), loss
 
-        (m, os_), losses = jax.lax.scan(step, (m, os_), idxs)
+        (m, os_), losses = jax.lax.scan(step, (m, os_), (Xb, Xlb, wb, wlb))
         return m, os_, losses
 
     # warmup (compile)
-    model, opt_state, losses = train_epoch(model, opt_state, idx_all)
+    model, opt_state, losses = train_epoch(model, opt_state, Xb, Xlb, wb, wlb)
     jax.block_until_ready(losses)
 
     n_epochs = max(1, MEASURE_STEPS // nb)
     t0 = time.perf_counter()
     for _ in range(n_epochs):
-        model, opt_state, losses = train_epoch(model, opt_state, idx_all)
+        model, opt_state, losses = train_epoch(
+            model, opt_state, Xb, Xlb, wb, wlb
+        )
     jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
     steps = n_epochs * nb

@@ -47,21 +47,12 @@ def _multi_epoch_fn(length: int, static: tuple):
         return cached[0]
 
     (state_shape, k, alpha, eig_w, beta, lag_idx, traj_dt,
-     sort_eigvals, opt_name, lr) = static
+     sort_eigvals, opt_name, lr, prebatch) = static
     from .task import TrainingTask
 
     optimizer = TrainingTask.make_optimizer(opt_name, lr)
 
-    def batch_loss(model, pp_layer, diag_coeff, traj, weights, idx):
-        # traj is stored flattened [n, prod(state)] — flat 2-D gathers
-        # are 3-5x faster than N-D gathers on TPU; reshape per batch
-        X = traj[idx].reshape((-1,) + state_shape)
-        w = weights[idx]
-        if lag_idx > 0:
-            X_l = traj[idx + lag_idx].reshape((-1,) + state_shape)
-            w_l = weights[idx + lag_idx]
-        else:
-            X_l = w_l = None
+    def _loss(model, pp_layer, diag_coeff, X, w, X_l, w_l):
         loss, aux = eigen_loss(
             model, pp_layer, X, w, X_l, w_l,
             k=k, alpha=alpha, eig_w=list(eig_w), beta=beta,
@@ -77,39 +68,70 @@ def _multi_epoch_fn(length: int, static: tuple):
         )
         return loss, metrics
 
-    def epoch_body(model, opt_state, pp_layer, diag_coeff, traj, weights,
-                   train_idx, test_idx):
-        def train_step(carry, idx):
+    if prebatch:
+        # batches were gathered ONCE before training (the schedule is
+        # static, shuffle=False semantics): the scan streams pre-shaped
+        # [nb, B, ...] arrays — measured ~15% faster than per-step
+        # gathers at dipeptide scale (benchmarks/RESULTS.md)
+        def batch_loss(model, pp_layer, diag_coeff, batch):
+            if lag_idx > 0:
+                Xf, Xlf, w, w_l = batch
+                X_l = Xlf.reshape((-1,) + state_shape)
+            else:
+                Xf, w = batch
+                X_l = w_l = None
+            X = Xf.reshape((-1,) + state_shape)
+            return _loss(model, pp_layer, diag_coeff, X, w, X_l, w_l)
+    else:
+        # trajectory stays whole on device (required for frame-axis
+        # sharding); flat 2-D gathers per scan step (3-5x faster than
+        # N-D gathers on TPU), reshape per batch
+        def batch_loss(model, pp_layer, diag_coeff, batch):
+            traj, weights, idx = batch
+            X = traj[idx].reshape((-1,) + state_shape)
+            w = weights[idx]
+            if lag_idx > 0:
+                X_l = traj[idx + lag_idx].reshape((-1,) + state_shape)
+                w_l = weights[idx + lag_idx]
+            else:
+                X_l = w_l = None
+            return _loss(model, pp_layer, diag_coeff, X, w, X_l, w_l)
+
+    def epoch_body(model, opt_state, pp_layer, diag_coeff, train_data,
+                   test_data):
+        def train_step(carry, scanned):
             model, opt_state = carry
+            batch = scanned if prebatch else train_data[:2] + (scanned,)
             (_, metrics), grads = jax.value_and_grad(
                 batch_loss, has_aux=True
-            )(model, pp_layer, diag_coeff, traj, weights, idx)
+            )(model, pp_layer, diag_coeff, batch)
             updates, opt_state = optimizer.update(grads, opt_state, model)
             model = optax.apply_updates(model, updates)
             return (model, opt_state), metrics
 
+        train_xs = train_data if prebatch else train_data[2]
         (model, opt_state), train_metrics = jax.lax.scan(
-            train_step, (model, opt_state), train_idx
+            train_step, (model, opt_state), train_xs
         )
 
-        def eval_step(_, idx):
+        def eval_step(_, scanned):
             # the reference evaluates the test loss with gradients
             # enabled (core.py:535-551) — semantics identical here
-            _, metrics = batch_loss(
-                model, pp_layer, diag_coeff, traj, weights, idx
-            )
+            batch = scanned if prebatch else test_data[:2] + (scanned,)
+            _, metrics = batch_loss(model, pp_layer, diag_coeff, batch)
             return None, metrics
 
-        _, test_metrics = jax.lax.scan(eval_step, None, test_idx)
+        test_xs = test_data if prebatch else test_data[2]
+        _, test_metrics = jax.lax.scan(eval_step, None, test_xs)
         return model, opt_state, train_metrics, test_metrics
 
-    def multi_impl(model, opt_state, pp_layer, diag_coeff, traj, weights,
-                   train_idx, test_idx):
+    def multi_impl(model, opt_state, pp_layer, diag_coeff, train_data,
+                   test_data):
         def body(carry, _):
             model, opt_state = carry
             model, opt_state, tr, te = epoch_body(
-                model, opt_state, pp_layer, diag_coeff, traj, weights,
-                train_idx, test_idx
+                model, opt_state, pp_layer, diag_coeff, train_data,
+                test_data
             )
             return (model, opt_state), (tr, te)
 
@@ -172,6 +194,7 @@ class EigenFunctionTask(TrainingTask):
         verbose: bool = True,
         debug_mode: bool = True,
         precompute_features: bool = False,
+        prebatch: bool | None = None,
         **kwargs,
     ):
         assert isinstance(model, EigenFunctions), (
@@ -231,6 +254,18 @@ class EigenFunctionTask(TrainingTask):
             )
             self._traj_np = np.asarray(feats)
             self._pp_for_loss = Identity()
+
+        # batch-data layout (docs/api.md option matrix): pre-gathered
+        # batches by default (~15% faster); per-step device gathers when
+        # the trajectory is frame-sharded (required) or on request
+        if prebatch is None:
+            self._prebatch = not self.shard_trajectory
+        else:
+            self._prebatch = bool(prebatch)
+            assert not (self._prebatch and self.shard_trajectory), (
+                "prebatch=True is incompatible with shard_trajectory: the "
+                "frame-sharded layout requires per-step gathers"
+            )
 
         if self.lag_idx == 0:  # generator
             self._beta = float(beta)
@@ -312,10 +347,66 @@ class EigenFunctionTask(TrainingTask):
             self._sort_eigvals_in_training,
             self.optimizer_name.lower(),
             float(self.learning_rate),
+            self._prebatch,
         )
 
     def _get_multi_epoch_fn(self, length: int):
         return _multi_epoch_fn(length, self._static_config())
+
+    def _prepare_data(self):
+        """Device-placed data arguments of the multi-epoch program:
+        ``(train_data, test_data, train_b, test_b)``.
+
+        prebatch mode (default): the static batch schedule is gathered
+        ONCE on the host into [nb, B, ...] arrays the epoch scan streams —
+        ~15% faster than per-step device gathers at dipeptide scale.
+        gather mode (``shard_trajectory`` or ``prebatch=False``): the
+        whole trajectory stays on device (frame-sharded over the mesh when
+        requested) and batches are per-step flat gathers.
+        """
+        n = self._traj_np.shape[0]
+        ll = n - self.lag_idx
+        train_idx, test_idx = self._make_split(ll)
+        train_b = self._make_batches(train_idx, self.batch_size)
+        test_b = self._make_batches(test_idx, self.batch_size)
+
+        if self._prebatch:
+            flat = self._traj_flat
+            w = self._weights_np
+
+            def pack(b):
+                Xf = flat[b.reshape(-1)].reshape(b.shape + flat.shape[1:])
+                if self.lag_idx > 0:
+                    bl = b + self.lag_idx
+                    Xlf = flat[bl.reshape(-1)].reshape(
+                        b.shape + flat.shape[1:]
+                    )
+                    return (jnp.asarray(Xf), jnp.asarray(Xlf),
+                            jnp.asarray(w[b]), jnp.asarray(w[bl]))
+                return (jnp.asarray(Xf), jnp.asarray(w[b]))
+
+            train_data = self._place_batched(pack(train_b))
+            test_data = self._place_batched(pack(test_b))
+        else:
+            if self.shard_trajectory and self.mesh is not None:
+                # long-trajectory scaling (SURVEY.md §5): the frame axis
+                # is sharded across the mesh so trajectories larger than
+                # one chip's HBM can be trained on; per-batch (lagged)
+                # gathers become XLA collectives over ICI
+                from ..parallel.mesh import shard_frames
+
+                traj = shard_frames(jnp.asarray(self._traj_flat), self.mesh)
+                weights = shard_frames(
+                    jnp.asarray(self._weights_np), self.mesh
+                )
+            else:
+                traj = self._place_replicated(jnp.asarray(self._traj_flat))
+                weights = self._place_replicated(
+                    jnp.asarray(self._weights_np)
+                )
+            train_data = (traj, weights, self._place_batched(train_b))
+            test_data = (traj, weights, self._place_batched(test_b))
+        return train_data, test_data, train_b, test_b
 
     def _next_chunk(self, epoch: int) -> int:
         """Epochs until the next host-side hook fires (inclusive)."""
@@ -329,27 +420,7 @@ class EigenFunctionTask(TrainingTask):
 
     def train(self):
         r"""Train the model (reference core.py:459-566)."""
-        n = self._traj_np.shape[0]
-        ll = n - self.lag_idx
-        train_idx, test_idx = self._make_split(ll)
-
-        train_b = self._make_batches(train_idx, self.batch_size)
-        test_b = self._make_batches(test_idx, self.batch_size)
-
-        if self.shard_trajectory and self.mesh is not None:
-            # long-trajectory scaling (SURVEY.md §5): the frame axis is
-            # sharded across the mesh so trajectories larger than one
-            # chip's HBM can be trained on; per-batch (lagged) gathers
-            # become XLA collectives over ICI
-            from ..parallel.mesh import shard_frames
-
-            traj = shard_frames(jnp.asarray(self._traj_flat), self.mesh)
-            weights = shard_frames(jnp.asarray(self._weights_np), self.mesh)
-        else:
-            traj = self._place_replicated(jnp.asarray(self._traj_flat))
-            weights = self._place_replicated(jnp.asarray(self._weights_np))
-        train_bd = self._place_batched(train_b)
-        test_bd = self._place_batched(test_b)
+        train_data, test_data, train_b, test_b = self._prepare_data()
         model = self._place_replicated(self._protect(self.model))
         opt_state = self._place_replicated(self._protect(self.opt_state))
 
@@ -375,7 +446,7 @@ class EigenFunctionTask(TrainingTask):
                 model, opt_state, train_cm, test_cm = (
                     self._get_multi_epoch_fn(chunk)(
                         model, opt_state, self._pp_for_loss,
-                        self._diag_coeff, traj, weights, train_bd, test_bd
+                        self._diag_coeff, train_data, test_data
                     )
                 )
                 train_cm = np.asarray(train_cm)  # [chunk, nb, n_metrics + k]

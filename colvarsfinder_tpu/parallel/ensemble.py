@@ -85,17 +85,13 @@ def train_replica_ensemble(tasks: Sequence) -> None:
         assert t.num_epochs == tasks[0].num_epochs
         assert t.batch_size == tasks[0].batch_size
 
-    # per-replica splits/batches (same shapes across replicas by the
-    # static-config check: same n_frames and batch size)
-    models, opt_states, pps, diags = [], [], [], []
-    trajs, weights, train_bs, test_bs = [], [], [], []
+    # per-replica splits/batches and data layout (same shapes across
+    # replicas by the static-config check: same n_frames and batch size)
+    models, opt_states, pps, diags, train_ds, test_ds = [], [], [], [], [], []
     for t in tasks:
-        n = t._traj_np.shape[0]
-        train_idx, test_idx = t._make_split(n - t.lag_idx)
-        train_bs.append(t._make_batches(train_idx, t.batch_size))
-        test_bs.append(t._make_batches(test_idx, t.batch_size))
-        trajs.append(jnp.asarray(t._traj_flat))
-        weights.append(jnp.asarray(t._weights_np))
+        train_data, test_data, _, _ = t._prepare_data()
+        train_ds.append(train_data)
+        test_ds.append(test_data)
         models.append(t._protect(t.model))
         opt_states.append(t._protect(t.opt_state))
         pps.append(t._pp_for_loss)
@@ -105,17 +101,15 @@ def train_replica_ensemble(tasks: Sequence) -> None:
     opt_e = _stack_trees(opt_states)
     pp_e = _stack_trees(pps)
     diag_e = None if diags[0] is None else jnp.stack(diags)
-    traj_e = jnp.stack(trajs)
-    w_e = jnp.stack(weights)
-    train_e = jnp.asarray(np.stack(train_bs))
-    test_e = jnp.asarray(np.stack(test_bs))
+    train_e = _stack_trees(train_ds)
+    test_e = _stack_trees(test_ds)
 
     epochs = tasks[0].num_epochs
     ens_fn = _ensemble_fn(epochs, static)
 
     t0 = time.perf_counter()
     model_e, opt_e, train_ms, test_ms = ens_fn(
-        model_e, opt_e, pp_e, diag_e, traj_e, w_e, train_e, test_e
+        model_e, opt_e, pp_e, diag_e, train_e, test_e
     )
     train_ms = np.asarray(train_ms)  # [R, epochs, nb, n_metrics + k]
     test_ms = np.asarray(test_ms)
