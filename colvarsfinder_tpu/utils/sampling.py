@@ -89,6 +89,8 @@ def _em_scan(grad_fn, x0, key, step_size, beta, n_sub, n_reports, pre_steps):
             jax.random.fold_in(main_key, i), (n_sub,) + x.shape, x.dtype
         )
         # one recorded step, then n_sub - 1 unrecorded ones
+        # (unrolling measured: 8-wide is 15% SLOWER and costs 20x compile —
+        # the chain is sequential, so unrolling only bloats the program)
         x = em_step(x, noise[0])
         frame = x
 
