@@ -63,8 +63,10 @@ def set_default_dtype(dtype) -> None:
     name = np.dtype(dtype).name
     if name not in ("float32", "float64"):
         raise ValueError(f"unsupported default dtype {name}")
-    if name == "float64":
-        jax.config.update("jax_enable_x64", True)
+    # toggle x64 both ways so float32 after a float64 phase restores the
+    # normal mode (otherwise untyped float64 numpy inputs would silently
+    # stay f64 in traced programs)
+    jax.config.update("jax_enable_x64", name == "float64")
     _DTYPE_NAME = name
 
 

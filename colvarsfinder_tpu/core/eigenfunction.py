@@ -168,6 +168,11 @@ class EigenFunctionTask(TrainingTask):
             'eig_1', ..., 'eig_k']
     """
 
+    # auto prebatch is disabled above this estimated size of the batched
+    # copies (2x trajectory with a lag): leaves headroom on a 16 GB chip
+    # for the trajectory itself, activations, and the optimizer state
+    PREBATCH_AUTO_LIMIT_BYTES = 4 << 30
+
     def __init__(
         self,
         traj_obj,
@@ -257,9 +262,16 @@ class EigenFunctionTask(TrainingTask):
 
         # batch-data layout (docs/api.md option matrix): pre-gathered
         # batches by default (~15% faster); per-step device gathers when
-        # the trajectory is frame-sharded (required) or on request
+        # the trajectory is frame-sharded (required), when the batched
+        # copies would be too large for HBM (auto fallback), or on request
         if prebatch is None:
-            self._prebatch = not self.shard_trajectory
+            prebatched_bytes = (
+                2 if self.lag_idx > 0 else 1
+            ) * self._traj_np.nbytes
+            self._prebatch = (
+                not self.shard_trajectory
+                and prebatched_bytes <= self.PREBATCH_AUTO_LIMIT_BYTES
+            )
         else:
             self._prebatch = bool(prebatch)
             assert not (self._prebatch and self.shard_trajectory), (

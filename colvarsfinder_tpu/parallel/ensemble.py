@@ -77,16 +77,26 @@ def train_replica_ensemble(tasks: Sequence) -> None:
         "train_replica_ensemble currently supports EigenFunctionTask"
     )
     static = tasks[0]._static_config()
-    for t in tasks[1:]:
+    n0 = tasks[0]._traj_np.shape
+    for r, t in enumerate(tasks[1:], start=1):
         assert t._static_config() == static, (
-            "all replicas must share the same static configuration; got "
-            f"{t._static_config()} vs {static}"
+            "all replicas must share the same static configuration; "
+            f"replica {r} has {t._static_config()} vs {static}"
         )
         assert t.num_epochs == tasks[0].num_epochs
         assert t.batch_size == tasks[0].batch_size
+        # data shapes are NOT part of the static config (jit handles new
+        # shapes by retracing) but must match across replicas for stacking
+        assert t._traj_np.shape == n0, (
+            f"replica {r} trajectory shape {t._traj_np.shape} != "
+            f"replica 0's {n0}; all replicas must have the same data shape"
+        )
+        assert t.test_ratio == tasks[0].test_ratio, (
+            f"replica {r} test_ratio {t.test_ratio} != "
+            f"{tasks[0].test_ratio}"
+        )
 
-    # per-replica splits/batches and data layout (same shapes across
-    # replicas by the static-config check: same n_frames and batch size)
+    # per-replica splits/batches and data layout
     models, opt_states, pps, diags, train_ds, test_ds = [], [], [], [], [], []
     for t in tasks:
         train_data, test_data, _, _ = t._prepare_data()

@@ -22,10 +22,10 @@ int32                 natoms
 int32                 step
 float32               time (ps)
 float32[9]            box vectors (row-major 3x3, nm)
+int32                 natoms (again; written in both branches)
 --- if natoms <= 9 ---
 float32[3*natoms]     plain coordinates
 --- else -------------
-int32                 natoms (again)
 float32               precision
 int32[3], int32[3]    minint / maxint of the quantized coordinates
 int32                 smallidx (initial small-delta magnitude class)
@@ -200,6 +200,10 @@ def _decode_frame_coords(buf: memoryview, off: int, natoms: int):
     off += (nbytes + 3) & ~3  # payload is padded to 4 bytes
 
     sizeint = [maxint[d] - minint[d] + 1 for d in range(3)]
+    if min(sizeint) <= 0:
+        raise ValueError(
+            f"corrupt XTC frame: maxint {maxint} < minint {minint}"
+        )
     if (sizeint[0] | sizeint[1] | sizeint[2]) > 0xFFFFFF:
         bitsizeint = [_bits_for(s) for s in sizeint]
         bitsize = 0
@@ -417,6 +421,15 @@ def read_xtc(filename: str):
             off += 16 + 36  # header + 3x3 box
             try:
                 if natoms <= 9:
+                    # the format repeats natoms (lsize) before the plain
+                    # floats, exactly as in the compressed branch
+                    (lsize,) = struct.unpack_from(">i", buf, off)
+                    if lsize != natoms:
+                        raise ValueError(
+                            f"coordinate block atom count {lsize} != "
+                            f"{natoms}"
+                        )
+                    off += 4
                     xyz = np.frombuffer(
                         buf, dtype=">f4", count=3 * natoms, offset=off
                     ).reshape(natoms, 3)
@@ -475,6 +488,9 @@ def write_xtc(
             )
             f.write(struct.pack(">9f", *box_mat.reshape(-1)))
             if n_atoms <= 9:
+                # lsize is written unconditionally before the coordinate
+                # payload (libxdrf convention), followed by plain floats
+                f.write(struct.pack(">i", n_atoms))
                 f.write(
                     np.ascontiguousarray(coords[j], dtype=">f4").tobytes()
                 )

@@ -154,11 +154,11 @@ def validate_cv_vs_dihedrals(cv_vals, phi, psi, outdir=None, verbose=True):
     """Reference main.ipynb cells 6/21: check the leading CV resolves the
     torsional mode and plot CV over the Ramachandran plane.
 
-    Returns the R² of the leading CV regressed on the ψ circle basis
-    (1, cos ψ, sin ψ): the CV tracks the torsional mode iff it is (to
-    first order) a function of ψ. A single fixed projection like
-    cos(ψ - ψ̄) would miss the mode whenever the slow coordinate lies
-    along the orthogonal circle direction.
+    Returns |R| — the multiple correlation (sqrt of the regression R²) of
+    the leading CV on the ψ circle basis (1, cos ψ, sin ψ): the CV tracks
+    the torsional mode iff it is (to first order) a function of ψ. A
+    single fixed projection like cos(ψ - ψ̄) would miss the mode whenever
+    the slow coordinate lies along the orthogonal circle direction.
     """
     basis = np.stack([np.ones_like(psi), np.cos(psi), np.sin(psi)], axis=1)
     y = cv_vals[:, 0] - cv_vals[:, 0].mean()

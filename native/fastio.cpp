@@ -282,8 +282,10 @@ size_t xtc_decode_block(const unsigned char* data, size_t size, size_t off,
     size_t next = off + (((size_t)nbytes + 3) & ~(size_t)3);
 
     uint32_t sizeint[3];
-    for (int d = 0; d < 3; ++d)
+    for (int d = 0; d < 3; ++d) {
+        if (maxint[d] < minint[d]) return 0;  // corrupt header
         sizeint[d] = (uint32_t)(maxint[d] - minint[d] + 1);
+    }
     int bitsizeint[3] = {0, 0, 0};
     int bitsize;
     if ((sizeint[0] | sizeint[1] | sizeint[2]) > 0xFFFFFF) {
@@ -325,9 +327,13 @@ size_t xtc_decode_block(const unsigned char* data, size_t size, size_t off,
             run -= is_smaller;
             --is_smaller;
         }
-        if (br.overrun) return 0;
+        if (br.overrun || outp >= natoms) return 0;
         if (run > 0) {
             for (int k = 0; k < run; k += 3) {
+                // bounds BEFORE writing: a corrupt run header may claim
+                // more atoms than the caller-sized output buffer holds
+                if (i >= natoms || outp + (k == 0 ? 2 : 1) > natoms)
+                    return 0;
                 br.read_triple(smallidx, sizesmall, thiscoord);
                 ++i;
                 for (int d = 0; d < 3; ++d)
@@ -382,7 +388,7 @@ size_t xtc_skip_frame(const unsigned char* data, size_t size, size_t off,
     if (natoms_out) *natoms_out = natoms;
     off += 16 + 36;  // header + box
     if (natoms <= 9) {
-        off += (size_t)natoms * 12;
+        off += 4 + (size_t)natoms * 12;  // repeated lsize + plain floats
         return off <= size ? off : 0;
     }
     if (off + 40 > size) return 0;
@@ -452,7 +458,9 @@ int64_t xtc_decode(const char* path, float* coords, float* times,
         off += 16 + 36;
         float* dst = coords + (size_t)f * n_atoms * 3;
         if (natoms <= 9) {
-            if (off + (size_t)natoms * 12 > size) break;
+            if (off + 4 + (size_t)natoms * 12 > size) break;
+            if (be_i32(data + off) != natoms) break;  // repeated lsize
+            off += 4;
             for (int64_t a = 0; a < 3 * natoms; ++a)
                 dst[a] = be_f32(data + off + 4 * a);
             off += (size_t)natoms * 12;

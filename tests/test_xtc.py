@@ -113,8 +113,11 @@ def test_header_layout_golden(tmp_path):
         data = f.read()
     magic, natoms, step, t = struct.unpack_from(">iiif", data, 0)
     assert magic == XTC_MAGIC and natoms == 5 and step == 0 and t == 0.0
-    # second frame follows 16-byte header + 36-byte box + 5*12 plain floats
-    off2 = 16 + 36 + 60
+    # lsize is repeated before the coordinate payload (libxdrf convention)
+    (lsize,) = struct.unpack_from(">i", data, 16 + 36)
+    assert lsize == 5
+    # second frame: 16-byte header + 36-byte box + lsize + 5*12 plain floats
+    off2 = 16 + 36 + 4 + 60
     magic2, _, step2, t2 = struct.unpack_from(">iiif", data, off2)
     assert magic2 == XTC_MAGIC and step2 == 100 and abs(t2 - 4.0) < 1e-6
 
@@ -178,3 +181,33 @@ def test_xtc_feeds_weighted_trajectory(tmp_path):
     )
     assert traj.trajectory.shape == (20, 10, 3)
     assert abs(traj.dt - 0.01) < 1e-9
+
+
+def test_corrupt_minmax_header_raises_cleanly(tmp_path):
+    """maxint < minint in a frame header must raise the documented
+    ValueError in the Python codec, and the native bulk decoder must fall
+    back (return fewer frames / None) rather than corrupt memory."""
+    rng = np.random.default_rng(8)
+    coords = rng.uniform(0, 2, (2, 22, 3)).astype(np.float32)
+    path = str(tmp_path / "c.xtc")
+    write_xtc(path, coords, dt_ps=1.0)
+    data = bytearray(open(path, "rb").read())
+    # frame 0 compressed block: header(16) + box(36), then lsize+prec(8),
+    # minint at +8 .. maxint at +20; swap them to force maxint < minint
+    base = 16 + 36 + 8
+    lo = bytes(data[base:base + 12])
+    hi = bytes(data[base + 12:base + 24])
+    data[base:base + 12] = hi
+    data[base + 12:base + 24] = lo
+    bad = str(tmp_path / "bad.xtc")
+    open(bad, "wb").write(bytes(data))
+
+    from colvarsfinder_tpu.utils import native_io
+
+    native = native_io.decode_xtc(bad)
+    assert native is None or len(native[0]) < 2  # clean refusal, no crash
+
+    with pytest.raises(ValueError, match="corrupt"):
+        # bypass the native path to exercise the Python decoder
+        buf = memoryview(bytes(data))
+        _decode_frame_coords(buf, 16 + 36, 22)
