@@ -81,6 +81,29 @@ def main():
     )
     task.train()
     print(task.train_loss_df.tail(3))
+
+    # 4. alternative sweep formulation: train one task PER replica, all
+    # advancing in lock-step inside ONE vmapped compiled program
+    from colvarsfinder_tpu.parallel import train_replica_ensemble
+
+    per_replica = [
+        EigenFunctionTask(
+            WeightedTrajectory(trajectory=frames[c], dt=0.5, verbose=False),
+            None, EigenFunctions([2, 20, 20, 1], k, seed=c),
+            os.path.join(args.outdir, f"replica{c}"),
+            alpha=10.0, eig_weights=[1.0, 0.5], lag_tau=0.5, k=k,
+            learning_rate=0.005, batch_size=128, num_epochs=args.epochs,
+            test_ratio=0.2, save_model_every_step=0, verbose=False,
+            tensorboard=False, seed=c,
+        )
+        for c in range(min(4, args.n_chains))
+    ]
+    train_replica_ensemble(per_replica)
+    print(
+        "per-replica final losses (one vmapped program):",
+        [round(float(t.train_loss_df['loss'].iloc[-1]), 3)
+         for t in per_replica],
+    )
     print(
         "mean epoch time: %.1f ms"
         % (1000 * np.mean(task.epoch_times[1:]))
