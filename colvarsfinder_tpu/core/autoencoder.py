@@ -13,8 +13,6 @@ with per-batch host->device copies (core.py:699-712).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -42,9 +40,9 @@ def _multi_epoch_fn(length: int, opt_name: str, lr: float):
     from .task import TrainingTask
 
     key = (length, matmul_precision(), opt_name, lr)
-    fn = _EPOCH_FN_CACHE.get(key)
-    if fn is not None:
-        return fn
+    cached = _EPOCH_FN_CACHE.get(key)
+    if cached is not None:
+        return cached[0]
     optimizer = TrainingTask.make_optimizer(opt_name, lr)
 
     def epoch_body(model, opt_state, train_X, train_w, test_X, test_w):
@@ -67,22 +65,9 @@ def _multi_epoch_fn(length: int, opt_name: str, lr: float):
         _, test_losses = jax.lax.scan(eval_step, None, (test_X, test_w))
         return model, opt_state, train_losses, test_losses
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def multi_fn(model, opt_state, train_X, train_w, test_X, test_w):
-        def body(carry, _):
-            model, opt_state = carry
-            model, opt_state, tr, te = epoch_body(
-                model, opt_state, train_X, train_w, test_X, test_w
-            )
-            return (model, opt_state), (tr, te)
-
-        (model, opt_state), (train_ms, test_ms) = jax.lax.scan(
-            body, (model, opt_state), None, length=length
-        )
-        return model, opt_state, train_ms, test_ms
-
-    _EPOCH_FN_CACHE[key] = multi_fn
-    return multi_fn
+    return TrainingTask.compile_multi_epoch(
+        _EPOCH_FN_CACHE, key, length, epoch_body
+    )
 
 
 class AutoEncoderTask(TrainingTask):

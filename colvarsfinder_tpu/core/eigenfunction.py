@@ -14,8 +14,6 @@ the input-gradient computation (double backprop, core.py:517).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -125,24 +123,9 @@ def _multi_epoch_fn(length: int, static: tuple):
         _, test_metrics = jax.lax.scan(eval_step, None, test_xs)
         return model, opt_state, train_metrics, test_metrics
 
-    def multi_impl(model, opt_state, pp_layer, diag_coeff, train_data,
-                   test_data):
-        def body(carry, _):
-            model, opt_state = carry
-            model, opt_state, tr, te = epoch_body(
-                model, opt_state, pp_layer, diag_coeff, train_data,
-                test_data
-            )
-            return (model, opt_state), (tr, te)
-
-        (model, opt_state), (train_ms, test_ms) = jax.lax.scan(
-            body, (model, opt_state), None, length=length
-        )
-        return model, opt_state, train_ms, test_ms
-
-    multi_fn = jax.jit(multi_impl, donate_argnums=(0, 1))
-    _EPOCH_FN_CACHE[key] = (multi_fn, multi_impl)
-    return multi_fn
+    return TrainingTask.compile_multi_epoch(
+        _EPOCH_FN_CACHE, key, length, epoch_body
+    )
 
 
 def _multi_epoch_impl(length: int, static: tuple):

@@ -17,8 +17,6 @@ the effect of the reference's requires_grad toggling (core.py:1078-1080,
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -141,9 +139,9 @@ def _multi_epoch_fn(length: int, static: tuple):
     from .task import TrainingTask
 
     key = (length, matmul_precision()) + static
-    fn = _EPOCH_FN_CACHE.get(key)
-    if fn is not None:
-        return fn
+    cached = _EPOCH_FN_CACHE.get(key)
+    if cached is not None:
+        return cached[0]
     loss_static = static[:11]
     freeze, opt_name, lr = static[11:]
     optimizer = TrainingTask.make_optimizer(opt_name, lr)
@@ -177,24 +175,9 @@ def _multi_epoch_fn(length: int, static: tuple):
         _, test_metrics = jax.lax.scan(eval_step, None, test_idx)
         return model, opt_state, train_metrics, test_metrics
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def multi_fn(model, opt_state, pp, diag_coeff, traj, weights,
-                 train_idx, test_idx):
-        def body(carry, _):
-            model, opt_state = carry
-            model, opt_state, tr, te = epoch_body(
-                model, opt_state, pp, diag_coeff, traj, weights,
-                train_idx, test_idx
-            )
-            return (model, opt_state), (tr, te)
-
-        (model, opt_state), (train_ms, test_ms) = jax.lax.scan(
-            body, (model, opt_state), None, length=length
-        )
-        return model, opt_state, train_ms, test_ms
-
-    _EPOCH_FN_CACHE[key] = multi_fn
-    return multi_fn
+    return TrainingTask.compile_multi_epoch(
+        _EPOCH_FN_CACHE, key, length, epoch_body
+    )
 
 
 class RegAutoEncoderTask(TrainingTask):

@@ -143,6 +143,8 @@ class TrainingTask(ABC):
         if kind is None:
             # tolerate torch.device-style objects with a .type attribute
             kind = getattr(device, "type", None)
+        if isinstance(kind, str) and kind.startswith("cuda:"):
+            kind = "cuda"  # torch-style indexed device string
         if kind == "cuda":
             import warnings
 
@@ -214,6 +216,42 @@ class TrainingTask(ABC):
 
     def _build_optimizer(self):
         return self.make_optimizer(self.optimizer_name, self.learning_rate)
+
+    # bound on each compiled-program cache: hyperparameter sweeps put the
+    # swept values (lr, loss constants) in the key, and unbounded caches
+    # would pin every compiled executable for the life of the process
+    EPOCH_FN_CACHE_MAX = 64
+
+    @staticmethod
+    def compile_multi_epoch(cache: dict, key, length: int, epoch_body):
+        """Build (or fetch) the jitted `length`-epoch program scanning
+        ``epoch_body(model, opt_state, *data)`` — the shared scaffolding of
+        all three tasks' compiled-program caches. Stores ``(jitted, impl)``
+        so the replica ensemble can vmap the un-jitted impl. Evicts the
+        oldest entry beyond :attr:`EPOCH_FN_CACHE_MAX` (dicts preserve
+        insertion order)."""
+        cached = cache.get(key)
+        if cached is not None:
+            return cached[0]
+
+        def multi_impl(model, opt_state, *data):
+            def body(carry, _):
+                model, opt_state = carry
+                model, opt_state, tr, te = epoch_body(
+                    model, opt_state, *data
+                )
+                return (model, opt_state), (tr, te)
+
+            (model, opt_state), (train_ms, test_ms) = jax.lax.scan(
+                body, (model, opt_state), None, length=length
+            )
+            return model, opt_state, train_ms, test_ms
+
+        fn = jax.jit(multi_impl, donate_argnums=(0, 1))
+        while len(cache) >= TrainingTask.EPOCH_FN_CACHE_MAX:
+            cache.pop(next(iter(cache)))
+        cache[key] = (fn, multi_impl)
+        return fn
 
     @staticmethod
     def make_optimizer(name: str, learning_rate: float):

@@ -102,8 +102,11 @@ def train_replica_ensemble(tasks: Sequence) -> None:
         train_data, test_data, _, _ = t._prepare_data()
         train_ds.append(train_data)
         test_ds.append(test_data)
-        models.append(t._protect(t.model))
-        opt_states.append(t._protect(t.opt_state))
+        # no _protect copies needed: jnp.stack below already materializes
+        # fresh buffers, and only the stacked arrays are donated — the
+        # user-held per-task leaves are never invalidated
+        models.append(t.model)
+        opt_states.append(t.opt_state)
         pps.append(t._pp_for_loss)
         diags.append(t._diag_coeff)
 
@@ -134,6 +137,11 @@ def train_replica_ensemble(tasks: Sequence) -> None:
         t.model = _index_tree(model_e, r)
         t.opt_state = _index_tree(opt_e, r)
         t._cvec = train_ms[r, -1, -1, n_metrics:].astype(int)
+        # per-epoch raw metric arrays, matching train()'s loss_list layout
+        t.loss_list = [
+            [train_ms[r, e, :, :n_metrics], test_ms[r, e, :, :n_metrics]]
+            for e in range(epochs)
+        ]
         t.train_loss_df = losses_to_dataframe(
             list(train_ms[r, :, :, :n_metrics].mean(axis=1)), loss_names
         )

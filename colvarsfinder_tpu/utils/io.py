@@ -228,15 +228,25 @@ class _SelectionParser:
 
 def write_gro(filename: str, top: Topology) -> None:
     """Write a Topology as a GROMACS .gro file (fixed-column format,
-    positions in nm) — inverse of :func:`parse_gro`."""
+    positions in nm) — inverse of :func:`parse_gro`.
+
+    Atom serials and residue ids wrap modulo 100000 (the GROMACS
+    convention for the 5-character fields); coordinates outside the
+    fixed 8.3f columns raise instead of silently shifting the layout.
+    """
     pos = np.asarray(top.positions, dtype=np.float64)
+    if pos.size and (pos.min() <= -1000.0 or pos.max() >= 10000.0):
+        raise ValueError(
+            "coordinates outside the .gro fixed-width range "
+            "(-1000, 10000) nm would corrupt the column layout"
+        )
     with open(filename, "w") as f:
         f.write((top.title or "written by colvarsfinder-tpu") + "\n")
         f.write(f"{top.n_atoms:>5d}\n")
         for i in range(top.n_atoms):
             f.write(
-                f"{top.resids[i]:>5d}{top.resnames[i]:<5s}"
-                f"{top.names[i]:>5s}{i + 1:>5d}"
+                f"{top.resids[i] % 100000:>5d}{top.resnames[i]:<5s}"
+                f"{top.names[i]:>5s}{(i + 1) % 100000:>5d}"
                 f"{pos[i, 0]:8.3f}{pos[i, 1]:8.3f}{pos[i, 2]:8.3f}\n"
             )
         if top.box is not None:

@@ -469,8 +469,11 @@ def write_xtc(
     coords = np.asarray(coords, dtype=np.float32)
     n_frames, n_atoms, _ = coords.shape
     if box is None:
-        ext = coords.max(axis=(0, 1)) - coords.min(axis=(0, 1)) + 1.0
-        box_mat = np.diag(ext.astype(np.float64))
+        if n_frames == 0:
+            box_mat = np.eye(3)
+        else:
+            ext = coords.max(axis=(0, 1)) - coords.min(axis=(0, 1)) + 1.0
+            box_mat = np.diag(ext.astype(np.float64))
     else:
         box_mat = np.asarray(box, dtype=np.float64)
         if box_mat.ndim == 1:

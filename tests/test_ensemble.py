@@ -77,3 +77,12 @@ def test_ensemble_rejects_mismatched_configs(tmp_path):
     )
     with pytest.raises(AssertionError, match="static configuration"):
         train_replica_ensemble(tasks + [odd])
+
+
+def test_ensemble_sets_loss_list_like_train(tmp_path):
+    tasks = _make_tasks(tmp_path, "ll", n_replicas=2)
+    train_replica_ensemble(tasks)
+    for t in tasks:
+        assert len(t.loss_list) == t.num_epochs
+        tr, te = t.loss_list[0]
+        assert tr.shape[1] == 5 and te.shape[1] == 5  # metrics columns

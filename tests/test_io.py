@@ -194,3 +194,25 @@ def test_gro_write_read_roundtrip(tmp_path, top):
     assert back.resnames == top.resnames
     np.testing.assert_allclose(back.positions, top.positions, atol=5e-4)
     np.testing.assert_allclose(back.box, top.box, atol=1e-5)
+
+
+def test_write_gro_overflow_handling(tmp_path):
+    """Serials/resids wrap mod 100000 (GROMACS convention); out-of-range
+    coordinates raise instead of corrupting the fixed columns."""
+    from colvarsfinder_tpu.utils.io import write_gro
+
+    top = Topology(
+        names=["C"] * 3, resids=[1, 99999, 100001], resnames=["X"] * 3,
+        positions=np.array([[0.1, 0.2, 0.3]] * 3, np.float32),
+    )
+    out = str(tmp_path / "wrap.gro")
+    write_gro(out, top)
+    back = parse_gro(out)
+    assert back.resids == [1, 99999, 1]  # 100001 wrapped
+
+    top_bad = Topology(
+        names=["C"], resids=[1], resnames=["X"],
+        positions=np.array([[20000.0, 0, 0]], np.float32),
+    )
+    with pytest.raises(ValueError, match="fixed-width"):
+        write_gro(str(tmp_path / "bad.gro"), top_bad)
