@@ -16,7 +16,13 @@ from typing import Any
 import jax
 import numpy as np
 
-__all__ = ["tree_to_named_arrays", "save_pytree", "load_pytree", "save_spec"]
+__all__ = [
+    "tree_to_named_arrays",
+    "save_pytree",
+    "load_pytree",
+    "load_torch_state_dict",
+    "save_spec",
+]
 
 
 def _key_name(path) -> str:
@@ -84,3 +90,97 @@ def save_spec(spec: dict, filename: str) -> None:
     os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
     with open(filename, "w") as f:
         json.dump(spec, f, indent=2, default=str)
+
+
+def load_torch_state_dict(model: Any, source) -> Any:
+    """Build a new model carrying parameters from a PyTorch reference
+    checkpoint — the ``model.pt`` state dicts the reference writes
+    (reference: colvarsfinder/core.py:200-201) — the migration path for
+    users with trained reference models.
+
+    Args:
+        model: a framework model supplying the architecture —
+            :class:`~colvarsfinder_tpu.models.Sequential`,
+            :class:`~colvarsfinder_tpu.models.AutoEncoder`,
+            :class:`~colvarsfinder_tpu.models.EigenFunctions`, or
+            :class:`~colvarsfinder_tpu.models.RegAutoEncoder`.
+        source: path to a torch-saved state dict, or a mapping of
+            parameter names to arrays/tensors.
+
+    Returns:
+        a new model of the same type with the checkpoint's parameters.
+    """
+    import jax.numpy as jnp
+
+    from .models.ae import AutoEncoder, RegAutoEncoder
+    from .models.eigen import EigenFunctions
+    from .models.module import Sequential
+
+    if isinstance(source, (str, os.PathLike)):
+        import torch
+
+        source = torch.load(source, map_location="cpu", weights_only=True)
+    named = {
+        k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                      else v)
+        for k, v in source.items()
+    }
+
+    def seq(template: Sequential, prefix: str) -> Sequential:
+        params = tuple(
+            {
+                "weight": jnp.asarray(named[f"{prefix}{i + 1}.weight"]),
+                "bias": jnp.asarray(named[f"{prefix}{i + 1}.bias"]),
+            }
+            for i in range(template.num_layers)
+        )
+        return Sequential(params, template.activation, template.layer_dims)
+
+    def stacked(template, prefix: str, k: int):
+        """Stack per-head sequential parameters (torch ModuleList layout
+        ``{prefix}{head}.{layer}.weight``) into ensemble params."""
+        return tuple(
+            {
+                "weight": jnp.stack([
+                    jnp.asarray(named[f"{prefix}{h}.{i + 1}.weight"])
+                    for h in range(k)
+                ]),
+                "bias": jnp.stack([
+                    jnp.asarray(named[f"{prefix}{h}.{i + 1}.bias"])
+                    for h in range(k)
+                ]),
+            }
+            for i in range(len(template))
+        )
+
+    if isinstance(model, Sequential):
+        return seq(model, "")
+    if isinstance(model, EigenFunctions):
+        # reference nn.py:272: torch.nn.ModuleList named 'eigen_funcs'
+        return EigenFunctions(
+            params=tuple(stacked(model.params, "eigen_funcs.", model.k)),
+            activation=model.activation,
+            _layer_dims=model.layer_dims,
+            _k=model.k,
+        )
+    if isinstance(model, RegAutoEncoder):
+        reg = (
+            tuple(stacked(model.reg, "reg.", model.num_reg))
+            if model.num_reg > 0 else None
+        )
+        return RegAutoEncoder(
+            encoder=seq(model.encoder, "encoder."),
+            decoder=seq(model.decoder, "decoder."),
+            reg=reg,
+            _reg_layer_dims=model.reg_layer_dims,
+            _num_reg=model.num_reg,
+        )
+    if isinstance(model, AutoEncoder):
+        return AutoEncoder(
+            encoder=seq(model.encoder, "encoder."),
+            decoder=seq(model.decoder, "decoder."),
+        )
+    raise TypeError(
+        f"unsupported model type {type(model).__name__} for torch "
+        "state-dict migration"
+    )
