@@ -111,7 +111,9 @@ def measure(batch=20_000, precision="highest", fuse=False, steps=30):
     t0 = time.perf_counter()
     for _ in range(n_epochs):
         model, opt_state, losses = train_epoch(model, opt_state, idx_all)
-    jax.block_until_ready(losses)
+    _ = np.asarray(losses)  # host fetch: robust completion barrier on the
+    # tunnel backend (block_until_ready has been observed returning early
+    # under sustained load)
     dt = time.perf_counter() - t0
     sps = n_epochs * nb * batch / dt
     return sps, float(losses[-1])
@@ -222,3 +224,65 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def width_sweep(batch=20_000, steps=18):
+    """MFU vs model width: the roofline section claims the small-MLP MFU
+    bound is structural (30->20 contractions fill ~4% of MXU lanes); this
+    sweep verifies compute efficiency rises with hidden width."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from colvarsfinder_tpu.core.losses import eigen_loss
+    from colvarsfinder_tpu.models import EigenFunctions
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for width in (20, 128, 512, 2048):
+        dims = [D_R, width, width, width, 1]
+        model = EigenFunctions(dims, k=K, seed=0)
+        optimizer = optax.adam(LR)
+        opt_state = optimizer.init(model)
+        nb = 3
+        Xb = jax.device_put(jnp.asarray(
+            rng.standard_normal((nb, batch, D_R)).astype(np.float32)))
+        Xlb = jax.device_put(jnp.asarray(
+            rng.standard_normal((nb, batch, D_R)).astype(np.float32)))
+        wb = jax.device_put(jnp.ones((nb, batch), jnp.float32))
+
+        def batch_loss(m, b):
+            X, Xl, w = b
+            loss, _ = eigen_loss(
+                m, lambda z: z, X, w, Xl, w, k=K, alpha=ALPHA,
+                eig_w=EIG_W, beta=1.0, diag_coeff=None, lag_idx=LAG,
+                traj_dt=TRAJ_DT, sort_eigvals=True,
+            )
+            return loss
+
+        @jax.jit
+        def epoch(m, os_, Xb, Xlb, wb):
+            def step(carry, b):
+                m, os_ = carry
+                loss, grads = jax.value_and_grad(batch_loss)(m, b)
+                updates, os_ = optimizer.update(grads, os_, m)
+                return (optax.apply_updates(m, updates), os_), loss
+            (m, os_), losses = jax.lax.scan(step, (m, os_), (Xb, Xlb, wb))
+            return m, os_, losses
+
+        model, opt_state, losses = epoch(model, opt_state, Xb, Xlb, wb)
+        _ = np.asarray(losses)  # host fetch: robust warmup barrier
+        n_ep = max(1, steps // nb)
+        t0 = time.perf_counter()
+        for _ in range(n_ep):
+            model, opt_state, losses = epoch(model, opt_state, Xb, Xlb, wb)
+        _ = np.asarray(losses)  # host fetch: robust barrier (see measure)
+        dt = time.perf_counter() - t0
+        sps = n_ep * nb * batch / dt
+        fps = flops_per_sample(widths=tuple(dims))
+        tflops = sps * fps / 1e12
+        rows.append((width, sps, tflops, 100 * tflops / 66))
+        log(f"width {width:5d}: {sps:>12,.0f} sps  {tflops:7.2f} TF  "
+            f"{100 * tflops / 66:5.1f}% of f32-eff peak")
+    return {str(w): {"sps": round(s, 0), "tflops": round(t, 2),
+                     "mfu_pct": round(m, 2)} for w, s, t, m in rows}

@@ -124,6 +124,13 @@ def decode_xtc(filename: str):
     )
     if rc != 0 or n_frames.value == 0:
         return None
+    # a frame can never hold more atoms than the file has bytes — guards
+    # giant allocations from corrupt headers (fall back to the Python
+    # codec, which raises a descriptive error)
+    if n_atoms.value <= 0 or (
+        n_frames.value * n_atoms.value * 12 > 64 * os.path.getsize(filename)
+    ):
+        return None
     coords = np.empty((n_frames.value, n_atoms.value, 3), dtype=np.float32)
     times = np.empty(n_frames.value, dtype=np.float32)
     got = lib.xtc_decode(

@@ -418,6 +418,13 @@ def read_xtc(filename: str):
                 raise ValueError(
                     f"bad XTC magic {magic} at offset {off} in {filename}"
                 )
+            # a frame can never hold more atoms than bytes remaining in
+            # the file — guards giant allocations from corrupt headers
+            if natoms < 0 or natoms > len(buf):
+                raise ValueError(
+                    f"implausible atom count {natoms} at offset {off} in "
+                    f"{filename}"
+                )
             off += 16 + 36  # header + 3x3 box
             try:
                 if natoms <= 9:

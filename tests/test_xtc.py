@@ -211,3 +211,41 @@ def test_corrupt_minmax_header_raises_cleanly(tmp_path):
         # bypass the native path to exercise the Python decoder
         buf = memoryview(bytes(data))
         _decode_frame_coords(buf, 16 + 36, 22)
+
+
+def test_fuzz_corrupted_files_never_crash(tmp_path):
+    """Random truncations and byte flips must produce clean Python errors
+    (ValueError) or clean native refusals — never crashes or OOB reads."""
+    from colvarsfinder_tpu.utils import native_io
+
+    rng = np.random.default_rng(123)
+    coords = np.cumsum(
+        rng.normal(0, 0.05, (4, 22, 3)), axis=0
+    ).astype(np.float32)
+    path = str(tmp_path / "base.xtc")
+    write_xtc(path, coords, dt_ps=1.0)
+    blob = open(path, "rb").read()
+
+    for trial in range(60):
+        data = bytearray(blob)
+        if trial % 2 == 0:
+            data = data[: rng.integers(1, len(data))]  # truncate
+        else:
+            for _ in range(rng.integers(1, 6)):  # flip random bytes
+                data[rng.integers(0, len(data))] = rng.integers(0, 256)
+        bad = str(tmp_path / f"fuzz{trial}.xtc")
+        open(bad, "wb").write(bytes(data))
+
+        # native bulk decoder: any outcome but a crash/garbage-size is fine
+        out = native_io.decode_xtc(bad)
+        if out is not None:
+            assert out[0].shape[1:] == (22, 3)
+            assert len(out[0]) <= 4
+
+        # full reader (native first, Python fallback): clean ValueError or
+        # a (possibly partial) parse — never a crash or giant allocation
+        try:
+            frames, _dt, _times = read_xtc(bad)
+            assert frames.shape[0] <= 4
+        except ValueError:
+            pass
