@@ -20,7 +20,12 @@ Reported metric: training samples/sec, steady state (this framework is
 timed on a second `train()` with warm jit caches; the reference has no
 compile phase). Run:
 
-    python benchmarks/run_baselines.py [--epochs 20] [--configs 1,2,3,4,5]
+    python benchmarks/run_baselines.py [--epochs N] [--configs 1,2,3,4,5]
+
+By default each config trains for the epoch count its reference notebook
+actually uses (2d.ipynb: num_epochs = 200; main.ipynb cell 14:
+num_epochs = 100); `--epochs` overrides all configs at once (useful for
+quick smoke runs).
 """
 
 import argparse
@@ -36,6 +41,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 # config 1-2 scale (reference examples/2d/2d.ipynb cells 6, 16)
 N_FRAMES_2D = 5_000
 BATCH_2D = 1_000
+EPOCHS_2D = 200   # 2d.ipynb: num_epochs = 200
+EPOCHS_MD = 100   # main.ipynb cell 14: num_epochs = 100
 LR_2D = 0.005
 DIMS_E_2D = [2, 20, 20, 20, 1]
 DIMS_D_2D = [1, 20, 20, 2]
@@ -473,7 +480,11 @@ def config_5(epochs, outdir, results, data, n_replicas=4):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument(
+        "--epochs", type=int, default=None,
+        help="override the notebook-faithful per-config epoch counts "
+             f"({EPOCHS_2D} for configs 1-2, {EPOCHS_MD} for 3-5)",
+    )
     ap.add_argument("--outdir", default="/tmp/cvf_baselines")
     ap.add_argument("--configs", default="1,2,3,4,5")
     ap.add_argument("--json", default=None)
@@ -481,17 +492,20 @@ def main():
     os.makedirs(args.outdir, exist_ok=True)
     wanted = set(args.configs.split(","))
 
+    epochs_2d = args.epochs if args.epochs else EPOCHS_2D
+    epochs_md = args.epochs if args.epochs else EPOCHS_MD
+
     results = {}
     if {"1", "2"} & wanted:
-        config_1_2(args.epochs, args.outdir, results)
+        config_1_2(epochs_2d, args.outdir, results)
     if {"3", "4", "5"} & wanted:
         data = make_data_dipeptide()
         if "3" in wanted:
-            config_3(args.epochs, args.outdir, results, data)
+            config_3(epochs_md, args.outdir, results, data)
         if "4" in wanted:
-            config_4(args.epochs, args.outdir, results, data)
+            config_4(epochs_md, args.outdir, results, data)
         if "5" in wanted:
-            config_5(args.epochs, args.outdir, results, data)
+            config_5(epochs_md, args.outdir, results, data)
 
     for name, r in results.items():
         if "ref_sps" in r:

@@ -29,6 +29,7 @@ from .core import (
     RegAutoEncoderTask,
     TrainingTask,
 )
+from .deploy import load_numpy_cv, save_numpy_cv
 from .export import ColvarModel, export_colvar, load_colvar
 from .models import (
     AutoEncoder,
@@ -54,6 +55,8 @@ __all__ = [
     "ColvarModel",
     "export_colvar",
     "load_colvar",
+    "load_numpy_cv",
+    "save_numpy_cv",
     "TrainingTask",
     "AutoEncoderTask",
     "EigenFunctionTask",

@@ -106,6 +106,15 @@ def export_colvar(
     with open(os.path.join(out_dir, "cv_spec.json"), "w") as f:
         json.dump(spec, f, indent=2)
 
+    # best-effort numpy-only artifact for JAX-less consumers (MD-engine
+    # plugins); Lambda-style opaque pp layers have no such representation
+    from .deploy import save_numpy_cv
+
+    try:
+        save_numpy_cv(cv_model, out_dir)
+    except TypeError:
+        pass
+
     if not write_stablehlo:
         return
 

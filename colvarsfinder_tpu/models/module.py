@@ -192,6 +192,9 @@ def stacked_mlp_apply(
     act = ACTIVATIONS[activation]
     n = len(params)
     k = params[0]["weight"].shape[0]
+    squeeze = x.ndim == 1  # single state, like torch.nn.Linear on a vector
+    if squeeze:
+        x = x[None]
     # broadcast the batch across the ensemble axis: h [k, batch, d]
     h = jnp.broadcast_to(x[None], (k,) + x.shape)
     for i, layer in enumerate(params):
@@ -210,7 +213,8 @@ def stacked_mlp_apply(
             h = act(h)
     # [k, b, d_out] -> [b, k * d_out] with per-head blocks contiguous
     h = jnp.transpose(h, (1, 0, 2))
-    return h.reshape(h.shape[0], -1)
+    h = h.reshape(h.shape[0], -1)
+    return h[0] if squeeze else h
 
 
 # ---------------------------------------------------------------------------
