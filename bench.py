@@ -33,7 +33,7 @@ ALPHA = 20.0
 EIG_W = [1.0, 0.2]
 LR = 0.002
 WARMUP_STEPS = 5
-MEASURE_STEPS = 30
+MEASURE_STEPS = 60
 
 
 log = lambda *a: print(*a, file=sys.stderr, flush=True)
@@ -96,10 +96,14 @@ def bench_jax(ref, traj_np, weights_np):
         )
         return loss
 
-    # the framework's execution model: an epoch of batches is ONE jitted
-    # lax.scan dispatch (see core/*.py multi-epoch chunks)
-    @jax.jit
-    def train_epoch(m, os_, Xb, Xlb, wb, wlb):
+    # the framework's execution model: ALL epochs between host-side hooks
+    # run as ONE jitted nested-scan dispatch (see core/*.py multi-epoch
+    # chunks), so steady-state throughput contains no per-epoch host
+    # round-trips
+    from functools import partial
+
+    @partial(jax.jit, static_argnames="n_epochs")
+    def train_run(m, os_, Xb, Xlb, wb, wlb, n_epochs):
         def step(carry, batch):
             m, os_ = carry
             loss, grads = jax.value_and_grad(batch_loss)(m, batch)
@@ -107,19 +111,26 @@ def bench_jax(ref, traj_np, weights_np):
             m = optax.apply_updates(m, updates)
             return (m, os_), loss
 
-        (m, os_), losses = jax.lax.scan(step, (m, os_), (Xb, Xlb, wb, wlb))
-        return m, os_, losses
+        def epoch(carry, _):
+            carry, losses = jax.lax.scan(step, carry, (Xb, Xlb, wb, wlb))
+            return carry, losses[-1]
 
-    # warmup (compile)
-    model, opt_state, losses = train_epoch(model, opt_state, Xb, Xlb, wb, wlb)
-    jax.block_until_ready(losses)
+        (m, os_), last_losses = jax.lax.scan(
+            epoch, (m, os_), None, length=n_epochs
+        )
+        return m, os_, last_losses
 
     n_epochs = max(1, MEASURE_STEPS // nb)
+    # warmup (compile)
+    model, opt_state, losses = train_run(
+        model, opt_state, Xb, Xlb, wb, wlb, n_epochs=n_epochs
+    )
+    jax.block_until_ready(losses)
+
     t0 = time.perf_counter()
-    for _ in range(n_epochs):
-        model, opt_state, losses = train_epoch(
-            model, opt_state, Xb, Xlb, wb, wlb
-        )
+    model, opt_state, losses = train_run(
+        model, opt_state, Xb, Xlb, wb, wlb, n_epochs=n_epochs
+    )
     _ = np.asarray(losses)  # host fetch: robust completion barrier on the
     # tunnel backend (block_until_ready has been observed returning early
     # under sustained load)

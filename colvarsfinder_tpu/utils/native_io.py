@@ -84,6 +84,19 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
         ]
         lib.xtc_decode.restype = ctypes.c_int64
+    if hasattr(lib, "xtc_encode"):
+        lib.xtc_encode.argtypes = [
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_float,
+            np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.c_int64,
+        ]
+        lib.xtc_encode.restype = ctypes.c_int64
     _LIB = lib
     return _LIB
 
@@ -139,6 +152,40 @@ def decode_xtc(filename: str):
     if got != n_frames.value:
         return None
     return coords, times.astype(np.float64)
+
+
+def encode_xtc(
+    filename: str,
+    coords: np.ndarray,
+    precision: float,
+    box_mat: np.ndarray,
+    t0_ps: float,
+    dt_ps: float,
+    step_interval: int,
+) -> bool:
+    """Bulk-encode frames [n, atoms, 3] float32 to an XTC file via the
+    native library. Returns False to fall back to the Python codec.
+
+    Raises ValueError on coordinate overflow at the given precision (the
+    same condition the Python codec rejects).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "xtc_encode"):
+        return False
+    coords = np.ascontiguousarray(coords, dtype=np.float32)
+    n_frames, n_atoms = coords.shape[0], coords.shape[1]
+    box9 = np.ascontiguousarray(box_mat, dtype=np.float64).reshape(9)
+    got = lib.xtc_encode(
+        filename.encode(), coords, n_frames, n_atoms,
+        np.float32(precision), box9, float(t0_ps), float(dt_ps),
+        int(step_interval),
+    )
+    if got == -5:
+        raise ValueError(
+            "coordinate magnitude too large for XTC quantization; "
+            "reduce the precision"
+        )
+    return got == n_frames
 
 
 def decode_dcd_frames(

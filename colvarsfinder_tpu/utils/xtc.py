@@ -485,6 +485,16 @@ def write_xtc(
         box_mat = np.asarray(box, dtype=np.float64)
         if box_mat.ndim == 1:
             box_mat = np.diag(box_mat)
+
+    # C++ bulk encoder (bit-identical with the loop below; ~100x faster on
+    # long trajectories)
+    from . import native_io
+
+    if n_frames > 0 and native_io.encode_xtc(
+        filename, coords, precision, box_mat, t0_ps, dt_ps, step_interval
+    ):
+        return
+
     with open(filename, "wb") as f:
         for j in range(n_frames):
             f.write(

@@ -434,6 +434,14 @@ int xtc_scan(const char* path, int64_t* n_frames, int64_t* n_atoms) {
     return rc;
 }
 
+// Encode frames into an XTC file; bit-identical with the Python codec in
+// colvarsfinder_tpu/utils/xtc.py (write_xtc), which remains the
+// correctness oracle in tests/test_xtc.py. Returns frames written, or a
+// negative error code (-5: coordinate overflow at the given precision).
+int64_t xtc_encode(const char* path, const float* coords, int64_t n_frames,
+                   int64_t n_atoms, float precision, const double* box9,
+                   double t0_ps, double dt_ps, int64_t step_interval);
+
 // Decode all frames into coords[n_frames * n_atoms * 3] and
 // times[n_frames]. Returns the number of frames decoded.
 int64_t xtc_decode(const char* path, float* coords, float* times,
@@ -473,6 +481,297 @@ int64_t xtc_decode(const char* path, float* coords, float* times,
     }
     munmap((void*)data, size);
     return f;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// XTC bulk encoder. Mirrors colvarsfinder_tpu/utils/xtc.py write_xtc /
+// _encode_frame_coords statement-for-statement so the output files are
+// byte-identical (asserted in tests/test_xtc.py); per-bit encoding in
+// Python is ~100x slower on long trajectories.
+// ---------------------------------------------------------------------------
+
+#include <cmath>
+#include <vector>
+
+namespace {
+
+inline void be_store32(std::vector<unsigned char>& out, uint32_t v) {
+    out.push_back((unsigned char)(v >> 24));
+    out.push_back((unsigned char)(v >> 16));
+    out.push_back((unsigned char)(v >> 8));
+    out.push_back((unsigned char)v);
+}
+
+inline void be_store_f32(std::vector<unsigned char>& out, float f) {
+    uint32_t v;
+    memcpy(&v, &f, 4);
+    be_store32(out, v);
+}
+
+struct BitWriter {
+    std::vector<unsigned char> out;
+    int nheld = 0;
+    uint64_t held = 0;
+
+    void write(int nbits, uint32_t value) {  // nbits <= 32
+        held = (held << nbits) |
+               (value & ((nbits >= 32) ? 0xFFFFFFFFull
+                                       : (((uint64_t)1 << nbits) - 1)));
+        nheld += nbits;
+        while (nheld >= 8) {
+            nheld -= 8;
+            out.push_back((unsigned char)((held >> nheld) & 0xFF));
+        }
+        held &= ((uint64_t)1 << nheld) - 1;
+    }
+
+    void write_zeros(int nbits) {
+        while (nbits > 24) {
+            write(24, 0);
+            nbits -= 24;
+        }
+        if (nbits > 0) write(nbits, 0);
+    }
+
+    // nbits-wide field as little-endian bytes: full 8-bit chunks first,
+    // the top (possibly partial) chunk last, zero-padded to nbits
+    void write_packed(int nbits, unsigned __int128 value) {
+        int bl = 0;
+        for (unsigned __int128 t = value; t != 0; t >>= 1) ++bl;
+        int nb = (bl == 0) ? 1 : (bl + 7) / 8;
+        if (nbits >= nb * 8) {
+            for (int j = 0; j < nb; ++j)
+                write(8, (uint32_t)((value >> (8 * j)) & 0xFF));
+            write_zeros(nbits - nb * 8);
+        } else {
+            for (int j = 0; j < nb - 1; ++j)
+                write(8, (uint32_t)((value >> (8 * j)) & 0xFF));
+            write(nbits - (nb - 1) * 8,
+                  (uint32_t)(value >> (8 * (nb - 1))));
+        }
+    }
+
+    void write_triple(int nbits, const uint32_t sizes[3],
+                      const int32_t abc[3]) {
+        unsigned __int128 packed =
+            ((unsigned __int128)(uint32_t)abc[0] * sizes[1] +
+             (uint32_t)abc[1]) *
+                sizes[2] +
+            (uint32_t)abc[2];
+        write_packed(nbits, packed);
+    }
+
+    void flush_tail() {
+        if (nheld) {
+            out.push_back((unsigned char)((held << (8 - nheld)) & 0xFF));
+            nheld = 0;
+            held = 0;
+        }
+    }
+};
+
+// Encode one frame's coordinate block (the part after the 16+36-byte frame
+// header) into `blk`. Returns false on coordinate overflow.
+bool xtc_encode_block(const float* frame, int64_t natoms, float precision,
+                      std::vector<int32_t>& ints,
+                      std::vector<unsigned char>& blk) {
+    const double kMaxAbs = 2147483646.0;  // 2^31 - 2
+    ints.resize((size_t)natoms * 3);
+    for (int64_t a = 0; a < 3 * natoms; ++a) {
+        double q = (double)frame[a] * (double)precision;
+        double r = (q >= 0) ? floor(q + 0.5) : ceil(q - 0.5);
+        if (fabs(r) >= kMaxAbs) return false;
+        ints[a] = (int32_t)r;
+    }
+    int32_t minint[3], maxint[3];
+    for (int d = 0; d < 3; ++d) minint[d] = maxint[d] = ints[d];
+    for (int64_t a = 1; a < natoms; ++a)
+        for (int d = 0; d < 3; ++d) {
+            int32_t v = ints[3 * a + d];
+            if (v < minint[d]) minint[d] = v;
+            if (v > maxint[d]) maxint[d] = v;
+        }
+    uint32_t sizeint[3];
+    for (int d = 0; d < 3; ++d)
+        sizeint[d] = (uint32_t)(maxint[d] - minint[d] + 1);
+    int bitsizeint[3] = {0, 0, 0};
+    int bitsize;
+    if ((sizeint[0] | sizeint[1] | sizeint[2]) > 0xFFFFFF) {
+        for (int d = 0; d < 3; ++d) bitsizeint[d] = bits_for(sizeint[d]);
+        bitsize = 0;
+    } else {
+        bitsize = bits_for_triple(sizeint);
+    }
+
+    // smallest inter-atom step sets the starting magnitude class
+    int64_t mindiff = 2147483647;
+    for (int64_t a = 0; a + 1 < natoms; ++a) {
+        int64_t s = 0;
+        for (int d = 0; d < 3; ++d)
+            s += llabs((int64_t)ints[3 * (a + 1) + d] - ints[3 * a + d]);
+        if (s < mindiff) mindiff = s;
+    }
+    int smallidx = kFirstIdx;
+    while (smallidx < kLastIdx - 1 && kMagicInts[smallidx] < mindiff)
+        ++smallidx;
+
+    const int smallidx0 = smallidx;
+    int maxidx = smallidx + 8;
+    if (maxidx > kLastIdx - 1) maxidx = kLastIdx - 1;
+    int minidx = maxidx - 8;
+    int larger = magic_at(maxidx) / 2;
+    int smallnum = magic_at(smallidx) / 2;
+    int tmpidx = smallidx - 1;
+    if (tmpidx < kFirstIdx) tmpidx = kFirstIdx;
+    int smaller = magic_at(tmpidx) / 2;
+    uint32_t sizesmall[3];
+    sizesmall[0] = sizesmall[1] = sizesmall[2] =
+        (uint32_t)magic_at(smallidx);
+
+    BitWriter w;
+    int prevrun = -1;
+    int32_t prev[3] = {0, 0, 0};
+    int32_t thisc[3];
+    int32_t deltas[24];
+    int64_t i = 0;
+    while (i < natoms) {
+        for (int d = 0; d < 3; ++d) thisc[d] = ints[3 * i + d];
+        int is_smaller;
+        if (smallidx < maxidx && i >= 1 &&
+            llabs((int64_t)thisc[0] - prev[0]) < larger &&
+            llabs((int64_t)thisc[1] - prev[1]) < larger &&
+            llabs((int64_t)thisc[2] - prev[2]) < larger) {
+            is_smaller = 1;
+        } else if (smallidx > minidx) {
+            is_smaller = -1;
+        } else {
+            is_smaller = 0;
+        }
+        // swap this atom with the next when they are close (water
+        // heuristic)
+        bool is_small =
+            i + 1 < natoms &&
+            llabs((int64_t)thisc[0] - ints[3 * (i + 1)]) < smallnum &&
+            llabs((int64_t)thisc[1] - ints[3 * (i + 1) + 1]) < smallnum &&
+            llabs((int64_t)thisc[2] - ints[3 * (i + 1) + 2]) < smallnum;
+        if (is_small) {
+            for (int d = 0; d < 3; ++d) {
+                int32_t t = thisc[d];
+                thisc[d] = ints[3 * (i + 1) + d];
+                ints[3 * (i + 1) + d] = t;
+            }
+        }
+
+        if (bitsize == 0) {
+            for (int d = 0; d < 3; ++d)
+                w.write(bitsizeint[d], (uint32_t)(thisc[d] - minint[d]));
+        } else {
+            int32_t rel[3];
+            for (int d = 0; d < 3; ++d) rel[d] = thisc[d] - minint[d];
+            w.write_triple(bitsize, sizeint, rel);
+        }
+        for (int d = 0; d < 3; ++d) prev[d] = thisc[d];
+        ++i;
+
+        int run = 0;
+        if (!is_small && is_smaller == -1) is_smaller = 0;
+        while (is_small && run < 24) {
+            for (int d = 0; d < 3; ++d) thisc[d] = ints[3 * i + d];
+            if (is_smaller == -1) {
+                int64_t sq = 0;
+                for (int d = 0; d < 3; ++d) {
+                    int64_t df = (int64_t)thisc[d] - prev[d];
+                    sq += df * df;
+                }
+                if (sq >= (int64_t)smaller * smaller) is_smaller = 0;
+            }
+            for (int d = 0; d < 3; ++d)
+                deltas[run + d] = thisc[d] - prev[d] + smallnum;
+            run += 3;
+            for (int d = 0; d < 3; ++d) prev[d] = thisc[d];
+            ++i;
+            is_small = i < natoms &&
+                       llabs((int64_t)ints[3 * i] - prev[0]) < smallnum &&
+                       llabs((int64_t)ints[3 * i + 1] - prev[1]) <
+                           smallnum &&
+                       llabs((int64_t)ints[3 * i + 2] - prev[2]) < smallnum;
+        }
+        if (run != prevrun || is_smaller != 0) {
+            prevrun = run;
+            w.write(1, 1);
+            w.write(5, (uint32_t)(run + is_smaller + 1));
+        } else {
+            w.write(1, 0);
+        }
+        for (int k = 0; k < run; k += 3)
+            w.write_triple(smallidx, sizesmall, deltas + k);
+        if (is_smaller != 0) {
+            smallidx += is_smaller;
+            if (is_smaller < 0) {
+                smallnum = smaller;
+                smaller = magic_at(smallidx - 1) / 2;
+            } else {
+                smaller = smallnum;
+                smallnum = magic_at(smallidx) / 2;
+            }
+            sizesmall[0] = sizesmall[1] = sizesmall[2] =
+                (uint32_t)magic_at(smallidx);
+        }
+    }
+    w.flush_tail();
+
+    be_store32(blk, (uint32_t)natoms);
+    be_store_f32(blk, precision);
+    for (int d = 0; d < 3; ++d) be_store32(blk, (uint32_t)minint[d]);
+    for (int d = 0; d < 3; ++d) be_store32(blk, (uint32_t)maxint[d]);
+    be_store32(blk, (uint32_t)smallidx0);
+    be_store32(blk, (uint32_t)w.out.size());
+    blk.insert(blk.end(), w.out.begin(), w.out.end());
+    size_t pad = (4 - (w.out.size() & 3)) & 3;
+    for (size_t p = 0; p < pad; ++p) blk.push_back(0);
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t xtc_encode(const char* path, const float* coords, int64_t n_frames,
+                   int64_t n_atoms, float precision, const double* box9,
+                   double t0_ps, double dt_ps, int64_t step_interval) {
+    FILE* f = fopen(path, "wb");
+    if (!f) return -1;
+    std::vector<unsigned char> buf;
+    std::vector<int32_t> ints;
+    int64_t written = 0;
+    for (int64_t j = 0; j < n_frames; ++j) {
+        buf.clear();
+        be_store32(buf, (uint32_t)kXtcMagic);
+        be_store32(buf, (uint32_t)n_atoms);
+        be_store32(buf, (uint32_t)(int32_t)(j * step_interval));
+        be_store_f32(buf, (float)(t0_ps + (double)j * dt_ps));
+        for (int b = 0; b < 9; ++b) be_store_f32(buf, (float)box9[b]);
+        const float* frame = coords + (size_t)j * n_atoms * 3;
+        if (n_atoms <= 9) {
+            be_store32(buf, (uint32_t)n_atoms);  // repeated lsize
+            for (int64_t a = 0; a < 3 * n_atoms; ++a)
+                be_store_f32(buf, frame[a]);
+        } else {
+            if (!xtc_encode_block(frame, n_atoms, precision, ints, buf)) {
+                fclose(f);
+                return -5;
+            }
+        }
+        if (fwrite(buf.data(), 1, buf.size(), f) != buf.size()) {
+            fclose(f);
+            return written;
+        }
+        ++written;
+    }
+    fclose(f);
+    return written;
 }
 
 }  // extern "C"

@@ -249,3 +249,63 @@ def test_fuzz_corrupted_files_never_crash(tmp_path):
             assert frames.shape[0] <= 4
         except ValueError:
             pass
+
+
+@pytest.mark.parametrize(
+    "case",
+    ["spread", "clustered", "large_extent", "mixed", "ten_atoms", "small"],
+)
+def test_native_encoder_bitidentical_with_python(tmp_path, case):
+    """The C++ bulk encoder must produce byte-identical files to the Python
+    codec across coordinate regimes (big-branch, run-length deltas,
+    bitsize==0 wide extents, and the <=9-atom plain-float branch)."""
+    from colvarsfinder_tpu.utils import native_io
+
+    if not native_io.available() or not hasattr(
+        native_io._load(), "xtc_encode"
+    ):
+        pytest.skip("native xtc encoder not built")
+
+    rng = np.random.default_rng(7)
+    coords = {
+        "spread": rng.uniform(-5, 5, (20, 40, 3)),
+        "clustered": rng.uniform(0, 2, (12, 1, 3))
+        + 0.002 * rng.standard_normal((12, 150, 3)),
+        "large_extent": rng.uniform(-2e4, 2e4, (8, 30, 3)),
+        "mixed": np.concatenate(
+            [rng.uniform(0, 1, (6, 25, 3)), rng.uniform(0, 3000, (6, 25, 3))],
+            axis=1,
+        ),
+        "ten_atoms": rng.uniform(0, 5, (5, 10, 3)),
+        "small": rng.uniform(0, 5, (5, 6, 3)),  # plain-float branch
+    }[case].astype(np.float32)
+
+    p_native = str(tmp_path / "native.xtc")
+    p_python = str(tmp_path / "python.xtc")
+    write_xtc(p_native, coords, dt_ps=2.0)  # native path (when built)
+    real = native_io.encode_xtc
+    native_io.encode_xtc = lambda *a, **k: False
+    try:
+        write_xtc(p_python, coords, dt_ps=2.0)
+    finally:
+        native_io.encode_xtc = real
+
+    with open(p_native, "rb") as f1, open(p_python, "rb") as f2:
+        assert f1.read() == f2.read()
+
+    out, dt, _ = read_xtc(p_native)
+    assert dt == 2.0
+    tol = 5e-4 * max(1.0, float(np.abs(coords).max()) / 1000.0) + 1e-6
+    np.testing.assert_allclose(out, coords, atol=tol)
+
+
+def test_native_encoder_overflow_raises(tmp_path):
+    from colvarsfinder_tpu.utils import native_io
+
+    if not native_io.available() or not hasattr(
+        native_io._load(), "xtc_encode"
+    ):
+        pytest.skip("native xtc encoder not built")
+    coords = np.full((1, 12, 3), 3e6, dtype=np.float32)  # 3e9 > 2^31 quanta
+    with pytest.raises(ValueError, match="precision"):
+        write_xtc(str(tmp_path / "x.xtc"), coords, precision=1000.0)
