@@ -12,6 +12,12 @@ from .io import (
     write_dcd,
     write_gro,
 )
+from .enhanced import (
+    BiasedPotential,
+    MetadynamicsResult,
+    harmonic_restraint,
+    integrate_sde_metadynamics,
+)
 from .sampling import integrate_md_langevin, integrate_sde_overdamped
 from .trajectory import WeightedTrajectory, calc_weights
 from .xtc import read_xtc, write_xtc
@@ -21,6 +27,10 @@ __all__ = [
     "calc_weights",
     "integrate_md_langevin",
     "integrate_sde_overdamped",
+    "BiasedPotential",
+    "MetadynamicsResult",
+    "harmonic_restraint",
+    "integrate_sde_metadynamics",
     "Topology",
     "Universe",
     "parse_gro",

@@ -1,0 +1,356 @@
+r"""Enhanced sampling along learned collective variables.
+
+The reference's deployment story is: train a CV, export it, and hand it to
+an MD engine for biased sampling (its TorchScript artifact exists for
+exactly this — reference: colvarsfinder/core.py:212-227 — and its MD
+sampler accepts a PLUMED bias script, reference utils.py:220-223). This
+module closes that loop natively for the built-in SDE sampler: a trained
+:class:`~colvarsfinder_tpu.export.ColvarModel` (or any jax-traceable
+callable) can drive
+
+* **umbrella sampling** — :class:`BiasedPotential` composes
+  ``V(x) + bias(cv(x))`` into a potential object that plugs straight into
+  :func:`~colvarsfinder_tpu.utils.sampling.integrate_sde_overdamped`;
+* **(well-tempered) metadynamics** — :func:`integrate_sde_metadynamics`
+  runs the entire metadynamics loop (integration + periodic hill
+  deposition + history-dependent bias forces) as ONE jitted ``lax.scan``
+  program: the hill pool lives in the scan carry on device, the bias force
+  is ``jax.grad`` through the hill sum and the CV model, and no Python
+  executes between hills.
+
+TPU design notes: hills are a fixed-size [n_hills, cv_dim] buffer
+(zero-height entries contribute nothing), so shapes are static; each
+deposition block draws its Brownian increments in one counter-based batch
+(same scheme as the plain sampler); multiple walkers vmap over the whole
+program with independent hill pools.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "BiasedPotential",
+    "harmonic_restraint",
+    "integrate_sde_metadynamics",
+    "MetadynamicsResult",
+]
+
+
+def harmonic_restraint(center, kappa: float) -> Callable:
+    """Umbrella restraint ``0.5 * kappa * |s - center|^2`` on a CV value."""
+    center = jnp.asarray(center, dtype=jnp.float32)
+
+    def bias(s):
+        d = jnp.asarray(s, dtype=jnp.float32).reshape(-1) - center.reshape(-1)
+        return 0.5 * kappa * jnp.sum(d * d)
+
+    return bias
+
+
+class BiasedPotential:
+    """``V_b(x) = V(x) + bias(cv(x))`` as a sampler-ready potential object.
+
+    Satisfies the ``dim / beta / V`` contract of
+    :func:`integrate_sde_overdamped` (``gradV`` is derived by ``jax.grad``
+    inside the sampler, flowing through both the base potential and the CV
+    model). ``cv_model`` is any jax-traceable callable on a single state —
+    e.g. a trained ``ColvarModel`` or ``task.colvar_model()``.
+    """
+
+    def __init__(self, pot_obj, cv_model: Callable, bias_fn: Callable):
+        self.dim = pot_obj.dim
+        self.beta = pot_obj.beta
+        self._pot = pot_obj
+        self._cv = cv_model
+        self._bias = bias_fn
+
+    def V(self, x):
+        return self._pot.V(x) + self._bias(self._cv(x))
+
+
+def _hill_energy(s, centers, heights, inv_two_sigma2):
+    """Sum of deposited Gaussians at CV value ``s`` ([k])."""
+    d2 = jnp.sum((s[None, :] - centers) ** 2, axis=-1)  # [H]
+    return jnp.sum(heights * jnp.exp(-d2 * inv_two_sigma2))
+
+
+@dataclasses.dataclass
+class MetadynamicsResult:
+    """Outcome of a metadynamics run (single walker or [w, ...] stacked).
+
+    Attributes:
+        frames: states at each deposition time [n_hills, dim]
+        cv_values: CV at each deposition [n_hills, cv_dim]
+        hill_centers / hill_heights: the deposited bias
+        hill_width: Gaussian sigma
+        bias_factor: well-tempered gamma (None for standard metadynamics)
+        beta: inverse temperature of the run
+    """
+
+    frames: np.ndarray
+    cv_values: np.ndarray
+    hill_centers: np.ndarray
+    hill_heights: np.ndarray
+    hill_width: float
+    bias_factor: Optional[float]
+    beta: float
+
+    def select_walker(self, c: int) -> "MetadynamicsResult":
+        """Single-walker view of a multi-walker (``n_chains > 1``) result."""
+        return dataclasses.replace(
+            self,
+            frames=self.frames[c],
+            cv_values=self.cv_values[c],
+            hill_centers=self.hill_centers[c],
+            hill_heights=self.hill_heights[c],
+        )
+
+    def bias(self, s) -> np.ndarray:
+        """Evaluate the accumulated bias at CV value(s) ``s``."""
+        if self.hill_centers.ndim == 3:
+            raise ValueError(
+                "multi-walker result: use .select_walker(c).bias(s)"
+            )
+        s = np.atleast_2d(np.asarray(s, dtype=np.float32))
+        if s.shape[-1] != self.hill_centers.shape[-1]:
+            s = s.reshape(-1, self.hill_centers.shape[-1])
+        inv = 1.0 / (2.0 * self.hill_width**2)
+        d2 = ((s[:, None, :] - self.hill_centers[None, :, :]) ** 2).sum(-1)
+        return (self.hill_heights[None, :] * np.exp(-d2 * inv)).sum(-1)
+
+    def free_energy(self, s) -> np.ndarray:
+        """Free-energy estimate at CV value(s) ``s`` (up to a constant).
+
+        Standard metadynamics: ``F(s) = -V_bias(s)``; well-tempered:
+        ``F(s) = -gamma/(gamma-1) * V_bias(s)``.
+        """
+        scale = (
+            1.0
+            if self.bias_factor is None
+            else self.bias_factor / (self.bias_factor - 1.0)
+        )
+        return -scale * self.bias(s)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "grad_total", "cv_fn", "bias_e", "n_hills", "deposit_interval",
+        "pre_steps", "well_tempered",
+    ),
+)
+def _metad_scan(
+    grad_total, cv_fn, bias_e, x0, key, step_size, beta, hill_height,
+    wt_denom, n_hills, deposit_interval, pre_steps, well_tempered,
+):
+    """One walker's full metadynamics run as a single compiled program.
+
+    x0: [d]. Returns (frames [H, d], cvs [H, k], centers [H, k],
+    heights [H]).
+    """
+    noise_scale = jnp.sqrt(2.0 * step_size / beta)
+    cv_dim = cv_fn(x0).reshape(-1).shape[0]
+    centers0 = jnp.zeros((n_hills, cv_dim), jnp.float32)
+    heights0 = jnp.zeros((n_hills,), jnp.float32)
+
+    burn_key, main_key = jax.random.split(key)
+
+    # unbiased burn-in
+    if pre_steps:
+        noise = jax.random.normal(burn_key, (pre_steps,) + x0.shape, x0.dtype)
+
+        def burn(j, xx):
+            return (
+                xx
+                - grad_total(xx, centers0, heights0) * step_size
+                + noise_scale * noise[j]
+            )
+
+        x0 = jax.lax.fori_loop(0, pre_steps, burn, x0)
+
+    def block(carry, i):
+        x, centers, heights = carry
+        noise = jax.random.normal(
+            jax.random.fold_in(main_key, i),
+            (deposit_interval,) + x.shape,
+            x.dtype,
+        )
+
+        def body(j, xx):
+            return (
+                xx
+                - grad_total(xx, centers, heights) * step_size
+                + noise_scale * noise[j]
+            )
+
+        x = jax.lax.fori_loop(0, deposit_interval, body, x)
+        s = cv_fn(x).reshape(-1)
+        if well_tempered:
+            h = hill_height * jnp.exp(-bias_e(s, centers, heights) / wt_denom)
+        else:
+            h = hill_height
+        centers = centers.at[i].set(s)
+        heights = heights.at[i].set(h)
+        return (x, centers, heights), (x, s)
+
+    (x, centers, heights), (frames, cvs) = jax.lax.scan(
+        block, (x0, centers0, heights0), jnp.arange(n_hills)
+    )
+    return frames, cvs, centers, heights
+
+
+def integrate_sde_metadynamics(
+    pot_obj,
+    cv_model: Callable,
+    n_steps: int,
+    sampling_output_path: Optional[str] = None,
+    X0: Optional[np.ndarray] = None,
+    pre_steps: int = 0,
+    step_size: float = 0.01,
+    deposit_interval: int = 500,
+    hill_height: float = 1.0,
+    hill_width: float = 0.2,
+    bias_factor: Optional[float] = None,
+    n_chains: int = 1,
+    seed: Optional[int] = None,
+    verbose: bool = True,
+) -> MetadynamicsResult:
+    """Metadynamics along a (learned) CV, fully compiled on device.
+
+    Every ``deposit_interval`` integrator steps a Gaussian hill of width
+    ``hill_width`` is deposited at the current CV value; the history-
+    dependent bias force acts through ``jax.grad`` of the hill sum composed
+    with the CV model. ``bias_factor`` (gamma > 1) enables well-tempered
+    metadynamics: deposited heights decay as
+    ``exp(-beta * V_bias / (gamma - 1))``.
+
+    Args:
+        pot_obj: base potential (``dim`` / ``beta`` / ``V``, optional
+            ``gradV``) — same contract as ``integrate_sde_overdamped``.
+        cv_model: jax-traceable map from a single state [dim] to CV values.
+        n_steps: total integrator steps (``n_steps // deposit_interval``
+            hills are deposited).
+        sampling_output_path: when given, writes ``traj.txt`` rows at the
+            deposition times plus a PLUMED-style ``HILLS`` file
+            (time, center..., sigma..., height, biasf).
+        n_chains: independent walkers, vmapped over the whole program
+            (each with its own hill pool).
+
+    Returns:
+        :class:`MetadynamicsResult`; arrays gain a leading walker axis
+        when ``n_chains > 1``.
+    """
+    if bias_factor is not None and bias_factor <= 1.0:
+        raise ValueError("bias_factor (well-tempered gamma) must be > 1")
+    n_hills = n_steps // deposit_interval
+    if n_hills < 1:
+        raise ValueError("n_steps must be at least deposit_interval")
+    dim = pot_obj.dim
+    beta = float(pot_obj.beta)
+
+    if seed is None:
+        seed = np.random.randint(0, 2**31 - 1)
+    key = jax.random.PRNGKey(seed)
+    if X0 is None:
+        key, sub = jax.random.split(key)
+        X0 = np.asarray(jax.random.normal(sub, (n_chains, dim)))
+    else:
+        X0 = np.broadcast_to(np.asarray(X0, np.float64), (n_chains, dim))
+
+    inv_two_sigma2 = jnp.float32(1.0 / (2.0 * hill_width**2))
+
+    def bias_e(s, centers, heights):
+        return _hill_energy(s, centers, heights, inv_two_sigma2)
+
+    def cv_fn(x):
+        return jnp.asarray(cv_model(x), dtype=jnp.float32)
+
+    def total_energy(x, centers, heights):
+        return jnp.asarray(pot_obj.V(x)) + bias_e(
+            cv_fn(x).reshape(-1), centers, heights
+        )
+
+    grad_total = jax.grad(total_energy)
+    wt_denom = jnp.float32(
+        (bias_factor - 1.0) / beta if bias_factor is not None else 1.0
+    )
+
+    run = jax.vmap(
+        lambda x0, k: _metad_scan(
+            grad_total, cv_fn, bias_e, x0, k,
+            jnp.float32(step_size), jnp.float32(beta),
+            jnp.float32(hill_height), wt_denom,
+            int(n_hills), int(deposit_interval), int(pre_steps),
+            bias_factor is not None,
+        )
+    )
+    keys = jax.random.split(key, n_chains)
+    frames, cvs, centers, heights = run(
+        jnp.asarray(X0, jnp.float32), keys
+    )
+    frames, cvs, centers, heights = (
+        np.asarray(frames), np.asarray(cvs),
+        np.asarray(centers), np.asarray(heights),
+    )
+
+    if sampling_output_path is not None:
+        os.makedirs(sampling_output_path, exist_ok=True)
+        times = (np.arange(n_hills) + 1) * deposit_interval * step_size
+        for c in range(n_chains):
+            suffix = "" if c == 0 else f"_chain{c}"
+            with open(
+                os.path.join(sampling_output_path, f"traj{suffix}.txt"), "w"
+            ) as f:
+                for j in range(n_hills):
+                    f.write(
+                        f"{times[j]:.3f} "
+                        + " ".join(f"{v:.6f}" for v in frames[c, j])
+                        + "\n"
+                    )
+            with open(
+                os.path.join(sampling_output_path, f"HILLS{suffix}"), "w"
+            ) as f:
+                k = centers.shape[-1]
+                cols = (
+                    ["time"]
+                    + [f"cv_{i}" for i in range(k)]
+                    + [f"sigma_cv_{i}" for i in range(k)]
+                    + ["height", "biasf"]
+                )
+                f.write("#! FIELDS " + " ".join(cols) + "\n")
+                bf = bias_factor if bias_factor is not None else -1.0
+                for j in range(n_hills):
+                    row = (
+                        [times[j]]
+                        + list(centers[c, j])
+                        + [hill_width] * k
+                        + [heights[c, j], bf]
+                    )
+                    f.write(" ".join(f"{v:.6f}" for v in row) + "\n")
+
+    if verbose:
+        print(
+            f"metadynamics: {n_hills} hills deposited per walker "
+            f"({n_chains} walkers, gamma="
+            f"{bias_factor if bias_factor is not None else 'inf (standard)'})"
+        )
+
+    squeeze = n_chains == 1
+    return MetadynamicsResult(
+        frames=frames[0] if squeeze else frames,
+        cv_values=cvs[0] if squeeze else cvs,
+        hill_centers=centers[0] if squeeze else centers,
+        hill_heights=heights[0] if squeeze else heights,
+        hill_width=float(hill_width),
+        bias_factor=bias_factor,
+        beta=beta,
+    )
