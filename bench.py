@@ -71,21 +71,24 @@ def bench_jax(ref, traj_np, weights_np):
     optimizer = optax.adam(LR)
     opt_state = optimizer.init(model)
 
-    # the framework's default data layout (EigenFunctionTask prebatch):
-    # the static batch schedule is gathered ONCE on the host into
-    # [nb, B, ...] arrays the epoch scan streams — ~15% faster than
-    # per-step device gathers (benchmarks/RESULTS.md)
+    # the framework's default data layout (EigenFunctionTask prebatch +
+    # unroll): the static batch schedule is gathered ONCE into SEPARATE
+    # per-batch device arrays — slicing a stacked [nb, B, ...] array costs
+    # ~0.8 ms/step on this backend, 2x the gradient step itself
+    # (benchmarks/RESULTS.md "unrolled batch layout")
     nb = (N_FRAMES - LAG) // BATCH
-    idx = np.arange(nb * BATCH, dtype=np.int64).reshape(nb, BATCH)
     flat = traj_np.reshape(N_FRAMES, -1)
-    Xb = jax.device_put(jnp.asarray(
-        flat[idx.reshape(-1)].reshape(nb, BATCH, N_ATOMS, 3)
-    ))
-    Xlb = jax.device_put(jnp.asarray(
-        flat[(idx + LAG).reshape(-1)].reshape(nb, BATCH, N_ATOMS, 3)
-    ))
-    wb = jax.device_put(jnp.asarray(weights_np[idx]))
-    wlb = jax.device_put(jnp.asarray(weights_np[idx + LAG]))
+    batches = tuple(
+        (
+            jnp.asarray(flat[i * BATCH:(i + 1) * BATCH].reshape(
+                BATCH, N_ATOMS, 3)),
+            jnp.asarray(flat[i * BATCH + LAG:(i + 1) * BATCH + LAG].reshape(
+                BATCH, N_ATOMS, 3)),
+            jnp.asarray(weights_np[i * BATCH:(i + 1) * BATCH]),
+            jnp.asarray(weights_np[i * BATCH + LAG:(i + 1) * BATCH + LAG]),
+        )
+        for i in range(nb)
+    )
 
     def batch_loss(m, batch):
         X, X_l, w, w_l = batch
@@ -97,23 +100,21 @@ def bench_jax(ref, traj_np, weights_np):
         return loss
 
     # the framework's execution model: ALL epochs between host-side hooks
-    # run as ONE jitted nested-scan dispatch (see core/*.py multi-epoch
+    # run as ONE jitted nested-scan dispatch (epochs scanned, batches
+    # unrolled over per-batch traced arguments — core/*.py multi-epoch
     # chunks), so steady-state throughput contains no per-epoch host
-    # round-trips
+    # round-trips and no per-step batch slicing
     from functools import partial
 
     @partial(jax.jit, static_argnames="n_epochs")
-    def train_run(m, os_, Xb, Xlb, wb, wlb, n_epochs):
-        def step(carry, batch):
-            m, os_ = carry
-            loss, grads = jax.value_and_grad(batch_loss)(m, batch)
-            updates, os_ = optimizer.update(grads, os_, m)
-            m = optax.apply_updates(m, updates)
-            return (m, os_), loss
-
+    def train_run(m, os_, batches, n_epochs):
         def epoch(carry, _):
-            carry, losses = jax.lax.scan(step, carry, (Xb, Xlb, wb, wlb))
-            return carry, losses[-1]
+            m, os_ = carry
+            for batch in batches:
+                loss, grads = jax.value_and_grad(batch_loss)(m, batch)
+                updates, os_ = optimizer.update(grads, os_, m)
+                m = optax.apply_updates(m, updates)
+            return (m, os_), loss
 
         (m, os_), last_losses = jax.lax.scan(
             epoch, (m, os_), None, length=n_epochs
@@ -123,13 +124,13 @@ def bench_jax(ref, traj_np, weights_np):
     n_epochs = max(1, MEASURE_STEPS // nb)
     # warmup (compile)
     model, opt_state, losses = train_run(
-        model, opt_state, Xb, Xlb, wb, wlb, n_epochs=n_epochs
+        model, opt_state, batches, n_epochs=n_epochs
     )
     jax.block_until_ready(losses)
 
     t0 = time.perf_counter()
     model, opt_state, losses = train_run(
-        model, opt_state, Xb, Xlb, wb, wlb, n_epochs=n_epochs
+        model, opt_state, batches, n_epochs=n_epochs
     )
     _ = np.asarray(losses)  # host fetch: robust completion barrier on the
     # tunnel backend (block_until_ready has been observed returning early

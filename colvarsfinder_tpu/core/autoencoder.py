@@ -35,35 +35,61 @@ __all__ = ["AutoEncoderTask"]
 _EPOCH_FN_CACHE: dict = {}
 
 
-def _multi_epoch_fn(length: int, opt_name: str, lr: float):
+def _multi_epoch_fn(length: int, opt_name: str, lr: float, unroll: bool):
     from ..config import matmul_precision
     from .task import TrainingTask
 
-    key = (length, matmul_precision(), opt_name, lr)
+    key = (length, matmul_precision(), opt_name, lr, unroll)
     cached = _EPOCH_FN_CACHE.get(key)
     if cached is not None:
         return cached[0]
     optimizer = TrainingTask.make_optimizer(opt_name, lr)
 
-    def epoch_body(model, opt_state, train_X, train_w, test_X, test_w):
-        def train_step(carry, batch):
-            model, opt_state = carry
-            X, w = batch
-            loss, grads = jax.value_and_grad(weighted_mse_loss)(model, X, w)
-            updates, opt_state = optimizer.update(grads, opt_state, model)
-            model = optax.apply_updates(model, updates)
-            return (model, opt_state), loss
+    if unroll:
+        # batches as separate per-batch arrays, epoch unrolled: slicing a
+        # stacked [nb, B, ...] array costs ~0.8 ms/step on this backend
+        # (benchmarks/RESULTS.md "unrolled batch layout")
+        def epoch_body(model, opt_state, train_batches, test_batches):
+            train_l = []
+            for (X, w) in train_batches:
+                loss, grads = jax.value_and_grad(weighted_mse_loss)(
+                    model, X, w
+                )
+                updates, opt_state = optimizer.update(
+                    grads, opt_state, model
+                )
+                model = optax.apply_updates(model, updates)
+                train_l.append(loss)
+            test_l = [
+                weighted_mse_loss(model, X, w) for (X, w) in test_batches
+            ]
+            return (
+                model, opt_state, jnp.stack(train_l), jnp.stack(test_l)
+            )
+    else:
+        def epoch_body(model, opt_state, train_X, train_w, test_X, test_w):
+            def train_step(carry, batch):
+                model, opt_state = carry
+                X, w = batch
+                loss, grads = jax.value_and_grad(weighted_mse_loss)(
+                    model, X, w
+                )
+                updates, opt_state = optimizer.update(
+                    grads, opt_state, model
+                )
+                model = optax.apply_updates(model, updates)
+                return (model, opt_state), loss
 
-        (model, opt_state), train_losses = jax.lax.scan(
-            train_step, (model, opt_state), (train_X, train_w)
-        )
+            (model, opt_state), train_losses = jax.lax.scan(
+                train_step, (model, opt_state), (train_X, train_w)
+            )
 
-        def eval_step(_, batch):
-            X, w = batch
-            return None, weighted_mse_loss(model, X, w)
+            def eval_step(_, batch):
+                X, w = batch
+                return None, weighted_mse_loss(model, X, w)
 
-        _, test_losses = jax.lax.scan(eval_step, None, (test_X, test_w))
-        return model, opt_state, train_losses, test_losses
+            _, test_losses = jax.lax.scan(eval_step, None, (test_X, test_w))
+            return model, opt_state, train_losses, test_losses
 
     return TrainingTask.compile_multi_epoch(
         _EPOCH_FN_CACHE, key, length, epoch_body
@@ -156,15 +182,21 @@ class AutoEncoderTask(TrainingTask):
         (reference core.py:652-666)."""
         return weighted_mse_loss(self.model, jnp.asarray(X), jnp.asarray(weight))
 
+    # prebatched batches are unrolled as separate per-batch arrays up to
+    # this total batch count (see core/eigenfunction.py for the measured
+    # rationale); beyond it, the stacked+scanned layout bounds compile time
+    PREBATCH_UNROLL_LIMIT = 32
+
     # ------------------------------------------------------------------
-    def _get_multi_epoch_fn(self, length: int):
+    def _get_multi_epoch_fn(self, length: int, unroll: bool):
         """Jitted scan of `length` epochs — one device dispatch per chunk of
         epochs between host-side hooks (checkpoint/plot). Per-epoch metrics
         are returned stacked so TensorBoard logging stays per-epoch.
         Compiled programs are shared across task instances (sweeps over
         same-shaped tasks compile once)."""
         return _multi_epoch_fn(
-            length, self.optimizer_name.lower(), float(self.learning_rate)
+            length, self.optimizer_name.lower(), float(self.learning_rate),
+            unroll,
         )
 
     def _next_chunk(self, epoch: int) -> int:
@@ -177,8 +209,14 @@ class AutoEncoderTask(TrainingTask):
                 chunk = min(chunk, until)
         return max(1, chunk)
 
-    def train(self):
-        r"""Train the model (reference core.py:668-744)."""
+    def _prepare_data(self):
+        """Device-placed data arguments + layout flag, cached across
+        ``train()`` calls (the split and batch schedule are fixed at
+        construction; re-placing costs far more than the training compute
+        through the tunnel — see core/eigenfunction.py)."""
+        cached = getattr(self, "_prepared_data_cache", None)
+        if cached is not None:
+            return cached
         n = self._feature_traj.shape[0]
         train_idx, test_idx = self._make_split(n)
 
@@ -190,14 +228,44 @@ class AutoEncoderTask(TrainingTask):
         X_test = self._feature_traj[test_idx]
         w_test = self._weights[test_idx]
 
-        train_X = self._place_batched(X_train[train_b.reshape(-1)].reshape(
-            train_b.shape + X_train.shape[1:]
-        ))
-        train_w = self._place_batched(w_train[train_b])
-        test_X = self._place_batched(X_test[test_b.reshape(-1)].reshape(
-            test_b.shape + X_test.shape[1:]
-        ))
-        test_w = self._place_batched(w_test[test_b])
+        unroll = len(train_b) + len(test_b) <= self.PREBATCH_UNROLL_LIMIT
+        if unroll:
+            # per-batch arrays ([B, ...] leaves, batch dim LEADING): mesh
+            # placement shards axis 0
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_frames
+
+                place = lambda t: shard_frames(t, self.mesh)  # noqa: E731
+            else:
+                place = self._place_batched
+            data_args = (
+                place(tuple(
+                    (X_train[row], w_train[row]) for row in train_b
+                )),
+                place(tuple(
+                    (X_test[row], w_test[row]) for row in test_b
+                )),
+            )
+        else:
+            train_X = self._place_batched(
+                X_train[train_b.reshape(-1)].reshape(
+                    train_b.shape + X_train.shape[1:]
+                )
+            )
+            train_w = self._place_batched(w_train[train_b])
+            test_X = self._place_batched(
+                X_test[test_b.reshape(-1)].reshape(
+                    test_b.shape + X_test.shape[1:]
+                )
+            )
+            test_w = self._place_batched(w_test[test_b])
+            data_args = (train_X, train_w, test_X, test_w)
+        self._prepared_data_cache = (data_args, unroll, train_b, test_b)
+        return self._prepared_data_cache
+
+    def train(self):
+        r"""Train the model (reference core.py:668-744)."""
+        data_args, unroll, train_b, test_b = self._prepare_data()
 
         model = self._place_replicated(self._protect(self.model))
         opt_state = self._place_replicated(self._protect(self.opt_state))
@@ -219,8 +287,8 @@ class AutoEncoderTask(TrainingTask):
                 chunk = self._next_chunk(epoch)
                 _t0 = _time.perf_counter()
                 model, opt_state, train_ms, test_ms = (
-                    self._get_multi_epoch_fn(chunk)(
-                        model, opt_state, train_X, train_w, test_X, test_w
+                    self._get_multi_epoch_fn(chunk, unroll)(
+                        model, opt_state, *data_args
                     )
                 )
                 train_ms = np.asarray(train_ms)  # [chunk, nb]

@@ -45,7 +45,7 @@ def _multi_epoch_fn(length: int, static: tuple):
         return cached[0]
 
     (state_shape, k, alpha, eig_w, beta, lag_idx, traj_dt,
-     sort_eigvals, opt_name, lr, prebatch) = static
+     sort_eigvals, opt_name, lr, prebatch, unroll) = static
     from .task import TrainingTask
 
     optimizer = TrainingTask.make_optimizer(opt_name, lr)
@@ -97,6 +97,32 @@ def _multi_epoch_fn(length: int, static: tuple):
 
     def epoch_body(model, opt_state, pp_layer, diag_coeff, train_data,
                    test_data):
+        if prebatch and unroll:
+            # batches arrive as a TUPLE of separate per-batch arrays and
+            # the epoch unrolls over them: slicing a batch out of a
+            # stacked [nb, B, ...] array costs ~0.8 ms/step on this
+            # backend — 2x the whole gradient step (benchmarks/RESULTS.md
+            # "unrolled batch layout"); separate arrays avoid it entirely
+            train_ms = []
+            for batch in train_data:
+                (_, metrics), grads = jax.value_and_grad(
+                    batch_loss, has_aux=True
+                )(model, pp_layer, diag_coeff, batch)
+                updates, opt_state = optimizer.update(
+                    grads, opt_state, model
+                )
+                model = optax.apply_updates(model, updates)
+                train_ms.append(metrics)
+            # the reference evaluates the test loss with gradients
+            # enabled (core.py:535-551) — semantics identical here
+            test_ms = [
+                batch_loss(model, pp_layer, diag_coeff, b)[1]
+                for b in test_data
+            ]
+            return (
+                model, opt_state, jnp.stack(train_ms), jnp.stack(test_ms)
+            )
+
         def train_step(carry, scanned):
             model, opt_state = carry
             batch = scanned if prebatch else train_data[:2] + (scanned,)
@@ -155,6 +181,13 @@ class EigenFunctionTask(TrainingTask):
     # copies (2x trajectory with a lag): leaves headroom on a 16 GB chip
     # for the trajectory itself, activations, and the optimizer state
     PREBATCH_AUTO_LIMIT_BYTES = 4 << 30
+
+    # prebatched batches are passed as separate per-batch arrays and the
+    # epoch body unrolls over them (slicing a stacked [nb, B, ...] array
+    # costs ~0.8 ms/step on this backend — 2x the gradient step itself);
+    # above this batch count the unrolled program would compile too long,
+    # so the stacked+scanned layout is used instead
+    PREBATCH_UNROLL_LIMIT = 32
 
     def __init__(
         self,
@@ -261,6 +294,7 @@ class EigenFunctionTask(TrainingTask):
                 "prebatch=True is incompatible with shard_trajectory: the "
                 "frame-sharded layout requires per-step gathers"
             )
+        self._unroll = False  # decided per data layout in _prepare_data
 
         if self.lag_idx == 0:  # generator
             self._beta = float(beta)
@@ -343,6 +377,7 @@ class EigenFunctionTask(TrainingTask):
             self.optimizer_name.lower(),
             float(self.learning_rate),
             self._prebatch,
+            self._unroll,
         )
 
     def _get_multi_epoch_fn(self, length: int):
@@ -358,7 +393,16 @@ class EigenFunctionTask(TrainingTask):
         gather mode (``shard_trajectory`` or ``prebatch=False``): the
         whole trajectory stays on device (frame-sharded over the mesh when
         requested) and batches are per-step flat gathers.
+
+        The result is cached on the instance: the trajectory, split, and
+        batch schedule are fixed at construction, and re-placing the data
+        costs ~0.35 s per ``train()`` through the tunnel (host->device
+        transfer + per-batch gather dispatches) against ~60 ms of actual
+        training compute at dipeptide scale.
         """
+        cached = getattr(self, "_prepared_data_cache", None)
+        if cached is not None:
+            return cached
         n = self._traj_np.shape[0]
         ll = n - self.lag_idx
         train_idx, test_idx = self._make_split(ll)
@@ -373,20 +417,39 @@ class EigenFunctionTask(TrainingTask):
             flat_d = jnp.asarray(self._traj_flat)
             w_d = jnp.asarray(self._weights_np)
             feat_shape = self._traj_flat.shape[1:]
+            self._unroll = (
+                len(train_b) + len(test_b) <= self.PREBATCH_UNROLL_LIMIT
+            )
 
-            def pack(b):
-                bd = jnp.asarray(b.reshape(-1))
-                Xf = flat_d[bd].reshape(b.shape + feat_shape)
+            def pack_one(rows):
+                shape = tuple(np.shape(rows))
+                bd = jnp.asarray(np.asarray(rows).reshape(-1))
+                Xf = flat_d[bd].reshape(shape + feat_shape)
                 if self.lag_idx > 0:
                     bld = bd + self.lag_idx
-                    Xlf = flat_d[bld].reshape(b.shape + feat_shape)
+                    Xlf = flat_d[bld].reshape(shape + feat_shape)
                     return (Xf, Xlf,
-                            w_d[bd].reshape(b.shape),
-                            w_d[bld].reshape(b.shape))
-                return (Xf, w_d[bd].reshape(b.shape))
+                            w_d[bd].reshape(shape),
+                            w_d[bld].reshape(shape))
+                return (Xf, w_d[bd].reshape(shape))
 
-            train_data = self._place_batched(pack(train_b))
-            test_data = self._place_batched(pack(test_b))
+            if self._unroll:
+                # separate per-batch arrays, epoch body unrolled — avoids
+                # the per-step stacked-array slice (see PREBATCH_UNROLL_
+                # LIMIT note). Per-batch leaves are [B, ...]: the batch
+                # dim is LEADING here, so mesh placement shards axis 0
+                # (shard_batches targets axis 1 of stacked [nb, B, ...])
+                if self.mesh is not None:
+                    from ..parallel.mesh import shard_frames
+
+                    place = lambda t: shard_frames(t, self.mesh)  # noqa: E731
+                else:
+                    place = self._place_batched
+                train_data = place(tuple(pack_one(row) for row in train_b))
+                test_data = place(tuple(pack_one(row) for row in test_b))
+            else:
+                train_data = self._place_batched(pack_one(train_b))
+                test_data = self._place_batched(pack_one(test_b))
         else:
             if self.shard_trajectory and self.mesh is not None:
                 # long-trajectory scaling (SURVEY.md §5): the frame axis
@@ -406,7 +469,8 @@ class EigenFunctionTask(TrainingTask):
                 )
             train_data = (traj, weights, self._place_batched(train_b))
             test_data = (traj, weights, self._place_batched(test_b))
-        return train_data, test_data, train_b, test_b
+        self._prepared_data_cache = (train_data, test_data, train_b, test_b)
+        return self._prepared_data_cache
 
     def _next_chunk(self, epoch: int) -> int:
         """Epochs until the next host-side hook fires (inclusive)."""

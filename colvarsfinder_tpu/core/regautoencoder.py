@@ -378,8 +378,12 @@ class RegAutoEncoderTask(TrainingTask):
         return max(1, chunk)
 
     # ------------------------------------------------------------------
-    def train(self):
-        r"""Train the model (reference core.py:1036-1217)."""
+    def _prepare_data(self):
+        """Device-placed data of the multi-epoch program, cached across
+        ``train()`` calls (see core/eigenfunction.py for the rationale)."""
+        cached = getattr(self, "_prepared_data_cache", None)
+        if cached is not None:
+            return cached
         n = self._traj_np.shape[0]
         ll = n - max(self.lag_idx, self.lag_ae_idx)
         train_idx, test_idx = self._make_split(ll)
@@ -401,6 +405,16 @@ class RegAutoEncoderTask(TrainingTask):
             weights = self._place_replicated(jnp.asarray(self._weights_np))
         train_bd = self._place_batched(train_b)
         test_bd = self._place_batched(test_b)
+        self._prepared_data_cache = (
+            traj, weights, train_bd, test_bd, train_b, test_b
+        )
+        return self._prepared_data_cache
+
+    def train(self):
+        r"""Train the model (reference core.py:1036-1217)."""
+        traj, weights, train_bd, test_bd, train_b, test_b = (
+            self._prepare_data()
+        )
         model = self._place_replicated(self._protect(self.model))
         opt_state = self._place_replicated(self._protect(self.opt_state))
 

@@ -76,6 +76,9 @@ def train_replica_ensemble(tasks: Sequence) -> None:
     assert all(isinstance(t, EigenFunctionTask) for t in tasks), (
         "train_replica_ensemble currently supports EigenFunctionTask"
     )
+    # prepare data BEFORE reading static configs: the data layout decides
+    # the unroll flag, which is part of the static config
+    prepared = [t._prepare_data() for t in tasks]
     static = tasks[0]._static_config()
     n0 = tasks[0]._traj_np.shape
     for r, t in enumerate(tasks[1:], start=1):
@@ -98,8 +101,7 @@ def train_replica_ensemble(tasks: Sequence) -> None:
 
     # per-replica splits/batches and data layout
     models, opt_states, pps, diags, train_ds, test_ds = [], [], [], [], [], []
-    for t in tasks:
-        train_data, test_data, _, _ = t._prepare_data()
+    for t, (train_data, test_data, _, _) in zip(tasks, prepared):
         train_ds.append(train_data)
         test_ds.append(test_data)
         # no _protect copies needed: jnp.stack below already materializes

@@ -159,9 +159,9 @@ def test_precision_change_recompiles_epoch_fns(tmp_path):
 
     old = config.matmul_precision()
     try:
-        fn_highest = task._get_multi_epoch_fn(1)
+        fn_highest = task._get_multi_epoch_fn(1, True)
         config.set_matmul_precision("default")
-        fn_default = task._get_multi_epoch_fn(1)
+        fn_default = task._get_multi_epoch_fn(1, True)
         # different precision -> different compiled program
         assert fn_highest is not fn_default
         precisions = {k[1] for k in ae_mod._EPOCH_FN_CACHE if k[0] == 1}
