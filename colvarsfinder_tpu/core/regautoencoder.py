@@ -45,27 +45,40 @@ _EPS = 1e-5
 _EPOCH_FN_CACHE: dict = {}
 
 
-def _regae_batch_loss(loss_static, model, pp, diag_coeff, traj, weights,
-                      idx):
-    """All gated loss terms for one index batch
+def _regae_gather(loss_static, traj, weights, idx):
+    """Gather one index batch's (X, X_ae_lagged, X_l, w, w_l) from the
+    whole trajectory (reference core.py:1069-1076 semantics). Unused
+    pieces (disabled terms / zero lags) are None."""
+    (state_shape, k, num_reg, alpha, gamma, eta, eig_w, beta,
+     lag_ae_idx, lag_idx, traj_dt) = loss_static
+    X = traj[idx].reshape((-1,) + state_shape)
+    w = weights[idx]
+    X_ae_lagged = (
+        traj[idx + lag_ae_idx].reshape((-1,) + state_shape)
+        if (alpha > _EPS and lag_ae_idx > 0) else None
+    )
+    if gamma[0] + gamma[1] > _EPS and lag_idx > 0:
+        X_l = traj[idx + lag_idx].reshape((-1,) + state_shape)
+        w_l = weights[idx + lag_idx]
+    else:
+        X_l = w_l = None
+    return (X, X_ae_lagged, X_l, w, w_l)
+
+
+def _regae_batch_loss(loss_static, model, pp, diag_coeff, batch):
+    """All gated loss terms for one pre-gathered batch
     (reference core.py:1069-1135). ``loss_static`` is the hashable config
     prefix (state_shape, k, num_reg, alpha, gamma, eta, eig_w, beta,
     lag_ae_idx, lag_idx, traj_dt); gating is Python-level so disabled terms
     compile out of the step."""
     (state_shape, k, num_reg, alpha, gamma, eta, eig_w, beta,
      lag_ae_idx, lag_idx, traj_dt) = loss_static
-    X = traj[idx].reshape((-1,) + state_shape)
-    w = weights[idx]
+    X, X_ae_lagged, X_l, w, w_l = batch
 
     if alpha > _EPS:
-        if lag_ae_idx > 0:
-            X_ae_lagged = traj[idx + lag_ae_idx].reshape(
-                (-1,) + state_shape
-            )
-        else:
-            X_ae_lagged = X
         ae = weighted_mse_lagged_loss(
-            model.forward_ae, pp, X, X_ae_lagged, w
+            model.forward_ae, pp, X,
+            X if X_ae_lagged is None else X_ae_lagged, w,
         )
     else:
         ae = jnp.zeros(())
@@ -82,11 +95,6 @@ def _regae_batch_loss(loss_static, model, pp, diag_coeff, traj, weights,
     )
 
     if gamma[0] + gamma[1] > _EPS:
-        if lag_idx > 0:
-            X_l = traj[idx + lag_idx].reshape((-1,) + state_shape)
-            w_l = weights[idx + lag_idx]
-        else:
-            X_l = w_l = None
         eig_vals, g0, g1, cvec = reg_eigen_loss(
             model, pp, X, w, X_l, w_l,
             num_reg=num_reg,
@@ -143,37 +151,70 @@ def _multi_epoch_fn(length: int, static: tuple):
     if cached is not None:
         return cached[0]
     loss_static = static[:11]
-    freeze, opt_name, lr = static[11:]
+    freeze, opt_name, lr, prebatch = static[11:]
     optimizer = TrainingTask.make_optimizer(opt_name, lr)
 
-    def epoch_body(model, opt_state, pp, diag_coeff, traj, weights,
-                   train_idx, test_idx):
-        def batch_loss(model, idx):
-            return _regae_batch_loss(
-                loss_static, model, pp, diag_coeff, traj, weights, idx
+    if prebatch:
+        # batches as separate pre-gathered per-batch tuples, epoch body
+        # unrolled (see core/eigenfunction.py: slicing/gathering per step
+        # costs as much as the gradient step on this backend)
+        def epoch_body(model, opt_state, pp, diag_coeff, train_batches,
+                       test_batches):
+            def batch_loss(model, batch):
+                return _regae_batch_loss(
+                    loss_static, model, pp, diag_coeff, batch
+                )
+
+            train_ms = []
+            for batch in train_batches:
+                (_, metrics), grads = jax.value_and_grad(
+                    batch_loss, has_aux=True
+                )(model, batch)
+                if freeze:
+                    grads = _zero_encoder_grads(grads)
+                updates, opt_state = optimizer.update(
+                    grads, opt_state, model
+                )
+                model = optax.apply_updates(model, updates)
+                train_ms.append(metrics)
+            test_ms = [
+                batch_loss(model, b)[1] for b in test_batches
+            ]
+            return (
+                model, opt_state, jnp.stack(train_ms), jnp.stack(test_ms)
+            )
+    else:
+        def epoch_body(model, opt_state, pp, diag_coeff, traj, weights,
+                       train_idx, test_idx):
+            def batch_loss(model, idx):
+                return _regae_batch_loss(
+                    loss_static, model, pp, diag_coeff,
+                    _regae_gather(loss_static, traj, weights, idx),
+                )
+
+            def train_step(carry, idx):
+                model, opt_state = carry
+                (_, metrics), grads = jax.value_and_grad(
+                    batch_loss, has_aux=True
+                )(model, idx)
+                if freeze:
+                    grads = _zero_encoder_grads(grads)
+                updates, opt_state = optimizer.update(
+                    grads, opt_state, model
+                )
+                model = optax.apply_updates(model, updates)
+                return (model, opt_state), metrics
+
+            (model, opt_state), train_metrics = jax.lax.scan(
+                train_step, (model, opt_state), train_idx
             )
 
-        def train_step(carry, idx):
-            model, opt_state = carry
-            (_, metrics), grads = jax.value_and_grad(
-                batch_loss, has_aux=True
-            )(model, idx)
-            if freeze:
-                grads = _zero_encoder_grads(grads)
-            updates, opt_state = optimizer.update(grads, opt_state, model)
-            model = optax.apply_updates(model, updates)
-            return (model, opt_state), metrics
+            def eval_step(_, idx):
+                _, metrics = batch_loss(model, idx)
+                return None, metrics
 
-        (model, opt_state), train_metrics = jax.lax.scan(
-            train_step, (model, opt_state), train_idx
-        )
-
-        def eval_step(_, idx):
-            _, metrics = batch_loss(model, idx)
-            return None, metrics
-
-        _, test_metrics = jax.lax.scan(eval_step, None, test_idx)
-        return model, opt_state, train_metrics, test_metrics
+            _, test_metrics = jax.lax.scan(eval_step, None, test_idx)
+            return model, opt_state, train_metrics, test_metrics
 
     return TrainingTask.compile_multi_epoch(
         _EPOCH_FN_CACHE, key, length, epoch_body
@@ -192,6 +233,10 @@ class RegAutoEncoderTask(TrainingTask):
             'eig_0', ..., 'encoder_gradient', 'encoder_norm',
             'encoder_orthogonality']
     """
+
+    # see core/eigenfunction.py for both limits' rationale
+    PREBATCH_AUTO_LIMIT_BYTES = 4 << 30
+    PREBATCH_UNROLL_LIMIT = 32
 
     def __init__(
         self,
@@ -220,6 +265,7 @@ class RegAutoEncoderTask(TrainingTask):
         verbose: bool = True,
         debug_mode: bool = True,
         precompute_features: bool = False,
+        prebatch: bool | None = None,
         **kwargs,
     ):
         assert isinstance(model, RegAutoEncoder), (
@@ -304,6 +350,29 @@ class RegAutoEncoderTask(TrainingTask):
         else:
             self._diag_coeff = None
 
+        # batch-data layout (docs/api.md option matrix): pre-gathered
+        # per-batch tuples with the epoch body unrolled (the fast layout,
+        # see core/eigenfunction.py), unless the trajectory is
+        # frame-sharded, the gathered copies would be too large, or the
+        # batch count exceeds the unroll limit (checked in _prepare_data)
+        n_copies = 1
+        if self.alpha > _EPS and self.lag_ae_idx > 0:
+            n_copies += 1
+        if self.gamma[0] + self.gamma[1] > _EPS and self.lag_idx > 0:
+            n_copies += 1
+        if prebatch is None:
+            self._prebatch = (
+                not self.shard_trajectory
+                and n_copies * self._traj_np.nbytes
+                <= self.PREBATCH_AUTO_LIMIT_BYTES
+            )
+        else:
+            self._prebatch = bool(prebatch)
+            assert not (self._prebatch and self.shard_trajectory), (
+                "prebatch=True is incompatible with shard_trajectory: the "
+                "frame-sharded layout requires per-step gathers"
+            )
+
         if self.verbose:
             print(
                 "\nShape of trajectory data array:\n {}".format(
@@ -353,15 +422,17 @@ class RegAutoEncoderTask(TrainingTask):
             self.freeze_encoder,
             self.optimizer_name.lower(),
             float(self.learning_rate),
+            self._prebatch,
         )
 
     def _batch_loss(self, model, traj, weights, idx):
         """All gated loss terms for one index batch
         (reference core.py:1069-1135); kept as a method for direct use —
         the compiled epoch programs use the module-level equivalent."""
+        loss_static = self._static_config()[:11]
         return _regae_batch_loss(
-            self._static_config()[:11], model, self._pp_for_loss,
-            self._diag_coeff, traj, weights, idx,
+            loss_static, model, self._pp_for_loss, self._diag_coeff,
+            _regae_gather(loss_static, traj, weights, idx),
         )
 
     def _get_multi_epoch_fn(self, length: int):
@@ -379,8 +450,9 @@ class RegAutoEncoderTask(TrainingTask):
 
     # ------------------------------------------------------------------
     def _prepare_data(self):
-        """Device-placed data of the multi-epoch program, cached across
-        ``train()`` calls (see core/eigenfunction.py for the rationale)."""
+        """Device-placed data arguments of the multi-epoch program +
+        batch schedules, cached across ``train()`` calls (see
+        core/eigenfunction.py for the rationale)."""
         cached = getattr(self, "_prepared_data_cache", None)
         if cached is not None:
             return cached
@@ -391,7 +463,36 @@ class RegAutoEncoderTask(TrainingTask):
         train_b = self._make_batches(train_idx, self.batch_size)
         test_b = self._make_batches(test_idx, self.batch_size)
 
-        if self.shard_trajectory and self.mesh is not None:
+        if self._prebatch and (
+            len(train_b) + len(test_b) > self.PREBATCH_UNROLL_LIMIT
+        ):
+            # too many batches to unroll: fall back to the scanned
+            # whole-trajectory gather layout
+            self._prebatch = False
+
+        loss_static = self._static_config()[:11]
+        if self._prebatch:
+            # pre-gather each batch's (X, X_ae_lagged, X_l, w, w_l) once
+            # on device; the epoch body unrolls over the tuples
+            flat_d = jnp.asarray(self._traj_flat)
+            w_d = jnp.asarray(self._weights_np)
+
+            def pack_one(row):
+                # gathers from the flat [n, prod(state)] layout; the
+                # (-1,) + state_shape reshape inside restores state rank
+                return _regae_gather(
+                    loss_static, flat_d, w_d, jnp.asarray(row)
+                )
+
+            data_args = (
+                self._place_batched(
+                    tuple(pack_one(row) for row in train_b)
+                ),
+                self._place_batched(
+                    tuple(pack_one(row) for row in test_b)
+                ),
+            )
+        elif self.shard_trajectory and self.mesh is not None:
             # long-trajectory scaling (SURVEY.md §5): the frame axis is
             # sharded across the mesh so trajectories larger than one
             # chip's HBM can be trained on; per-batch (lagged) gathers
@@ -400,21 +501,23 @@ class RegAutoEncoderTask(TrainingTask):
 
             traj = shard_frames(jnp.asarray(self._traj_flat), self.mesh)
             weights = shard_frames(jnp.asarray(self._weights_np), self.mesh)
+            data_args = (
+                traj, weights,
+                self._place_batched(train_b), self._place_batched(test_b),
+            )
         else:
             traj = self._place_replicated(jnp.asarray(self._traj_flat))
             weights = self._place_replicated(jnp.asarray(self._weights_np))
-        train_bd = self._place_batched(train_b)
-        test_bd = self._place_batched(test_b)
-        self._prepared_data_cache = (
-            traj, weights, train_bd, test_bd, train_b, test_b
-        )
+            data_args = (
+                traj, weights,
+                self._place_batched(train_b), self._place_batched(test_b),
+            )
+        self._prepared_data_cache = (data_args, train_b, test_b)
         return self._prepared_data_cache
 
     def train(self):
         r"""Train the model (reference core.py:1036-1217)."""
-        traj, weights, train_bd, test_bd, train_b, test_b = (
-            self._prepare_data()
-        )
+        data_args, train_b, test_b = self._prepare_data()
         model = self._place_replicated(self._protect(self.model))
         opt_state = self._place_replicated(self._protect(self.opt_state))
 
@@ -442,7 +545,7 @@ class RegAutoEncoderTask(TrainingTask):
                 model, opt_state, train_cm, test_cm = (
                     self._get_multi_epoch_fn(chunk)(
                         model, opt_state, self._pp_for_loss,
-                        self._diag_coeff, traj, weights, train_bd, test_bd
+                        self._diag_coeff, *data_args
                     )
                 )
                 train_cm = np.asarray(train_cm)

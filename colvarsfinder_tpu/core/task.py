@@ -391,6 +391,18 @@ class TrainingTask(ABC):
         self.opt_state = state["opt_state"]
         return int(state["epoch"])
 
+    def release_device_data(self) -> None:
+        """Drop the cached device-placed batch data.
+
+        Tasks cache their prepared batch buffers across ``train()`` calls
+        (re-placing them costs far more than the training compute through
+        a tunneled device — see ``_prepare_data``). The cache lives for
+        the task's lifetime; call this to free the HBM when keeping many
+        trained tasks alive (e.g. large sweeps). The next ``train()``
+        simply re-prepares the data.
+        """
+        self._prepared_data_cache = None
+
     # ------------------------------------------------------------------
     @abstractmethod
     def train(self):

@@ -180,3 +180,40 @@ def test_ae_shard_trajectory_warns(tmp_path):
             shard_trajectory=True, batch_size=16, num_epochs=1,
             save_model_every_step=0, verbose=False, tensorboard=False,
         )
+
+
+def test_release_device_data_retrains_identically(tmp_path):
+    """Cached device batch data can be dropped (HBM release for sweeps);
+    the next train() re-prepares it and produces identical results."""
+    import numpy as np
+
+    from colvarsfinder_tpu.core import EigenFunctionTask
+    from colvarsfinder_tpu.models import EigenFunctions
+    from colvarsfinder_tpu.utils import WeightedTrajectory
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((600, 4)).astype(np.float32)
+    traj = WeightedTrajectory(trajectory=x, dt=0.01, verbose=False)
+
+    def make():
+        return EigenFunctionTask(
+            traj, None, EigenFunctions([4, 8, 1], 1, seed=0),
+            str(tmp_path), alpha=5.0, eig_weights=[1.0], lag_tau=0.01,
+            k=1, learning_rate=0.01, batch_size=100, num_epochs=3,
+            test_ratio=0.2, save_model_every_step=0, verbose=False,
+            tensorboard=False, seed=0, debug_mode=False,
+        )
+
+    t1 = make()
+    t1.train()
+    ref_losses = t1.train_loss_df["loss"].to_numpy()
+    assert t1._prepared_data_cache is not None
+    t2 = make()
+    t2.train()
+    t2.release_device_data()
+    assert t2._prepared_data_cache is None
+    t2 = make()
+    t2.train()
+    np.testing.assert_array_equal(
+        ref_losses, t2.train_loss_df["loss"].to_numpy()
+    )
