@@ -126,7 +126,7 @@ def bench_jax(ref, traj_np, weights_np):
     model, opt_state, losses = train_run(
         model, opt_state, batches, n_epochs=n_epochs
     )
-    jax.block_until_ready(losses)
+    _ = np.asarray(losses)  # host fetch: reliable warmup barrier
 
     t0 = time.perf_counter()
     model, opt_state, losses = train_run(

@@ -121,7 +121,7 @@ def measure(batch=20_000, precision="highest", fuse=False, steps=30):
         return m, os_, losses
 
     model, opt_state, losses = run(model, opt_state)
-    jax.block_until_ready(losses)
+    _ = np.asarray(losses)  # host fetch: reliable warmup barrier
     t0 = time.perf_counter()
     model, opt_state, losses = run(model, opt_state)
     _ = np.asarray(losses)  # host fetch: robust completion barrier on the

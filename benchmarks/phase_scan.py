@@ -80,7 +80,7 @@ def main():
             return c
 
         c = run(init)
-        jax.block_until_ready(jax.tree_util.tree_leaves(c)[0])
+        np.asarray(jax.tree_util.tree_leaves(c)[0])  # host-fetch warmup barrier
         t0 = time.perf_counter()
         c = run(init)
         np.asarray(jax.tree_util.tree_leaves(c)[0])  # host-fetch barrier

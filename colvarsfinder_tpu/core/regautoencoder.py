@@ -484,13 +484,18 @@ class RegAutoEncoderTask(TrainingTask):
                     loss_static, flat_d, w_d, jnp.asarray(row)
                 )
 
+            # per-batch leaves are [B, ...] with the batch dim LEADING:
+            # mesh placement shards axis 0 (shard_batches targets axis 1
+            # of stacked [nb, B, ...] arrays)
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_frames
+
+                place = lambda t: shard_frames(t, self.mesh)  # noqa: E731
+            else:
+                place = self._place_batched
             data_args = (
-                self._place_batched(
-                    tuple(pack_one(row) for row in train_b)
-                ),
-                self._place_batched(
-                    tuple(pack_one(row) for row in test_b)
-                ),
+                place(tuple(pack_one(row) for row in train_b)),
+                place(tuple(pack_one(row) for row in test_b)),
             )
         elif self.shard_trajectory and self.mesh is not None:
             # long-trajectory scaling (SURVEY.md §5): the frame axis is

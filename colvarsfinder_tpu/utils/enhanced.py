@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from functools import partial
 from typing import Callable, Optional
 
 import numpy as np
@@ -141,18 +140,14 @@ class MetadynamicsResult:
         return -scale * self.bias(s)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "grad_total", "cv_fn", "bias_e", "n_hills", "deposit_interval",
-        "pre_steps", "well_tempered",
-    ),
-)
 def _metad_scan(
     grad_total, cv_fn, bias_e, x0, key, step_size, beta, hill_height,
     wt_denom, n_hills, deposit_interval, pre_steps, well_tempered,
 ):
-    """One walker's full metadynamics run as a single compiled program.
+    """One walker's full metadynamics run (traced; the caller jits the
+    vmapped wrapper LOCALLY so the compiled executable — which closes over
+    the CV model — is garbage-collected with the call instead of pinned
+    in a module-level jit cache).
 
     x0: [d]. Returns (frames [H, d], cvs [H, k], centers [H, k],
     heights [H]).
@@ -284,7 +279,7 @@ def integrate_sde_metadynamics(
         (bias_factor - 1.0) / beta if bias_factor is not None else 1.0
     )
 
-    run = jax.vmap(
+    run = jax.jit(jax.vmap(
         lambda x0, k: _metad_scan(
             grad_total, cv_fn, bias_e, x0, k,
             jnp.float32(step_size), jnp.float32(beta),
@@ -292,7 +287,7 @@ def integrate_sde_metadynamics(
             int(n_hills), int(deposit_interval), int(pre_steps),
             bias_factor is not None,
         )
-    )
+    ))
     keys = jax.random.split(key, n_chains)
     frames, cvs, centers, heights = run(
         jnp.asarray(X0, jnp.float32), keys

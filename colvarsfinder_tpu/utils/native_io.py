@@ -90,7 +90,10 @@ def _load() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS"),
             ctypes.c_int64,
             ctypes.c_int64,
-            ctypes.c_float,
+            # double: quantization must use the full-precision factor so
+            # output stays bit-identical with the Python codec even for
+            # precisions not exactly representable in f32 (e.g. 100.3)
+            ctypes.c_double,
             np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS"),
             ctypes.c_double,
             ctypes.c_double,
@@ -177,7 +180,7 @@ def encode_xtc(
     box9 = np.ascontiguousarray(box_mat, dtype=np.float64).reshape(9)
     got = lib.xtc_encode(
         filename.encode(), coords, n_frames, n_atoms,
-        np.float32(precision), box9, float(t0_ps), float(dt_ps),
+        float(precision), box9, float(t0_ps), float(dt_ps),
         int(step_interval),
     )
     if got == -5:

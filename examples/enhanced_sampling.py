@@ -48,7 +48,9 @@ class TripleWellCircle:
     def V(self, x):
         theta = jnp.arctan2(x[1], x[0])
         r = jnp.sqrt(x[0] ** 2 + x[1] ** 2)
-        return 1.0 - jnp.cos(3.0 * theta) + 8.0 * (r - 1.0) ** 2
+        # minima of 1 + cos(3θ) sit at θ = ±π/3 and π (where cos(3θ) = -1),
+        # matching well_of() and the training clusters
+        return 1.0 + jnp.cos(3.0 * theta) + 8.0 * (r - 1.0) ** 2
 
 
 def well_of(theta):

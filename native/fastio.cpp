@@ -439,7 +439,7 @@ int xtc_scan(const char* path, int64_t* n_frames, int64_t* n_atoms) {
 // correctness oracle in tests/test_xtc.py. Returns frames written, or a
 // negative error code (-5: coordinate overflow at the given precision).
 int64_t xtc_encode(const char* path, const float* coords, int64_t n_frames,
-                   int64_t n_atoms, float precision, const double* box9,
+                   int64_t n_atoms, double precision, const double* box9,
                    double t0_ps, double dt_ps, int64_t step_interval);
 
 // Decode all frames into coords[n_frames * n_atoms * 3] and
@@ -574,13 +574,13 @@ struct BitWriter {
 
 // Encode one frame's coordinate block (the part after the 16+36-byte frame
 // header) into `blk`. Returns false on coordinate overflow.
-bool xtc_encode_block(const float* frame, int64_t natoms, float precision,
+bool xtc_encode_block(const float* frame, int64_t natoms, double precision,
                       std::vector<int32_t>& ints,
                       std::vector<unsigned char>& blk) {
     const double kMaxAbs = 2147483646.0;  // 2^31 - 2
     ints.resize((size_t)natoms * 3);
     for (int64_t a = 0; a < 3 * natoms; ++a) {
-        double q = (double)frame[a] * (double)precision;
+        double q = (double)frame[a] * precision;
         double r = (q >= 0) ? floor(q + 0.5) : ceil(q - 0.5);
         if (fabs(r) >= kMaxAbs) return false;
         ints[a] = (int32_t)r;
@@ -723,7 +723,7 @@ bool xtc_encode_block(const float* frame, int64_t natoms, float precision,
     w.flush_tail();
 
     be_store32(blk, (uint32_t)natoms);
-    be_store_f32(blk, precision);
+    be_store_f32(blk, (float)precision);
     for (int d = 0; d < 3; ++d) be_store32(blk, (uint32_t)minint[d]);
     for (int d = 0; d < 3; ++d) be_store32(blk, (uint32_t)maxint[d]);
     be_store32(blk, (uint32_t)smallidx0);
@@ -739,7 +739,7 @@ bool xtc_encode_block(const float* frame, int64_t natoms, float precision,
 extern "C" {
 
 int64_t xtc_encode(const char* path, const float* coords, int64_t n_frames,
-                   int64_t n_atoms, float precision, const double* box9,
+                   int64_t n_atoms, double precision, const double* box9,
                    double t0_ps, double dt_ps, int64_t step_interval) {
     FILE* f = fopen(path, "wb");
     if (!f) return -1;

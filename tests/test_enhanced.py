@@ -125,7 +125,9 @@ def test_metadynamics_with_learned_cv_on_triple_well(tmp_path):
         def V(self, x):
             theta = jnp.arctan2(x[1], x[0])
             r = jnp.sqrt(x[0] ** 2 + x[1] ** 2)
-            return 1.0 - jnp.cos(3.0 * theta) + 8.0 * (r - 1.0) ** 2
+            # minima of 1 + cos(3θ) at θ = ±π/3 and π, matching the
+            # well labels below and the training clusters
+            return 1.0 + jnp.cos(3.0 * theta) + 8.0 * (r - 1.0) ** 2
 
     pot = TripleWell()
     # training data: frames around the three wells

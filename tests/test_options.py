@@ -204,16 +204,20 @@ def test_release_device_data_retrains_identically(tmp_path):
             tensorboard=False, seed=0, debug_mode=False,
         )
 
+    # reference: two consecutive train() calls with the cache kept
     t1 = make()
     t1.train()
-    ref_losses = t1.train_loss_df["loss"].to_numpy()
     assert t1._prepared_data_cache is not None
+    t1.train()
+    ref_losses = t1.train_loss_df["loss"].to_numpy()
+    # released instance: same two calls, cache dropped in between — the
+    # SAME instance must re-prepare its data and continue identically
     t2 = make()
     t2.train()
     t2.release_device_data()
     assert t2._prepared_data_cache is None
-    t2 = make()
     t2.train()
+    assert t2._prepared_data_cache is not None
     np.testing.assert_array_equal(
         ref_losses, t2.train_loss_df["loss"].to_numpy()
     )

@@ -128,3 +128,35 @@ def test_eigen_task_sharded_trajectory(traj, tmp_path):
         t1.train_loss_df.to_numpy(), t2.train_loss_df.to_numpy(),
         rtol=1e-4, atol=1e-6,
     )
+
+
+def test_regae_task_sharded_equals_single_device(traj, tmp_path):
+    """RegAE's prebatched per-batch tuples have the batch dim LEADING, so
+    mesh placement must shard axis 0 (a shard_batches placement would try
+    to shard the feature axis and crash or mis-shard)."""
+    from colvarsfinder_tpu.core import RegAutoEncoderTask
+    from colvarsfinder_tpu.models import RegAutoEncoder
+
+    mesh = make_data_mesh(jax.devices()[:8])
+    kw = dict(
+        eig_weights=[1.0, 0.5], alpha=1.0, gamma=(0.3, 0.3),
+        eta=(0.1, 0.1, 0.1), lag_tau_ae=0.1, lag_tau_reg=0.1,
+    )
+
+    m1 = RegAutoEncoder([2, 10, 2], [2, 10, 2], [2, 8, 1], K=2, seed=0)
+    t1 = RegAutoEncoderTask(traj, None, m1, **kw, **_kw(tmp_path, "rg1"))
+    t1.train()
+    assert t1._prebatch  # the layout under test
+
+    m2 = RegAutoEncoder([2, 10, 2], [2, 10, 2], [2, 8, 1], K=2, seed=0)
+    t2 = RegAutoEncoderTask(
+        traj, None, m2, mesh=mesh, **kw, **_kw(tmp_path, "rg2")
+    )
+    t2.train()
+    assert t2._prebatch
+
+    np.testing.assert_allclose(
+        t1.train_loss_df["loss"].to_numpy(),
+        t2.train_loss_df["loss"].to_numpy(),
+        rtol=1e-4, atol=1e-6,
+    )

@@ -309,3 +309,28 @@ def test_native_encoder_overflow_raises(tmp_path):
     coords = np.full((1, 12, 3), 3e6, dtype=np.float32)  # 3e9 > 2^31 quanta
     with pytest.raises(ValueError, match="precision"):
         write_xtc(str(tmp_path / "x.xtc"), coords, precision=1000.0)
+
+
+def test_native_encoder_bitidentical_nonf32_precision(tmp_path):
+    """Quantization must use the full-double precision factor: 100.3 is
+    not exactly representable in f32, so an f32-narrowed factor rounds
+    boundary values differently from the Python codec."""
+    from colvarsfinder_tpu.utils import native_io
+
+    if not native_io.available() or not hasattr(
+        native_io._load(), "xtc_encode"
+    ):
+        pytest.skip("native xtc encoder not built")
+    rng = np.random.default_rng(11)
+    coords = rng.uniform(-50, 50, (30, 40, 3)).astype(np.float32)
+    p_native = str(tmp_path / "n.xtc")
+    p_python = str(tmp_path / "p.xtc")
+    write_xtc(p_native, coords, precision=100.3)
+    real = native_io.encode_xtc
+    native_io.encode_xtc = lambda *a, **k: False
+    try:
+        write_xtc(p_python, coords, precision=100.3)
+    finally:
+        native_io.encode_xtc = real
+    with open(p_native, "rb") as f1, open(p_python, "rb") as f2:
+        assert f1.read() == f2.read()
