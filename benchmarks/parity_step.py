@@ -81,6 +81,9 @@ def run(dtype="float32", steps=20, json_path=None):
 
     from colvarsfinder_tpu import config
 
+    # strict true-f32 contractions for the parity bar (immaterial on the
+    # CPU backend, but pinned so the harness is self-documenting)
+    config.set_matmul_precision("highest")
     if dtype == "float64":
         config.set_default_dtype("float64")
 

@@ -1,18 +1,22 @@
 """Global numerics configuration.
 
-On TPU the MXU's native matmul passes are bfloat16; the parity bar against
-the float32 PyTorch reference (BASELINE.md: losses matching to 1e-5)
-requires true-f32 contractions, so the framework defaults to
-``jax.lax.Precision.HIGHEST`` in every model/feature contraction. Training
-runs that don't need bit-level parity can trade precision for MXU
-throughput with :func:`set_matmul_precision`.
+On TPU the MXU's native matmul passes are bfloat16; f32 contractions are
+emulated by multiple bf16 passes — 6 per matmul at
+``jax.lax.Precision.HIGHEST``, 3 at ``HIGH``. The framework default is
+**HIGH**: measured against HIGHEST on the headline training workload the
+final-epoch loss differs by 6e-7 relative (far inside the 1e-5
+reference-parity bar) while throughput is ~13% higher, because this
+model scale is bounded by MXU-pass count, not FLOPs
+(benchmarks/RESULTS.md). The per-step parity harness pins HIGHEST (or
+float64) explicitly; 'default' (single bf16 pass) is the fast mode for
+production training that tolerates ~5e-5 relative loss noise.
 """
 
 from __future__ import annotations
 
 import jax
 
-_PRECISION = jax.lax.Precision.HIGHEST
+_PRECISION = jax.lax.Precision.HIGH
 
 _NAMES = {
     "default": jax.lax.Precision.DEFAULT,
@@ -28,6 +32,9 @@ def set_matmul_precision(precision) -> None:
 
     Accepts a ``jax.lax.Precision`` or one of
     'default' | 'high' | 'highest' | 'bfloat16' | 'float32'.
+    'high' (bf16x3 on TPU, near-f32 accuracy) is the framework default;
+    'highest'/'float32' (bf16x6, true f32) is the strict-parity mode;
+    'default'/'bfloat16' is the fast mode.
 
     The value is read at trace time; the tasks key their compiled-program
     caches on it, so changing the precision mid-training triggers a
