@@ -45,26 +45,56 @@ def _multi_epoch_fn(length: int, static: tuple):
         return cached[0]
 
     (state_shape, k, alpha, eig_w, beta, lag_idx, traj_dt,
-     sort_eigvals, opt_name, lr, prebatch, unroll) = static
+     sort_eigvals, opt_name, lr, prebatch, unroll, fused) = static
     from .task import TrainingTask
 
     optimizer = TrainingTask.make_optimizer(opt_name, lr)
 
-    def _loss(model, pp_layer, diag_coeff, X, w, X_l, w_l):
-        loss, aux = eigen_loss(
-            model, pp_layer, X, w, X_l, w_l,
-            k=k, alpha=alpha, eig_w=list(eig_w), beta=beta,
-            diag_coeff=diag_coeff, lag_idx=lag_idx, traj_dt=traj_dt,
-            sort_eigvals=sort_eigvals,
+    if fused:
+        # Pallas fused step (transfer-op only): the whole loss forward and
+        # parameter backward are two kernels; see ops/fused_eigen.py for
+        # the design and its measured error budget
+        from ..ops.fused_eigen import (
+            eigen_loss_from_stats,
+            params_t_of,
+            transfer_stats,
         )
-        metrics = jnp.concatenate(
-            [
-                jnp.stack([loss, aux.non_penalty_loss, aux.penalty]),
-                aux.eig_vals,
-                aux.cvec.astype(loss.dtype),
-            ]
-        )
-        return loss, metrics
+
+        def _loss(model, pp_layer, diag_coeff, X, w, X_l, w_l):
+            F = pp_layer(X)
+            F_l = pp_layer(X_l)
+            F = F.reshape(F.shape[0], -1)
+            F_l = F_l.reshape(F_l.shape[0], -1)
+            stats = transfer_stats(params_t_of(model), F, F_l, w, w_l)
+            loss, (eig_vals, non_pen, pen, cvec) = eigen_loss_from_stats(
+                stats, k=k, alpha=alpha, eig_w=list(eig_w),
+                lag_idx=lag_idx, traj_dt=traj_dt,
+                sort_eigvals=sort_eigvals,
+            )
+            metrics = jnp.concatenate(
+                [
+                    jnp.stack([loss, non_pen, pen]),
+                    eig_vals,
+                    cvec.astype(loss.dtype),
+                ]
+            )
+            return loss, metrics
+    else:
+        def _loss(model, pp_layer, diag_coeff, X, w, X_l, w_l):
+            loss, aux = eigen_loss(
+                model, pp_layer, X, w, X_l, w_l,
+                k=k, alpha=alpha, eig_w=list(eig_w), beta=beta,
+                diag_coeff=diag_coeff, lag_idx=lag_idx, traj_dt=traj_dt,
+                sort_eigvals=sort_eigvals,
+            )
+            metrics = jnp.concatenate(
+                [
+                    jnp.stack([loss, aux.non_penalty_loss, aux.penalty]),
+                    aux.eig_vals,
+                    aux.cvec.astype(loss.dtype),
+                ]
+            )
+            return loss, metrics
 
     if prebatch:
         # batches were gathered ONCE before training (the schedule is
@@ -216,6 +246,7 @@ class EigenFunctionTask(TrainingTask):
         debug_mode: bool = True,
         precompute_features: bool = False,
         prebatch: bool | None = None,
+        fused_step: bool = False,
         **kwargs,
     ):
         assert isinstance(model, EigenFunctions), (
@@ -295,6 +326,17 @@ class EigenFunctionTask(TrainingTask):
                 "frame-sharded layout requires per-step gathers"
             )
         self._unroll = False  # decided per data layout in _prepare_data
+
+        # opt-in Pallas fused step (ops/fused_eigen.py): the loss forward
+        # and parameter backward run as two kernels; transfer-op only
+        # (the generator loss needs input gradients, which the fused
+        # backward does not produce)
+        self.fused_step = bool(fused_step)
+        if self.fused_step:
+            assert self.lag_idx > 0, (
+                "fused_step requires the transfer-operator loss "
+                "(lag_tau > 0)"
+            )
 
         if self.lag_idx == 0:  # generator
             self._beta = float(beta)
@@ -378,6 +420,7 @@ class EigenFunctionTask(TrainingTask):
             float(self.learning_rate),
             self._prebatch,
             self._unroll,
+            self.fused_step,
         )
 
     def _get_multi_epoch_fn(self, length: int):
