@@ -337,6 +337,29 @@ class EigenFunctionTask(TrainingTask):
                 "fused_step requires the transfer-operator loss "
                 "(lag_tau > 0)"
             )
+            assert model.activation == "tanh", (
+                f"fused_step kernels implement the 'tanh' activation "
+                f"(got '{model.activation}'); use the default XLA step "
+                "for other activations"
+            )
+            fused_width = self.k * max(model.layer_dims[1:-1], default=0)
+            assert fused_width <= 256, (
+                f"fused_step supports k * hidden_width <= 256 (got "
+                f"{fused_width}): the block-diagonal kernel activations "
+                "must fit scoped VMEM; use the default XLA step for "
+                "wider models"
+            )
+            # the stats vector must fit one 128-lane row:
+            # m = 2 + 5k + (k-1)k columns
+            assert self.k * (self.k + 4) + 2 <= 128, (
+                f"fused_step supports k <= 9 (got {self.k}): the stats "
+                "row must fit 128 lanes"
+            )
+            assert default_dtype() == jnp.float32, (
+                "fused_step computes in float32; with "
+                "set_default_dtype('float64') (the parity mode) use the "
+                "default XLA step"
+            )
 
         if self.lag_idx == 0:  # generator
             self._beta = float(beta)

@@ -65,10 +65,8 @@ TILE_B = 2048  # per-grid-step overhead dominates small tiles; block-diag kernel
 _LANES = 128
 
 
-def _act(x):
-    """The framework 'tanh' (exp formulation — see models.module)."""
-    xc = jnp.clip(x, -20.0, 20.0)
-    return 1.0 - 2.0 / (jnp.exp(2.0 * xc) + 1.0)
+from ..models.module import _tanh_precise as _act  # single tanh source
+from .kabsch_pallas import _should_interpret
 
 
 def stats_layout(k: int):
@@ -96,12 +94,16 @@ def _pairs(k: int):
 def _mlp_heads(params_t, x):
     """Stacked-MLP forward on [B, d] -> y [B, k] for transposed params
     (tuples of (W_t [k, h_in, h_out], b [k, h_out]))."""
+    from ..config import matmul_precision
+
     k = params_t[0][0].shape[0]
     ys = []
     for kk in range(k):
         h = x
         for li, (w_t, b) in enumerate(params_t):
-            h = h @ w_t[kk] + b[kk]
+            h = jnp.matmul(
+                h, w_t[kk], precision=matmul_precision()
+            ) + b[kk]
             if li < len(params_t) - 1:
                 h = _act(h)
         ys.append(h[:, 0])
@@ -141,7 +143,7 @@ def transfer_stats_reference(params_t, F, F_l, w, w_l):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel_factory(dims: Tuple[int, ...], k: int):
+def _fwd_kernel_factory(dims: Tuple[int, ...], k: int, precision):
     """Forward stats kernel over fused block-diagonal weights.
 
     All statistics are columns of one per-sample integrand matrix
@@ -169,7 +171,7 @@ def _fwd_kernel_factory(dims: Tuple[int, ...], k: int):
         z = jnp.concatenate([f_ref[...], fl_ref[...]], axis=0)
         for li in range(n_layers):
             z = jnp.dot(
-                z, wb[2 * li][...], preferred_element_type=jnp.float32
+                z, wb[2 * li][...], preferred_element_type=jnp.float32, precision=precision
             ) + wb[2 * li + 1][0, :][None, :]
             if li < n_layers - 1:
                 z = _act(z)
@@ -184,7 +186,6 @@ def _fwd_kernel_factory(dims: Tuple[int, ...], k: int):
         # cross products via lane rolls: block r has columns
         # w * y_i * y_{(i + r) mod k}
         for r in range(1, k):
-            roll_mat = jnp.zeros((k, k), jnp.float32)
             ri = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
             ci = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
             roll_mat = jnp.where((ci - ri) % k == r, 1.0, 0.0)
@@ -220,7 +221,7 @@ def _kernel_cols_to_stats(row, k):
     return jnp.concatenate([base, jnp.stack(pairs)]) if pairs else base
 
 
-def _bwd_kernel_factory(dims: Tuple[int, ...], k: int):
+def _bwd_kernel_factory(dims: Tuple[int, ...], k: int, precision):
     """Backward: recompute block-form activations, build the per-sample
     output cotangents dY from dL/dstats (each stat is linear in
     per-sample terms), backpropagate through the fused layers, accumulate
@@ -254,7 +255,7 @@ def _bwd_kernel_factory(dims: Tuple[int, ...], k: int):
         acts = [z]
         for li in range(n_layers):
             z = jnp.dot(
-                z, wb[2 * li][...], preferred_element_type=jnp.float32
+                z, wb[2 * li][...], preferred_element_type=jnp.float32, precision=precision
             ) + wb[2 * li + 1][0, :][None, :]
             if li < n_layers - 1:
                 z = _act(z)
@@ -299,13 +300,13 @@ def _bwd_kernel_factory(dims: Tuple[int, ...], k: int):
             # dW_li += acts[li]^T @ g (contract the batch dim directly)
             outs[2 * li][...] += jax.lax.dot_general(
                 acts[li], g, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=precision,
             )
             outs[2 * li + 1][...] += jnp.sum(g, axis=0)[None, :]
             if li > 0:
                 g = jax.lax.dot_general(
                     g, wb[2 * li][...], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=jnp.float32, precision=precision,
                 )
                 g = g * (1.0 - acts[li] * acts[li])
 
@@ -317,16 +318,25 @@ def _bwd_kernel_factory(dims: Tuple[int, ...], k: int):
 # ---------------------------------------------------------------------------
 
 
-def _should_interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
 def _pad_rows(x, Bp):
     """Pad the batch axis to Bp (padded weights are 0, so padded rows
     contribute nothing to any statistic)."""
     B = x.shape[0]
     pad = [(0, Bp - B)] + [(0, 0)] * (x.ndim - 1)
     return jnp.pad(x.astype(jnp.float32), pad)
+
+
+def _kernel_precision():
+    """Mosaic supports only DEFAULT and HIGHEST dot precision; the
+    framework's HIGH default rounds UP to HIGHEST inside the kernels
+    (strictly more accurate, and the kernel dots are a small fraction of
+    the step cost)."""
+    from ..config import matmul_precision
+
+    p = matmul_precision()
+    if p == jax.lax.Precision.DEFAULT:
+        return jax.lax.Precision.DEFAULT
+    return jax.lax.Precision.HIGHEST
 
 
 def _fuse_params(params_t):
@@ -398,8 +408,11 @@ def _data_specs(d):
     ]
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "k", "interpret"))
-def _stats_fwd_impl(params_flat, F, F_l, w, w_l, *, dims, k, interpret):
+@functools.partial(
+    jax.jit, static_argnames=("dims", "k", "interpret", "precision")
+)
+def _stats_fwd_impl(params_flat, F, F_l, w, w_l, *, dims, k, interpret,
+                    precision):
     B = F.shape[0]
     nb = max(1, -(-B // TILE_B))
     Bp = nb * TILE_B
@@ -407,7 +420,7 @@ def _stats_fwd_impl(params_flat, F, F_l, w, w_l, *, dims, k, interpret):
     wp = _pad_rows(w, Bp)[:, None]
     wlp = _pad_rows(w_l, Bp)[:, None]
 
-    kernel, n_stats = _fwd_kernel_factory(dims, k)
+    kernel, n_stats = _fwd_kernel_factory(dims, k, precision)
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
@@ -431,9 +444,11 @@ def _stats_fwd_impl(params_flat, F, F_l, w, w_l, *, dims, k, interpret):
     return _kernel_cols_to_stats(out[0], k)
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "k", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("dims", "k", "interpret", "precision")
+)
 def _stats_bwd_impl(params_flat, F, F_l, w, w_l, d_stats, *, dims, k,
-                    interpret):
+                    interpret, precision):
     B = F.shape[0]
     nb = max(1, -(-B // TILE_B))
     Bp = nb * TILE_B
@@ -446,7 +461,7 @@ def _stats_bwd_impl(params_flat, F, F_l, w, w_l, d_stats, *, dims, k,
         d_stats.astype(jnp.float32)
     )
 
-    kernel = _bwd_kernel_factory(dims, k)
+    kernel = _bwd_kernel_factory(dims, k, precision)
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
@@ -507,6 +522,7 @@ def transfer_stats(params_t, F, F_l, w, w_l):
     return _stats_fwd_impl(
         _fuse_params(params_t), F, F_l, w, w_l,
         dims=dims, k=k, interpret=_should_interpret(),
+        precision=_kernel_precision(),
     )
 
 
@@ -521,6 +537,7 @@ def _ts_bwd(res, d_stats):
     flat_grads = _stats_bwd_impl(
         _fuse_params(params_t), F, F_l, w, w_l, d_stats,
         dims=dims, k=k, interpret=_should_interpret(),
+        precision=_kernel_precision(),
     )
     d_params = _unfuse_grads(flat_grads, params_t)
     return (

@@ -128,3 +128,19 @@ def test_fused_step_rejects_generator(tmp_path):
             test_ratio=0.2, save_model_every_step=0, verbose=False,
             tensorboard=False, seed=0, debug_mode=False, fused_step=True,
         )
+
+
+def test_fused_step_rejects_wide_models(tmp_path):
+    from colvarsfinder_tpu.core import EigenFunctionTask
+    from colvarsfinder_tpu.utils import WeightedTrajectory
+
+    x = np.random.default_rng(0).standard_normal((300, 4)).astype(np.float32)
+    traj = WeightedTrajectory(trajectory=x, dt=0.01, verbose=False)
+    with pytest.raises(AssertionError, match="hidden_width"):
+        EigenFunctionTask(
+            traj, None, EigenFunctions([4, 512, 1], 2, seed=0),
+            str(tmp_path), alpha=5.0, eig_weights=[1.0, 0.5], lag_tau=0.01,
+            k=2, learning_rate=0.01, batch_size=100, num_epochs=1,
+            test_ratio=0.2, save_model_every_step=0, verbose=False,
+            tensorboard=False, seed=0, debug_mode=False, fused_step=True,
+        )

@@ -73,6 +73,7 @@ def test_bfloat16_fast_mode_trains(tmp_path):
     rng = np.random.default_rng(1)
     x = rng.standard_normal((120, 2)).astype(np.float32)
     traj = WeightedTrajectory(trajectory=x, dt=0.1, verbose=False)
+    old = config.matmul_precision()
     config.set_matmul_precision("bfloat16")
     try:
         model = AutoEncoder([2, 8, 1], [1, 8, 2], seed=0)
@@ -80,7 +81,7 @@ def test_bfloat16_fast_mode_trains(tmp_path):
         task.train()
         assert np.isfinite(task.train_loss_df.to_numpy()).all()
     finally:
-        config.set_matmul_precision("highest")
+        config.set_matmul_precision(old)  # restore the real default
 
 
 def test_tensorboard_writer_creates_events(tmp_path):

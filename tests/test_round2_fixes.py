@@ -159,6 +159,8 @@ def test_precision_change_recompiles_epoch_fns(tmp_path):
 
     old = config.matmul_precision()
     try:
+        # pin both precisions explicitly — the framework default may change
+        config.set_matmul_precision("highest")
         fn_highest = task._get_multi_epoch_fn(1, True)
         config.set_matmul_precision("default")
         fn_default = task._get_multi_epoch_fn(1, True)
