@@ -360,6 +360,10 @@ class EigenFunctionTask(TrainingTask):
                 "set_default_dtype('float64') (the parity mode) use the "
                 "default XLA step"
             )
+            assert self.mesh is None, (
+                "fused_step kernels are single-device; data-parallel "
+                "training over a mesh uses the default XLA step"
+            )
 
         if self.lag_idx == 0:  # generator
             self._beta = float(beta)

@@ -144,3 +144,23 @@ def test_fused_step_rejects_wide_models(tmp_path):
             test_ratio=0.2, save_model_every_step=0, verbose=False,
             tensorboard=False, seed=0, debug_mode=False, fused_step=True,
         )
+
+
+def test_fused_step_rejects_mesh(tmp_path):
+    from colvarsfinder_tpu.core import EigenFunctionTask
+    from colvarsfinder_tpu.parallel import make_data_mesh
+    from colvarsfinder_tpu.utils import WeightedTrajectory
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    x = np.random.default_rng(0).standard_normal((300, 4)).astype(np.float32)
+    traj = WeightedTrajectory(trajectory=x, dt=0.01, verbose=False)
+    with pytest.raises(AssertionError, match="single-device"):
+        EigenFunctionTask(
+            traj, None, EigenFunctions([4, 8, 1], 1, seed=0),
+            str(tmp_path), alpha=5.0, eig_weights=[1.0], lag_tau=0.01,
+            k=1, learning_rate=0.01, batch_size=100, num_epochs=1,
+            test_ratio=0.2, save_model_every_step=0, verbose=False,
+            tensorboard=False, seed=0, debug_mode=False, fused_step=True,
+            mesh=make_data_mesh(jax.devices()[:2]),
+        )
