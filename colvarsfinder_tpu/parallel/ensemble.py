@@ -76,6 +76,11 @@ def train_replica_ensemble(tasks: Sequence) -> None:
     assert all(isinstance(t, EigenFunctionTask) for t in tasks), (
         "train_replica_ensemble currently supports EigenFunctionTask"
     )
+    assert not any(getattr(t, "fused_step", False) for t in tasks), (
+        "train_replica_ensemble does not support fused_step tasks (the "
+        "Pallas kernels cannot be vmapped over the replica axis); "
+        "construct the replicas with the default XLA step"
+    )
     # prepare data BEFORE reading static configs: the data layout decides
     # the unroll flag, which is part of the static config
     prepared = [t._prepare_data() for t in tasks]

@@ -164,3 +164,21 @@ def test_fused_step_rejects_mesh(tmp_path):
             tensorboard=False, seed=0, debug_mode=False, fused_step=True,
             mesh=make_data_mesh(jax.devices()[:2]),
         )
+
+
+def test_ensemble_rejects_fused_tasks(tmp_path):
+    from colvarsfinder_tpu.core import EigenFunctionTask
+    from colvarsfinder_tpu.parallel import train_replica_ensemble
+    from colvarsfinder_tpu.utils import WeightedTrajectory
+
+    x = np.random.default_rng(0).standard_normal((300, 4)).astype(np.float32)
+    traj = WeightedTrajectory(trajectory=x, dt=0.01, verbose=False)
+    task = EigenFunctionTask(
+        traj, None, EigenFunctions([4, 8, 1], 1, seed=0),
+        str(tmp_path), alpha=5.0, eig_weights=[1.0], lag_tau=0.01,
+        k=1, learning_rate=0.01, batch_size=100, num_epochs=1,
+        test_ratio=0.2, save_model_every_step=0, verbose=False,
+        tensorboard=False, seed=0, debug_mode=False, fused_step=True,
+    )
+    with pytest.raises(AssertionError, match="fused_step"):
+        train_replica_ensemble([task])
