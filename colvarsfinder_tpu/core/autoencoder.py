@@ -291,8 +291,9 @@ class AutoEncoderTask(TrainingTask):
                         model, opt_state, *data_args
                     )
                 )
-                train_ms = np.asarray(train_ms)  # [chunk, nb]
-                test_ms = np.asarray(test_ms)
+                # ONE device->host fetch for both metric arrays (each
+                # fetch is a full tunnel round trip)
+                train_ms, test_ms = jax.device_get((train_ms, test_ms))
                 chunk_time = (_time.perf_counter() - _t0) / chunk
                 self.model = model
                 self.opt_state = opt_state

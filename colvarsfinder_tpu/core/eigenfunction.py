@@ -583,8 +583,9 @@ class EigenFunctionTask(TrainingTask):
                         self._diag_coeff, train_data, test_data
                     )
                 )
-                train_cm = np.asarray(train_cm)  # [chunk, nb, n_metrics + k]
-                test_cm = np.asarray(test_cm)
+                # ONE device->host fetch for both metric arrays (each
+                # fetch is a full tunnel round trip)
+                train_cm, test_cm = jax.device_get((train_cm, test_cm))
                 chunk_time = (_time.perf_counter() - _t0) / chunk
                 # last column block is cvec per batch; keep the final one
                 self._cvec = train_cm[-1, -1, n_metrics:].astype(int)

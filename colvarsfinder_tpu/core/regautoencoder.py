@@ -553,8 +553,9 @@ class RegAutoEncoderTask(TrainingTask):
                         self._diag_coeff, *data_args
                     )
                 )
-                train_cm = np.asarray(train_cm)
-                test_cm = np.asarray(test_cm)
+                # ONE device->host fetch for both metric arrays (each
+                # fetch is a full tunnel round trip)
+                train_cm, test_cm = jax.device_get((train_cm, test_cm))
                 chunk_time = (_time.perf_counter() - _t0) / chunk
                 self._cvec = train_cm[-1, -1, n_metrics:].astype(int)
                 self.model = model
