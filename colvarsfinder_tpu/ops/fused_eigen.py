@@ -61,7 +61,7 @@ __all__ = [
     "params_t_of",
 ]
 
-TILE_B = 2048  # per-grid-step overhead dominates small tiles; block-diag kernel fits VMEM at 2048
+TILE_B = 1024  # 2048 measured identical but leaves no scoped-VMEM headroom (the bwd kernel OOMs at very large padded batches)
 _LANES = 128
 
 
