@@ -45,7 +45,18 @@ from typing import Any, Callable
 
 import numpy as np
 
-__all__ = ["save_numpy_cv", "load_numpy_cv", "eval_spec", "build_spec"]
+__all__ = [
+    "save_numpy_cv",
+    "load_numpy_cv",
+    "eval_spec",
+    "build_spec",
+    "UnsupportedLayerError",
+]
+
+
+class UnsupportedLayerError(TypeError):
+    """A CV component has no dependency-free numpy representation
+    (e.g. ops.Lambda wrapping an arbitrary traceable function)."""
 
 SPEC_NAME = "cv_numpy_spec.json"
 PARAMS_NAME = "cv_numpy.npz"
@@ -80,17 +91,27 @@ _NP_ACTIVATIONS: dict[str, Callable[[np.ndarray], np.ndarray]] = {
 }
 
 
-def _np_kabsch_align(x: np.ndarray, ref_c: np.ndarray, idx: np.ndarray) -> np.ndarray:
+def _np_kabsch_align(
+    x: np.ndarray, ref_c: np.ndarray, idx: np.ndarray, weights=None
+) -> np.ndarray:
     """Align frames [B, N, 3] onto the centered reference [m, 3].
 
     Same math as ops.alignment.align_frames (quaternion and SVD solutions
-    coincide); numpy SVD with the determinant-sign fix is the simplest
-    dependency-free formulation.
+    coincide), including its weighted (e.g. mass-weighted) variant; numpy
+    SVD with the determinant-sign fix is the simplest dependency-free
+    formulation.
     """
     sel = x[:, idx, :]
-    com = sel.mean(axis=1)
+    if weights is not None:
+        wn = weights / weights.sum()
+        com = np.einsum("m,bmi->bi", wn, sel)
+        ref_c = ref_c - np.einsum("m,mi->i", wn, ref_c)
+    else:
+        com = sel.mean(axis=1)
     x_c = x - com[:, None, :]
     sel_c = sel - com[:, None, :]
+    if weights is not None:
+        sel_c = sel_c * weights[None, :, None]
     C = np.einsum("bmi,mj->bij", sel_c, ref_c)
     U, _, Vt = np.linalg.svd(C)
     det = np.linalg.det(np.einsum("bij,bjk->bik", U, Vt))
@@ -153,6 +174,7 @@ def _eval_node(node: dict, params: dict, x: np.ndarray) -> np.ndarray:
             x,
             params[node["ref"]],
             np.asarray(node["align_idx"], dtype=np.int64),
+            weights=params[node["weights"]] if "weights" in node else None,
         )
     if kind == "features":
         feats = [
@@ -236,8 +258,9 @@ def _mlp_node(seq, params_out: dict, prefix: str, kind: str) -> dict:
 def build_spec(obj: Any, params_out: dict, prefix: str = "n0_") -> dict:
     """Build a spec node for a pp layer / model object (recursive).
 
-    Raises TypeError for objects with no dependency-free representation
-    (e.g. ops.Lambda wrapping an arbitrary traceable function).
+    Raises :class:`UnsupportedLayerError` for objects with no
+    dependency-free representation (e.g. ops.Lambda wrapping an arbitrary
+    traceable function).
     """
     from .export import ColvarModel
     from .models import AutoEncoder, EigenFunctions, RegModel, Sequential
@@ -270,11 +293,16 @@ def build_spec(obj: Any, params_out: dict, prefix: str = "n0_") -> dict:
             )
         return {"kind": "compose", "stages": stages}
     if isinstance(obj, AlignmentLayer):
-        return {
+        node = {
             "kind": "alignment",
             "ref": _store(params_out, prefix, "ref", obj.ref_centered),
             "align_idx": np.asarray(obj.align_idx).tolist(),
         }
+        if obj.align_weights is not None:
+            node["weights"] = _store(
+                params_out, prefix, "w", obj.align_weights
+            )
+        return node
     if isinstance(obj, FeatureLayer):
         return {
             "kind": "features",
@@ -306,7 +334,7 @@ def build_spec(obj: Any, params_out: dict, prefix: str = "n0_") -> dict:
         reg = _mlp_node(obj.reg, params_out, prefix + "reg_", "stacked_mlp")
         reg["activation"] = obj.encoder.activation
         return {"kind": "compose", "stages": [enc, reg]}
-    raise TypeError(
+    raise UnsupportedLayerError(
         f"no dependency-free spec for {type(obj).__name__}; deploy via the "
         "StableHLO artifact (export_colvar) instead"
     )

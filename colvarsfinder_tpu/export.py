@@ -97,22 +97,28 @@ def export_colvar(
         raise ValueError("example_input must have at least 1 dimension")
     state_shape = tuple(x.shape[1:]) if x.ndim > 1 else (x.shape[0],)
 
+    from .checkpoint import tree_to_named_arrays
+
     spec = {
         "format": "colvarsfinder-tpu-cv/1",
         "input_state_shape": list(state_shape),
         "pp_layer": type(cv_model.pp_layer).__name__,
         "head": type(cv_model.head).__name__,
+        # leaf names in tree_flatten order — load_colvar reconstructs the
+        # parameter list by NAME from this manifest rather than relying on
+        # np.load's file ordering
+        "param_order": list(tree_to_named_arrays(cv_model).keys()),
     }
     with open(os.path.join(out_dir, "cv_spec.json"), "w") as f:
         json.dump(spec, f, indent=2)
 
     # best-effort numpy-only artifact for JAX-less consumers (MD-engine
     # plugins); Lambda-style opaque pp layers have no such representation
-    from .deploy import save_numpy_cv
+    from .deploy import UnsupportedLayerError, save_numpy_cv
 
     try:
         save_numpy_cv(cv_model, out_dir)
-    except TypeError:
+    except UnsupportedLayerError:
         pass
 
     if not write_stablehlo:
@@ -154,10 +160,18 @@ def load_colvar(out_dir: str) -> Callable[[np.ndarray], jnp.ndarray]:
     with open(path, "rb") as f:
         exported = jax_export.deserialize(bytearray(f.read()))
 
+    spec_path = os.path.join(out_dir, "cv_spec.json")
+    order = None
+    if os.path.exists(spec_path):
+        with open(spec_path) as f:
+            order = json.load(f).get("param_order")
     with np.load(os.path.join(out_dir, "cv_params.npz")) as data:
-        # leaves were saved in tree_flatten order under path names; np.load
-        # preserves insertion order of savez kwargs
-        params = [jnp.asarray(data[k]) for k in data.files]
+        # leaves are keyed by tree-path name; the spec's param_order
+        # manifest gives their tree_flatten order (artifacts written
+        # before the manifest existed fall back to file order, which
+        # savez preserved on the numpy versions that wrote them)
+        keys = order if order is not None else list(data.files)
+        params = [jnp.asarray(data[k]) for k in keys]
 
     def cv(x):
         x = jnp.asarray(x, dtype=jnp.float32)

@@ -189,7 +189,10 @@ def _fwd_kernel_factory(dims: Tuple[int, ...], k: int, precision):
             ri = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
             ci = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
             roll_mat = jnp.where((ci - ri) % k == r, 1.0, 0.0)
-            Yr = jnp.dot(Y, roll_mat, preferred_element_type=jnp.float32)
+            Yr = jnp.dot(
+                Y, roll_mat, preferred_element_type=jnp.float32,
+                precision=precision,
+            )
             cols.append(w * Y * Yr)
         m = 2 + 5 * k + (k - 1) * k
         cols.append(jnp.zeros((T, _LANES - m), jnp.float32))
@@ -198,7 +201,10 @@ def _fwd_kernel_factory(dims: Tuple[int, ...], k: int, precision):
         # single-dot reduction into row 0 of the accumulator
         rsel = jax.lax.broadcasted_iota(jnp.int32, (8, T), 0)
         ones_row = jnp.where(rsel == 0, 1.0, 0.0)
-        acc = jnp.dot(ones_row, A, preferred_element_type=jnp.float32)
+        acc = jnp.dot(
+            ones_row, A, preferred_element_type=jnp.float32,
+            precision=precision,
+        )
 
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -281,7 +287,9 @@ def _bwd_kernel_factory(dims: Tuple[int, ...], k: int, precision):
             )
             M = M + jnp.where(hit, ds(o_sc + pi), 0.0)
 
-        cross = jnp.dot(Y, M, preferred_element_type=jnp.float32)
+        cross = jnp.dot(
+            Y, M, preferred_element_type=jnp.float32, precision=precision,
+        )
         dY = w * (
             r_s1[None, :] + 2.0 * r_s2[None, :] * Y
             - 2.0 * r_sd[None, :] * dYd + cross
