@@ -35,15 +35,17 @@ __all__ = ["AutoEncoderTask"]
 _EPOCH_FN_CACHE: dict = {}
 
 
-def _multi_epoch_fn(length: int, opt_name: str, lr: float, unroll: bool):
+def _multi_epoch_fn(length: int, opt_name: str, unroll: bool):
     from ..config import matmul_precision
     from .task import TrainingTask
 
-    key = (length, matmul_precision(), opt_name, lr, unroll)
+    key = (length, matmul_precision(), opt_name, unroll)
     cached = _EPOCH_FN_CACHE.get(key)
     if cached is not None:
         return cached[0]
-    optimizer = TrainingTask.make_optimizer(opt_name, lr)
+    # lr rides in the optimizer state (inject_hyperparams): tasks
+    # differing only in learning rate share this compiled program
+    optimizer = TrainingTask.make_optimizer(opt_name)
 
     if unroll:
         # batches as separate per-batch arrays, epoch unrolled: slicing a
@@ -94,6 +96,15 @@ def _multi_epoch_fn(length: int, opt_name: str, lr: float, unroll: bool):
     return TrainingTask.compile_multi_epoch(
         _EPOCH_FN_CACHE, key, length, epoch_body
     )
+
+
+def _multi_epoch_impl(length: int, opt_name: str, unroll: bool):
+    """Un-jitted multi-epoch program (for the replica-ensemble vmap)."""
+    from ..config import matmul_precision
+
+    _multi_epoch_fn(length, opt_name, unroll)  # populate the cache
+    key = (length, matmul_precision(), opt_name, unroll)
+    return _EPOCH_FN_CACHE[key][1]
 
 
 class AutoEncoderTask(TrainingTask):
@@ -151,6 +162,7 @@ class AutoEncoderTask(TrainingTask):
         )
 
         self.init_model_and_optimizer()
+        self._unroll = False  # decided per data layout in _prepare_data
 
         # eager preprocessing of the whole trajectory (reference core.py:635)
         traj = jnp.asarray(traj_obj.trajectory, dtype=default_dtype())
@@ -188,6 +200,13 @@ class AutoEncoderTask(TrainingTask):
     PREBATCH_UNROLL_LIMIT = 32
 
     # ------------------------------------------------------------------
+    def _static_config(self):
+        """Hashable tuple of everything baked into the compiled epoch
+        program (lr rides in the optimizer state; see
+        core/eigenfunction.py for the shared-cache design). Valid after
+        :meth:`_prepare_data` has decided the batch layout."""
+        return (self.optimizer_name.lower(), self._unroll)
+
     def _get_multi_epoch_fn(self, length: int, unroll: bool):
         """Jitted scan of `length` epochs — one device dispatch per chunk of
         epochs between host-side hooks (checkpoint/plot). Per-epoch metrics
@@ -195,19 +214,8 @@ class AutoEncoderTask(TrainingTask):
         Compiled programs are shared across task instances (sweeps over
         same-shaped tasks compile once)."""
         return _multi_epoch_fn(
-            length, self.optimizer_name.lower(), float(self.learning_rate),
-            unroll,
+            length, self.optimizer_name.lower(), unroll,
         )
-
-    def _next_chunk(self, epoch: int) -> int:
-        """Epochs until the next host-side hook fires (inclusive)."""
-        remaining = self.num_epochs - epoch
-        chunk = remaining
-        for period in (self.save_model_every_step, self.plot_frequency):
-            if period and period > 0:
-                until = period - (epoch % period)
-                chunk = min(chunk, until)
-        return max(1, chunk)
 
     def _prepare_data(self):
         """Device-placed data arguments + layout flag, cached across
@@ -229,6 +237,7 @@ class AutoEncoderTask(TrainingTask):
         w_test = self._weights[test_idx]
 
         unroll = len(train_b) + len(test_b) <= self.PREBATCH_UNROLL_LIMIT
+        self._unroll = unroll
         if unroll:
             # per-batch arrays ([B, ...] leaves, batch dim LEADING): mesh
             # placement shards axis 0
@@ -311,6 +320,9 @@ class AutoEncoderTask(TrainingTask):
                     self.epoch_times.append(chunk_time)
                 epoch += chunk
                 e = epoch - 1
+                self._print_progress(
+                    epoch, float(train_means[-1][0]), chunk_time
+                )
 
                 if (
                     self.save_model_every_step > 0

@@ -44,11 +44,15 @@ def _multi_epoch_fn(length: int, static: tuple):
     if cached is not None:
         return cached[0]
 
-    (state_shape, k, alpha, eig_w, beta, lag_idx, traj_dt,
-     sort_eigvals, opt_name, lr, prebatch, unroll, fused) = static
+    (state_shape, k, lag_idx, traj_dt,
+     sort_eigvals, opt_name, prebatch, unroll, fused) = static
     from .task import TrainingTask
 
-    optimizer = TrainingTask.make_optimizer(opt_name, lr)
+    # lr rides in the optimizer state (inject_hyperparams), and the loss
+    # constants (alpha, eig_w, beta) arrive as the traced ``hyper`` tuple:
+    # a hyperparameter sweep shares ONE compiled program, and the replica
+    # ensemble vmaps per-replica values
+    optimizer = TrainingTask.make_optimizer(opt_name)
 
     if fused:
         # Pallas fused step (transfer-op only): the whole loss forward and
@@ -60,14 +64,15 @@ def _multi_epoch_fn(length: int, static: tuple):
             transfer_stats,
         )
 
-        def _loss(model, pp_layer, diag_coeff, X, w, X_l, w_l):
+        def _loss(model, pp_layer, diag_coeff, hyper, X, w, X_l, w_l):
+            alpha, eig_w, _beta = hyper
             F = pp_layer(X)
             F_l = pp_layer(X_l)
             F = F.reshape(F.shape[0], -1)
             F_l = F_l.reshape(F_l.shape[0], -1)
             stats = transfer_stats(params_t_of(model), F, F_l, w, w_l)
             loss, (eig_vals, non_pen, pen, cvec) = eigen_loss_from_stats(
-                stats, k=k, alpha=alpha, eig_w=list(eig_w),
+                stats, k=k, alpha=alpha, eig_w=eig_w,
                 lag_idx=lag_idx, traj_dt=traj_dt,
                 sort_eigvals=sort_eigvals,
             )
@@ -80,10 +85,11 @@ def _multi_epoch_fn(length: int, static: tuple):
             )
             return loss, metrics
     else:
-        def _loss(model, pp_layer, diag_coeff, X, w, X_l, w_l):
+        def _loss(model, pp_layer, diag_coeff, hyper, X, w, X_l, w_l):
+            alpha, eig_w, beta = hyper
             loss, aux = eigen_loss(
                 model, pp_layer, X, w, X_l, w_l,
-                k=k, alpha=alpha, eig_w=list(eig_w), beta=beta,
+                k=k, alpha=alpha, eig_w=eig_w, beta=beta,
                 diag_coeff=diag_coeff, lag_idx=lag_idx, traj_dt=traj_dt,
                 sort_eigvals=sort_eigvals,
             )
@@ -101,7 +107,7 @@ def _multi_epoch_fn(length: int, static: tuple):
         # static, shuffle=False semantics): the scan streams pre-shaped
         # [nb, B, ...] arrays — measured ~15% faster than per-step
         # gathers at dipeptide scale (benchmarks/RESULTS.md)
-        def batch_loss(model, pp_layer, diag_coeff, batch):
+        def batch_loss(model, pp_layer, diag_coeff, hyper, batch):
             if lag_idx > 0:
                 Xf, Xlf, w, w_l = batch
                 X_l = Xlf.reshape((-1,) + state_shape)
@@ -109,12 +115,12 @@ def _multi_epoch_fn(length: int, static: tuple):
                 Xf, w = batch
                 X_l = w_l = None
             X = Xf.reshape((-1,) + state_shape)
-            return _loss(model, pp_layer, diag_coeff, X, w, X_l, w_l)
+            return _loss(model, pp_layer, diag_coeff, hyper, X, w, X_l, w_l)
     else:
         # trajectory stays whole on device (required for frame-axis
         # sharding); flat 2-D gathers per scan step (3-5x faster than
         # N-D gathers on TPU), reshape per batch
-        def batch_loss(model, pp_layer, diag_coeff, batch):
+        def batch_loss(model, pp_layer, diag_coeff, hyper, batch):
             traj, weights, idx = batch
             X = traj[idx].reshape((-1,) + state_shape)
             w = weights[idx]
@@ -123,10 +129,10 @@ def _multi_epoch_fn(length: int, static: tuple):
                 w_l = weights[idx + lag_idx]
             else:
                 X_l = w_l = None
-            return _loss(model, pp_layer, diag_coeff, X, w, X_l, w_l)
+            return _loss(model, pp_layer, diag_coeff, hyper, X, w, X_l, w_l)
 
-    def epoch_body(model, opt_state, pp_layer, diag_coeff, train_data,
-                   test_data):
+    def epoch_body(model, opt_state, pp_layer, diag_coeff, hyper,
+                   train_data, test_data):
         if prebatch and unroll:
             # batches arrive as a TUPLE of separate per-batch arrays and
             # the epoch unrolls over them: slicing a batch out of a
@@ -137,7 +143,7 @@ def _multi_epoch_fn(length: int, static: tuple):
             for batch in train_data:
                 (_, metrics), grads = jax.value_and_grad(
                     batch_loss, has_aux=True
-                )(model, pp_layer, diag_coeff, batch)
+                )(model, pp_layer, diag_coeff, hyper, batch)
                 updates, opt_state = optimizer.update(
                     grads, opt_state, model
                 )
@@ -146,7 +152,7 @@ def _multi_epoch_fn(length: int, static: tuple):
             # the reference evaluates the test loss with gradients
             # enabled (core.py:535-551) — semantics identical here
             test_ms = [
-                batch_loss(model, pp_layer, diag_coeff, b)[1]
+                batch_loss(model, pp_layer, diag_coeff, hyper, b)[1]
                 for b in test_data
             ]
             return (
@@ -158,7 +164,7 @@ def _multi_epoch_fn(length: int, static: tuple):
             batch = scanned if prebatch else train_data[:2] + (scanned,)
             (_, metrics), grads = jax.value_and_grad(
                 batch_loss, has_aux=True
-            )(model, pp_layer, diag_coeff, batch)
+            )(model, pp_layer, diag_coeff, hyper, batch)
             updates, opt_state = optimizer.update(grads, opt_state, model)
             model = optax.apply_updates(model, updates)
             return (model, opt_state), metrics
@@ -172,7 +178,7 @@ def _multi_epoch_fn(length: int, static: tuple):
             # the reference evaluates the test loss with gradients
             # enabled (core.py:535-551) — semantics identical here
             batch = scanned if prebatch else test_data[:2] + (scanned,)
-            _, metrics = batch_loss(model, pp_layer, diag_coeff, batch)
+            _, metrics = batch_loss(model, pp_layer, diag_coeff, hyper, batch)
             return None, metrics
 
         test_xs = test_data if prebatch else test_data[2]
@@ -431,23 +437,30 @@ class EigenFunctionTask(TrainingTask):
     def _static_config(self):
         """Hashable tuple of everything baked into the compiled epoch
         program. Two tasks with equal static configs share one compiled
-        program (the preprocessing layer, diag coefficients, data, and
-        parameters are traced *arguments*), so e.g. a multi-replica sweep
-        compiles once instead of once per replica."""
+        program — the preprocessing layer, diag coefficients, data,
+        parameters, loss constants (alpha/eig_weights/beta, via
+        :meth:`_hyper`), and the learning rate (injected into the
+        optimizer state) are all traced *arguments* — so a
+        mixed-hyperparameter sweep compiles once, not once per value."""
         return (
             tuple(self._traj_np.shape[1:]),
             self.k,
-            self._alpha,
-            tuple(float(w) for w in self._eig_w),
-            self._beta,
             self.lag_idx,
             self.traj_dt,
             self._sort_eigvals_in_training,
             self.optimizer_name.lower(),
-            float(self.learning_rate),
             self._prebatch,
             self._unroll,
             self.fused_step,
+        )
+
+    def _hyper(self):
+        """Traced loss-constant arguments of the compiled epoch program."""
+        dt = default_dtype()
+        return (
+            jnp.asarray(self._alpha, dtype=dt),
+            jnp.asarray(self._eig_w, dtype=dt),
+            jnp.asarray(self._beta, dtype=dt),
         )
 
     def _get_multi_epoch_fn(self, length: int):
@@ -542,16 +555,6 @@ class EigenFunctionTask(TrainingTask):
         self._prepared_data_cache = (train_data, test_data, train_b, test_b)
         return self._prepared_data_cache
 
-    def _next_chunk(self, epoch: int) -> int:
-        """Epochs until the next host-side hook fires (inclusive)."""
-        remaining = self.num_epochs - epoch
-        chunk = remaining
-        for period in (self.save_model_every_step, self.plot_frequency):
-            if period and period > 0:
-                until = period - (epoch % period)
-                chunk = min(chunk, until)
-        return max(1, chunk)
-
     def train(self):
         r"""Train the model (reference core.py:459-566)."""
         train_data, test_data, train_b, test_b = self._prepare_data()
@@ -580,7 +583,8 @@ class EigenFunctionTask(TrainingTask):
                 model, opt_state, train_cm, test_cm = (
                     self._get_multi_epoch_fn(chunk)(
                         model, opt_state, self._pp_for_loss,
-                        self._diag_coeff, train_data, test_data
+                        self._diag_coeff, self._hyper(),
+                        train_data, test_data
                     )
                 )
                 # ONE device->host fetch for both metric arrays (each
@@ -607,6 +611,9 @@ class EigenFunctionTask(TrainingTask):
                     self.epoch_times.append(chunk_time)
                 epoch += chunk
                 e = epoch - 1
+                self._print_progress(
+                    epoch, float(train_means[-1][0]), chunk_time
+                )
 
                 if (
                     self.save_model_every_step > 0

@@ -49,15 +49,15 @@ def _regae_gather(loss_static, traj, weights, idx):
     """Gather one index batch's (X, X_ae_lagged, X_l, w, w_l) from the
     whole trajectory (reference core.py:1069-1076 semantics). Unused
     pieces (disabled terms / zero lags) are None."""
-    (state_shape, k, num_reg, alpha, gamma, eta, eig_w, beta,
+    (state_shape, k, num_reg, ae_on, eig_on, eta_on,
      lag_ae_idx, lag_idx, traj_dt) = loss_static
     X = traj[idx].reshape((-1,) + state_shape)
     w = weights[idx]
     X_ae_lagged = (
         traj[idx + lag_ae_idx].reshape((-1,) + state_shape)
-        if (alpha > _EPS and lag_ae_idx > 0) else None
+        if (ae_on and lag_ae_idx > 0) else None
     )
-    if gamma[0] + gamma[1] > _EPS and lag_idx > 0:
+    if eig_on and lag_idx > 0:
         X_l = traj[idx + lag_idx].reshape((-1,) + state_shape)
         w_l = weights[idx + lag_idx]
     else:
@@ -65,17 +65,20 @@ def _regae_gather(loss_static, traj, weights, idx):
     return (X, X_ae_lagged, X_l, w, w_l)
 
 
-def _regae_batch_loss(loss_static, model, pp, diag_coeff, batch):
+def _regae_batch_loss(loss_static, model, pp, diag_coeff, hyper, batch):
     """All gated loss terms for one pre-gathered batch
     (reference core.py:1069-1135). ``loss_static`` is the hashable config
-    prefix (state_shape, k, num_reg, alpha, gamma, eta, eig_w, beta,
-    lag_ae_idx, lag_idx, traj_dt); gating is Python-level so disabled terms
-    compile out of the step."""
-    (state_shape, k, num_reg, alpha, gamma, eta, eig_w, beta,
+    prefix (state_shape, k, num_reg, ae_on, eig_on, eta_on, lag_ae_idx,
+    lag_idx, traj_dt); gating is Python-level (static on/off booleans) so
+    disabled terms compile out of the step, while the term WEIGHTS arrive
+    in the traced ``hyper`` tuple (alpha, gamma, eta, eig_w, beta) — a
+    sweep over loss constants shares one compiled program."""
+    (state_shape, k, num_reg, ae_on, eig_on, eta_on,
      lag_ae_idx, lag_idx, traj_dt) = loss_static
+    alpha, gamma, eta, eig_w, beta = hyper
     X, X_ae_lagged, X_l, w, w_l = batch
 
-    if alpha > _EPS:
+    if ae_on:
         ae = weighted_mse_lagged_loss(
             model.forward_ae, pp, X,
             X if X_ae_lagged is None else X_ae_lagged, w,
@@ -83,22 +86,22 @@ def _regae_batch_loss(loss_static, model, pp, diag_coeff, batch):
     else:
         ae = jnp.zeros(())
 
-    e0 = enc_grad_loss(model.encoder, pp, X, w, k) if eta[0] > _EPS else (
+    e0 = enc_grad_loss(model.encoder, pp, X, w, k) if eta_on[0] else (
         jnp.zeros(())
     )
-    e1 = enc_norm_loss(model.encoder, pp, X, w, k) if eta[1] > _EPS else (
+    e1 = enc_norm_loss(model.encoder, pp, X, w, k) if eta_on[1] else (
         jnp.zeros(())
     )
     e2 = (
         enc_orthogonality_loss(model.encoder, pp, X, w, k)
-        if eta[2] > _EPS else jnp.zeros(())
+        if eta_on[2] else jnp.zeros(())
     )
 
-    if gamma[0] + gamma[1] > _EPS:
+    if eig_on:
         eig_vals, g0, g1, cvec = reg_eigen_loss(
             model, pp, X, w, X_l, w_l,
             num_reg=num_reg,
-            eig_w=list(eig_w),
+            eig_w=eig_w,
             beta=beta,
             diag_coeff=diag_coeff,
             lag_idx=lag_idx,
@@ -150,45 +153,92 @@ def _multi_epoch_fn(length: int, static: tuple):
     cached = _EPOCH_FN_CACHE.get(key)
     if cached is not None:
         return cached[0]
-    loss_static = static[:11]
-    freeze, opt_name, lr, prebatch = static[11:]
-    optimizer = TrainingTask.make_optimizer(opt_name, lr)
+    loss_static = static[:9]
+    freeze, opt_name, prebatch, unroll = static[9:]
+    state_shape = loss_static[0]
+    # lr rides in the optimizer state (inject_hyperparams) and the loss
+    # constants in the traced ``hyper`` tuple — hyperparameter sweeps
+    # share one compiled program (see core/eigenfunction.py)
+    optimizer = TrainingTask.make_optimizer(opt_name)
 
     if prebatch:
-        # batches as separate pre-gathered per-batch tuples, epoch body
-        # unrolled (see core/eigenfunction.py: slicing/gathering per step
-        # costs as much as the gradient step on this backend)
-        def epoch_body(model, opt_state, pp, diag_coeff, train_batches,
-                       test_batches):
-            def batch_loss(model, batch):
-                return _regae_batch_loss(
-                    loss_static, model, pp, diag_coeff, batch
+        # pre-gathered batch tuples of FLAT [., prod(state)] leaves
+        # (reshaped to state rank per batch); the epoch body unrolls over
+        # separate per-batch tuples up to the unroll limit, and scans a
+        # stacked [nb, B, ...] layout above it (see core/eigenfunction.py
+        # for the measured rationale of both layouts)
+        def batch_loss(model, pp, diag_coeff, hyper, batch):
+            Xf, Xaef, Xlf, w, w_l = batch
+            X = Xf.reshape((-1,) + state_shape)
+            X_ae = (
+                None if Xaef is None
+                else Xaef.reshape((-1,) + state_shape)
+            )
+            X_l = (
+                None if Xlf is None
+                else Xlf.reshape((-1,) + state_shape)
+            )
+            return _regae_batch_loss(
+                loss_static, model, pp, diag_coeff, hyper,
+                (X, X_ae, X_l, w, w_l),
+            )
+
+        if unroll:
+            def epoch_body(model, opt_state, pp, diag_coeff, hyper,
+                           train_batches, test_batches):
+                train_ms = []
+                for batch in train_batches:
+                    (_, metrics), grads = jax.value_and_grad(
+                        batch_loss, has_aux=True
+                    )(model, pp, diag_coeff, hyper, batch)
+                    if freeze:
+                        grads = _zero_encoder_grads(grads)
+                    updates, opt_state = optimizer.update(
+                        grads, opt_state, model
+                    )
+                    model = optax.apply_updates(model, updates)
+                    train_ms.append(metrics)
+                test_ms = [
+                    batch_loss(model, pp, diag_coeff, hyper, b)[1]
+                    for b in test_batches
+                ]
+                return (
+                    model, opt_state,
+                    jnp.stack(train_ms), jnp.stack(test_ms),
+                )
+        else:
+            def epoch_body(model, opt_state, pp, diag_coeff, hyper,
+                           train_batches, test_batches):
+                def train_step(carry, batch):
+                    model, opt_state = carry
+                    (_, metrics), grads = jax.value_and_grad(
+                        batch_loss, has_aux=True
+                    )(model, pp, diag_coeff, hyper, batch)
+                    if freeze:
+                        grads = _zero_encoder_grads(grads)
+                    updates, opt_state = optimizer.update(
+                        grads, opt_state, model
+                    )
+                    model = optax.apply_updates(model, updates)
+                    return (model, opt_state), metrics
+
+                (model, opt_state), train_ms = jax.lax.scan(
+                    train_step, (model, opt_state), train_batches
                 )
 
-            train_ms = []
-            for batch in train_batches:
-                (_, metrics), grads = jax.value_and_grad(
-                    batch_loss, has_aux=True
-                )(model, batch)
-                if freeze:
-                    grads = _zero_encoder_grads(grads)
-                updates, opt_state = optimizer.update(
-                    grads, opt_state, model
-                )
-                model = optax.apply_updates(model, updates)
-                train_ms.append(metrics)
-            test_ms = [
-                batch_loss(model, b)[1] for b in test_batches
-            ]
-            return (
-                model, opt_state, jnp.stack(train_ms), jnp.stack(test_ms)
-            )
+                def eval_step(_, batch):
+                    return None, batch_loss(
+                        model, pp, diag_coeff, hyper, batch
+                    )[1]
+
+                _, test_ms = jax.lax.scan(eval_step, None, test_batches)
+                return model, opt_state, train_ms, test_ms
     else:
-        def epoch_body(model, opt_state, pp, diag_coeff, traj, weights,
-                       train_idx, test_idx):
+        def epoch_body(model, opt_state, pp, diag_coeff, hyper, traj,
+                       weights, train_idx, test_idx):
             def batch_loss(model, idx):
                 return _regae_batch_loss(
-                    loss_static, model, pp, diag_coeff,
+                    loss_static, model, pp, diag_coeff, hyper,
                     _regae_gather(loss_static, traj, weights, idx),
                 )
 
@@ -219,6 +269,15 @@ def _multi_epoch_fn(length: int, static: tuple):
     return TrainingTask.compile_multi_epoch(
         _EPOCH_FN_CACHE, key, length, epoch_body
     )
+
+
+def _multi_epoch_impl(length: int, static: tuple):
+    """Un-jitted multi-epoch program (for the replica-ensemble vmap)."""
+    from ..config import matmul_precision
+
+    _multi_epoch_fn(length, static)  # populate the cache
+    key = (length, matmul_precision()) + static
+    return _EPOCH_FN_CACHE[key][1]
 
 
 class RegAutoEncoderTask(TrainingTask):
@@ -372,6 +431,7 @@ class RegAutoEncoderTask(TrainingTask):
                 "prebatch=True is incompatible with shard_trajectory: the "
                 "frame-sharded layout requires per-step gathers"
             )
+        self._unroll = False  # decided per data layout in _prepare_data
 
         if self.verbose:
             print(
@@ -406,47 +466,53 @@ class RegAutoEncoderTask(TrainingTask):
     # ------------------------------------------------------------------
     def _static_config(self):
         """Hashable tuple of everything baked into the compiled epoch
-        program (see core/eigenfunction.py for the shared-cache design)."""
+        program (see core/eigenfunction.py for the shared-cache design).
+        Term on/off gates are static (disabled terms compile out); the
+        term weights themselves (alpha/gamma/eta/eig_weights/beta) are
+        traced via :meth:`_hyper`, and lr rides in the optimizer state —
+        a sweep over any of them shares one compiled program."""
         return (
             tuple(self._traj_np.shape[1:]),
             self.k,
             self.num_reg,
-            self.alpha,
-            tuple(self.gamma),
-            tuple(self.eta),
-            tuple(float(w) for w in self._eig_w),
-            self._beta,
+            self.alpha > _EPS,
+            self.gamma[0] + self.gamma[1] > _EPS,
+            tuple(e > _EPS for e in self.eta),
             self.lag_ae_idx,
             self.lag_idx,
             self.traj_dt,
             self.freeze_encoder,
             self.optimizer_name.lower(),
-            float(self.learning_rate),
             self._prebatch,
+            self._unroll,
+        )
+
+    def _hyper(self):
+        """Traced loss-constant arguments of the compiled epoch program."""
+        dt = default_dtype()
+        return (
+            jnp.asarray(self.alpha, dtype=dt),
+            jnp.asarray(self.gamma, dtype=dt),
+            jnp.asarray(self.eta, dtype=dt),
+            jnp.asarray(
+                self._eig_w if self._eig_w else np.zeros(0), dtype=dt
+            ),
+            jnp.asarray(self._beta, dtype=dt),
         )
 
     def _batch_loss(self, model, traj, weights, idx):
         """All gated loss terms for one index batch
         (reference core.py:1069-1135); kept as a method for direct use —
         the compiled epoch programs use the module-level equivalent."""
-        loss_static = self._static_config()[:11]
+        loss_static = self._static_config()[:9]
         return _regae_batch_loss(
             loss_static, model, self._pp_for_loss, self._diag_coeff,
+            self._hyper(),
             _regae_gather(loss_static, traj, weights, idx),
         )
 
     def _get_multi_epoch_fn(self, length: int):
         return _multi_epoch_fn(length, self._static_config())
-
-    def _next_chunk(self, epoch: int) -> int:
-        """Epochs until the next host-side hook fires (inclusive)."""
-        remaining = self.num_epochs - epoch
-        chunk = remaining
-        for period in (self.save_model_every_step, self.plot_frequency):
-            if period and period > 0:
-                until = period - (epoch % period)
-                chunk = min(chunk, until)
-        return max(1, chunk)
 
     # ------------------------------------------------------------------
     def _prepare_data(self):
@@ -463,40 +529,58 @@ class RegAutoEncoderTask(TrainingTask):
         train_b = self._make_batches(train_idx, self.batch_size)
         test_b = self._make_batches(test_idx, self.batch_size)
 
-        if self._prebatch and (
-            len(train_b) + len(test_b) > self.PREBATCH_UNROLL_LIMIT
-        ):
-            # too many batches to unroll: fall back to the scanned
-            # whole-trajectory gather layout
-            self._prebatch = False
-
-        loss_static = self._static_config()[:11]
         if self._prebatch:
+            self._unroll = (
+                len(train_b) + len(test_b) <= self.PREBATCH_UNROLL_LIMIT
+            )
             # pre-gather each batch's (X, X_ae_lagged, X_l, w, w_l) once
-            # on device; the epoch body unrolls over the tuples
+            # on device, as FLAT [., prod(state)] leaves (reshaped in the
+            # epoch body); the body unrolls over per-batch tuples up to
+            # the unroll limit and scans a stacked [nb, B, ...] layout
+            # above it
             flat_d = jnp.asarray(self._traj_flat)
             w_d = jnp.asarray(self._weights_np)
-
-            def pack_one(row):
-                # gathers from the flat [n, prod(state)] layout; the
-                # (-1,) + state_shape reshape inside restores state rank
-                return _regae_gather(
-                    loss_static, flat_d, w_d, jnp.asarray(row)
-                )
-
-            # per-batch leaves are [B, ...] with the batch dim LEADING:
-            # mesh placement shards axis 0 (shard_batches targets axis 1
-            # of stacked [nb, B, ...] arrays)
-            if self.mesh is not None:
-                from ..parallel.mesh import shard_frames
-
-                place = lambda t: shard_frames(t, self.mesh)  # noqa: E731
-            else:
-                place = self._place_batched
-            data_args = (
-                place(tuple(pack_one(row) for row in train_b)),
-                place(tuple(pack_one(row) for row in test_b)),
+            feat_shape = self._traj_flat.shape[1:]
+            alpha_ae_on = self.alpha > _EPS and self.lag_ae_idx > 0
+            eig_lag_on = (
+                self.gamma[0] + self.gamma[1] > _EPS and self.lag_idx > 0
             )
+
+            def pack_flat(rows):
+                shape = tuple(np.shape(rows))
+                bd = jnp.asarray(np.asarray(rows).reshape(-1))
+
+                def g(offset):
+                    return flat_d[bd + offset].reshape(shape + feat_shape)
+
+                Xf = g(0)
+                Xaef = g(self.lag_ae_idx) if alpha_ae_on else None
+                if eig_lag_on:
+                    Xlf = g(self.lag_idx)
+                    w_l = w_d[bd + self.lag_idx].reshape(shape)
+                else:
+                    Xlf = w_l = None
+                return (Xf, Xaef, Xlf, w_d[bd].reshape(shape), w_l)
+
+            if self._unroll:
+                # per-batch leaves are [B, ...] with the batch dim
+                # LEADING: mesh placement shards axis 0 (shard_batches
+                # targets axis 1 of stacked [nb, B, ...] arrays)
+                if self.mesh is not None:
+                    from ..parallel.mesh import shard_frames
+
+                    place = lambda t: shard_frames(t, self.mesh)  # noqa: E731
+                else:
+                    place = self._place_batched
+                data_args = (
+                    place(tuple(pack_flat(row) for row in train_b)),
+                    place(tuple(pack_flat(row) for row in test_b)),
+                )
+            else:
+                data_args = (
+                    self._place_batched(pack_flat(train_b)),
+                    self._place_batched(pack_flat(test_b)),
+                )
         elif self.shard_trajectory and self.mesh is not None:
             # long-trajectory scaling (SURVEY.md §5): the frame axis is
             # sharded across the mesh so trajectories larger than one
@@ -550,7 +634,7 @@ class RegAutoEncoderTask(TrainingTask):
                 model, opt_state, train_cm, test_cm = (
                     self._get_multi_epoch_fn(chunk)(
                         model, opt_state, self._pp_for_loss,
-                        self._diag_coeff, *data_args
+                        self._diag_coeff, self._hyper(), *data_args
                     )
                 )
                 # ONE device->host fetch for both metric arrays (each
@@ -576,6 +660,9 @@ class RegAutoEncoderTask(TrainingTask):
                     self.epoch_times.append(chunk_time)
                 epoch += chunk
                 e = epoch - 1
+                self._print_progress(
+                    epoch, float(train_means[-1][0]), chunk_time
+                )
 
                 if (
                     self.save_model_every_step > 0

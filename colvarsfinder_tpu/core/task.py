@@ -59,7 +59,9 @@ class TrainingTask(ABC):
         mesh: optional ``jax.sharding.Mesh`` with a 'data' axis for
             data-parallel training (TPU extension)
         seed: PRNG seed for the train/test split (TPU extension; the
-            reference relied on global RNG state)
+            reference relied on global RNG state). ``None`` draws a random
+            seed once at construction — the split stays fixed for the
+            task's lifetime either way
         split_indices: optional (train_idx, test_idx) pair overriding the
             random split — the parity-harness injection point (SURVEY §7)
         export_cv: write the StableHLO CV deployment artifact on save
@@ -71,6 +73,12 @@ class TrainingTask(ABC):
             across devices instead of replicating it — memory scaling for
             trajectories larger than one chip's HBM (lagged gathers become
             ICI collectives)
+        progress_interval: print a progress line at least every N epochs
+            (reference parity: tqdm per epoch, reference core.py:493). The
+            default 0 reports once per dispatch chunk — hook-free runs are
+            one chunk, so set this for long runs that need feedback.
+            Nonzero values cap the multi-epoch dispatch size, costing one
+            device round-trip per interval.
     """
 
     def __init__(
@@ -100,6 +108,7 @@ class TrainingTask(ABC):
         tensorboard: bool = True,
         profile_dir=None,
         shard_trajectory: bool = False,
+        progress_interval: int = 0,
     ):
         self.traj_obj = traj_obj
         self.preprocessing_layer = pp_layer
@@ -119,11 +128,18 @@ class TrainingTask(ABC):
         self.plot_frequency = plot_frequency
         self.verbose = verbose
         self.debug_mode = debug_mode
+        # seed=None means "a random split" — resolved to a concrete seed
+        # HERE so the split is genuinely fixed at construction (prepared
+        # batch data is cached across train() calls; a per-call re-split
+        # would silently be frozen at the first call anyway)
+        if seed is None:
+            seed = int(np.random.randint(0, 2**31 - 1))
         self.seed = seed
         self.split_indices = split_indices
         self.export_cv = export_cv
         self.profile_dir = profile_dir
         self.shard_trajectory = bool(shard_trajectory)
+        self.progress_interval = int(progress_interval)
         self.epoch_times: list = []
 
         self.model_name = type(self).__name__
@@ -254,15 +270,37 @@ class TrainingTask(ABC):
         return fn
 
     @staticmethod
-    def make_optimizer(name: str, learning_rate: float):
+    def make_optimizer(name: str, learning_rate: float = 1.0):
         """Optax optimizer from (name, lr) — also used by the shared
         compiled-epoch-program caches, where optimizers are reconstructed
-        from hashable config instead of captured from a task instance."""
+        from hashable config instead of captured from a task instance.
+
+        The learning rate is wrapped with ``optax.inject_hyperparams`` so
+        it lives in the optimizer STATE (a traced array) rather than the
+        compiled program: tasks differing only in lr share one executable,
+        and a replica-ensemble vmap carries a per-replica lr. ``update``
+        reads the rate from the state, so the value passed here only seeds
+        ``init`` (compiled epoch programs pass the placeholder default).
+        """
         if name.lower() == "adam":
             # matches torch.optim.Adam defaults: betas=(0.9, 0.999),
             # eps applied outside the sqrt of the bias-corrected second moment
-            return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
-        return optax.sgd(learning_rate)
+            return optax.inject_hyperparams(optax.adam)(
+                learning_rate, b1=0.9, b2=0.999, eps=1e-8
+            )
+        return optax.inject_hyperparams(optax.sgd)(learning_rate)
+
+    @staticmethod
+    def set_learning_rate(opt_state, learning_rate):
+        """New optimizer state with the injected learning rate replaced —
+        the per-replica knob for mixed-hyperparameter sweeps."""
+        import jax.numpy as jnp
+
+        hp = dict(opt_state.hyperparams)
+        hp["learning_rate"] = jnp.asarray(
+            learning_rate, dtype=jnp.asarray(hp["learning_rate"]).dtype
+        )
+        return opt_state._replace(hyperparams=hp)
 
     # ------------------------------------------------------------------
     def _make_split(self, n: int):
@@ -297,6 +335,40 @@ class TrainingTask(ABC):
             f"{bs_tr} ({nb_tr * self.num_epochs} steps total)\n"
             f"  test split:  {nb_te * bs_te} samples -> {nb_te} batches of "
             f"{bs_te}",
+            flush=True,
+        )
+
+    def _next_chunk(self, epoch: int) -> int:
+        """Epochs until the next host-side event fires (inclusive):
+        checkpoint, plot hook, or progress report. All epochs in between
+        run as ONE jitted multi-epoch dispatch."""
+        remaining = self.num_epochs - epoch
+        chunk = remaining
+        for period in (
+            self.save_model_every_step,
+            self.plot_frequency,
+            self.progress_interval,
+        ):
+            if period and period > 0:
+                until = period - (epoch % period)
+                chunk = min(chunk, until)
+        return max(1, chunk)
+
+    def _print_progress(
+        self, epoch_done: int, train_loss: float, chunk_time: float
+    ) -> None:
+        """One line per dispatch chunk: epoch counter, last train loss,
+        per-epoch rate, and remaining-time estimate (the chunked-execution
+        stand-in for the reference's per-epoch tqdm bar, core.py:493)."""
+        if not self.verbose:
+            return
+        remaining = self.num_epochs - epoch_done
+        eta = remaining * chunk_time
+        eta_txt = f", eta {eta:.1f} s" if remaining else ""
+        print(
+            f"[{self.model_name}] epoch {epoch_done}/{self.num_epochs}  "
+            f"train loss {train_loss:.6g}  "
+            f"({chunk_time * 1e3:.1f} ms/epoch{eta_txt})",
             flush=True,
         )
 

@@ -1,6 +1,6 @@
 """Parallelism: device meshes and sharding for data-parallel training."""
 
-from .ensemble import train_replica_ensemble
+from .ensemble import train_hyperparameter_sweep, train_replica_ensemble
 from .mesh import make_data_mesh, replicate, shard_batches, shard_frames
 
 __all__ = [
@@ -9,4 +9,5 @@ __all__ = [
     "shard_batches",
     "shard_frames",
     "train_replica_ensemble",
+    "train_hyperparameter_sweep",
 ]

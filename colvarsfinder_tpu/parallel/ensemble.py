@@ -2,25 +2,43 @@ r"""Replica-ensemble training: run a sweep of same-shaped tasks as ONE
 vmapped program.
 
 The reference trains sweep replicas in a Python loop (one process, one
-model at a time). On TPU the natural formulation is an *ensemble axis*:
-stack the R replicas' parameters, optimizer states, trajectories, and
-batch schedules along a leading axis and ``jax.vmap`` the (already pure)
-multi-epoch program over it — R replicas advance in lock-step inside a
-single compiled program, with every matmul batched R-fold onto the MXU.
-This composes with the data mesh: the ensemble axis is vmapped while batch
-reductions inside each replica still shard over the mesh's data axis.
+model at a time; its sweep story is re-running ``train()``, reference
+core.py:459). On TPU the natural formulation is an *ensemble axis*: stack
+the R replicas' parameters, optimizer states, and hyperparameters along a
+leading axis and ``jax.vmap`` the (already pure) multi-epoch program over
+it — R replicas advance in lock-step inside a single compiled program,
+with every matmul batched R-fold onto the MXU. This composes with the
+data mesh: the ensemble axis is vmapped while batch reductions inside
+each replica still shard over the mesh's data axis.
+
+Two entry points:
+
+* :func:`train_replica_ensemble` — R separately-constructed tasks (any of
+  the three task families), each with its own data/split/model; data is
+  stacked per replica. Hyperparameters (lr, loss constants) MAY differ
+  across replicas — they are traced, not baked into the program.
+* :func:`train_hyperparameter_sweep` — ONE task + a grid of
+  hyperparameter values; the batch data is passed with ``in_axes=None``
+  so the R replicas SHARE one copy of the trajectory batches on device.
+  This is the chip-filling formulation for lr/alpha sweeps: R-fold
+  batched matmuls with no data duplication.
 
 Usage::
 
     tasks = [EigenFunctionTask(traj_r, pp, model_r, ...) for r in replicas]
     train_replica_ensemble(tasks)     # all tasks trained; per-task
                                       # train_loss_df / model populated
+
+    results = train_hyperparameter_sweep(
+        task,
+        {"learning_rate": [3e-3, 1e-2, 3e-2], "alpha": [10., 20., 40.]},
+    )
 """
 
 from __future__ import annotations
 
 import time
-from typing import Sequence
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -28,26 +46,25 @@ import numpy as np
 
 from ..logging_utils import losses_to_dataframe
 
-__all__ = ["train_replica_ensemble"]
+__all__ = ["train_replica_ensemble", "train_hyperparameter_sweep"]
 
-# vmapped+jitted ensemble programs, shared across calls (same static
-# config -> same compiled program; jax.jit handles new shapes/replica
-# counts by retracing)
+# vmapped+jitted ensemble programs, shared across calls (same task family
+# + static config -> same compiled program; jax.jit handles new
+# shapes/replica counts by retracing)
 _ENSEMBLE_FN_CACHE: dict = {}
+_ENSEMBLE_FN_CACHE_MAX = 32
 
 
-def _ensemble_fn(epochs: int, static: tuple):
-    from ..config import matmul_precision
-    from ..core.eigenfunction import _multi_epoch_impl
-
-    key = (epochs, matmul_precision()) + static
-    fn = _ENSEMBLE_FN_CACHE.get(key)
+def _ensemble_fn(impl, cache_key, in_axes=0):
+    fn = _ENSEMBLE_FN_CACHE.get(cache_key)
     if fn is None:
         fn = jax.jit(
-            jax.vmap(_multi_epoch_impl(epochs, static)),
+            jax.vmap(impl, in_axes=in_axes),
             donate_argnums=(0, 1),
         )
-        _ENSEMBLE_FN_CACHE[key] = fn
+        while len(_ENSEMBLE_FN_CACHE) >= _ENSEMBLE_FN_CACHE_MAX:
+            _ENSEMBLE_FN_CACHE.pop(next(iter(_ENSEMBLE_FN_CACHE)))
+        _ENSEMBLE_FN_CACHE[cache_key] = fn
     return fn
 
 
@@ -59,100 +76,360 @@ def _index_tree(tree, r):
     return jax.tree_util.tree_map(lambda x: x[r], tree)
 
 
-def train_replica_ensemble(tasks: Sequence) -> None:
-    """Train R same-shaped :class:`EigenFunctionTask` replicas in one
-    vmapped program.
+# ---------------------------------------------------------------------------
+# per-task-family adapters
+# ---------------------------------------------------------------------------
 
-    All tasks must share the same static configuration (loss constants,
-    lag, optimizer, trajectory/batch shapes); models, preprocessing-layer
-    constants, data, and splits may differ per replica. After the call each
-    task's ``model`` / ``opt_state`` / ``train_loss_df`` / ``test_loss_df``
-    are populated exactly as if ``task.train()`` had run (without per-task
-    checkpoint/plot hooks — drive those separately if needed).
-    """
+
+class _Plan(NamedTuple):
+    """How to run one task family through the ensemble machinery."""
+
+    impl: object  # un-jitted multi-epoch program
+    args: tuple  # traced args after (model, opt_state)
+    loss_names: list  # metric column names
+    has_cvec: bool  # metric rows carry cvec columns after the metrics
+    metrics_2d: bool  # metrics are [epochs, nb] scalars (AE) vs rows
+
+
+def _plan_for(task) -> _Plan:
+    from ..core.autoencoder import AutoEncoderTask
+    from ..core.autoencoder import _multi_epoch_impl as _ae_impl
     from ..core.eigenfunction import EigenFunctionTask
+    from ..core.eigenfunction import _multi_epoch_impl as _eig_impl
+    from ..core.regautoencoder import RegAutoEncoderTask
+    from ..core.regautoencoder import _multi_epoch_impl as _regae_impl
+
+    epochs = task.num_epochs
+    if isinstance(task, EigenFunctionTask):
+        assert not getattr(task, "fused_step", False), (
+            "replica-ensemble training does not support fused_step tasks "
+            "(the Pallas kernels cannot be vmapped over the replica axis); "
+            "construct the replicas with the default XLA step"
+        )
+        train_data, test_data, _, _ = task._prepare_data()
+        loss_names = ["loss", "eigen_non_penalty", "eigen_penalty"] + [
+            "eig_%d" % (i + 1) for i in range(task.k)
+        ]
+        return _Plan(
+            _eig_impl(epochs, task._static_config()),
+            (task._pp_for_loss, task._diag_coeff, task._hyper(),
+             train_data, test_data),
+            loss_names, True, False,
+        )
+    if isinstance(task, RegAutoEncoderTask):
+        data_args, _, _ = task._prepare_data()
+        loss_names = (
+            ["loss", "ae_loss", "eigen_non_penalty", "eigen_penalty"]
+            + ["eig_%d" % i for i in range(task.num_reg)]
+            + ["encoder_gradient", "encoder_norm", "encoder_orthogonality"]
+        )
+        return _Plan(
+            _regae_impl(epochs, task._static_config()),
+            (task._pp_for_loss, task._diag_coeff, task._hyper())
+            + tuple(data_args),
+            loss_names, True, False,
+        )
+    if isinstance(task, AutoEncoderTask):
+        data_args, _, _, _ = task._prepare_data()
+        return _Plan(
+            _ae_impl(epochs, *task._static_config()),
+            tuple(data_args),
+            ["loss"], False, True,
+        )
+    raise TypeError(
+        f"unsupported task type {type(task).__name__} for ensemble "
+        "training (expected EigenFunctionTask, AutoEncoderTask, or "
+        "RegAutoEncoderTask)"
+    )
+
+
+def _finalize(task, plan: _Plan, train_ms, test_ms, per_epoch_time):
+    """Populate one task's post-train attributes from its replica's
+    metric arrays, matching what ``task.train()`` would have set."""
+    epochs = task.num_epochs
+    if plan.metrics_2d:
+        task.loss_list = [
+            [train_ms[e], test_ms[e]] for e in range(epochs)
+        ]
+        train_means = [np.asarray([train_ms[e].mean()]) for e in range(epochs)]
+        test_means = [np.asarray([test_ms[e].mean()]) for e in range(epochs)]
+    else:
+        n_metrics = len(plan.loss_names)
+        if plan.has_cvec:
+            task._cvec = train_ms[-1, -1, n_metrics:].astype(int)
+        task.loss_list = [
+            [train_ms[e, :, :n_metrics], test_ms[e, :, :n_metrics]]
+            for e in range(epochs)
+        ]
+        train_means = list(train_ms[:, :, :n_metrics].mean(axis=1))
+        test_means = list(test_ms[:, :, :n_metrics].mean(axis=1))
+    task.train_loss_df = losses_to_dataframe(train_means, plan.loss_names)
+    task.test_loss_df = losses_to_dataframe(test_means, plan.loss_names)
+    task.epoch_times = [per_epoch_time] * epochs
+
+
+def train_replica_ensemble(tasks: Sequence) -> None:
+    """Train R same-shaped task replicas in one vmapped program.
+
+    Supports all three task families (:class:`EigenFunctionTask`,
+    :class:`AutoEncoderTask`, :class:`RegAutoEncoderTask`); all tasks
+    must be of the SAME family and share the same static configuration
+    (lags, optimizer name, gate pattern, data layout, trajectory/batch
+    shapes). Models, preprocessing-layer constants, data, splits, AND
+    hyperparameters — learning rate, alpha/gamma/eta/eig_weights/beta —
+    may differ per replica (they are traced arguments). After the call
+    each task's ``model`` / ``opt_state`` / ``train_loss_df`` /
+    ``test_loss_df`` are populated exactly as if ``task.train()`` had run
+    (without per-task checkpoint/plot hooks — drive those separately if
+    needed).
+    """
+    from ..config import matmul_precision
 
     assert len(tasks) >= 1
-    assert all(isinstance(t, EigenFunctionTask) for t in tasks), (
-        "train_replica_ensemble currently supports EigenFunctionTask"
+    t0_task = tasks[0]
+    assert all(type(t) is type(t0_task) for t in tasks), (
+        "all replicas must be the same task type; got "
+        f"{sorted({type(t).__name__ for t in tasks})}"
     )
-    assert not any(getattr(t, "fused_step", False) for t in tasks), (
-        "train_replica_ensemble does not support fused_step tasks (the "
-        "Pallas kernels cannot be vmapped over the replica axis); "
-        "construct the replicas with the default XLA step"
-    )
-    # prepare data BEFORE reading static configs: the data layout decides
-    # the unroll flag, which is part of the static config
-    prepared = [t._prepare_data() for t in tasks]
-    static = tasks[0]._static_config()
-    n0 = tasks[0]._traj_np.shape
+
+    plans = [_plan_for(t) for t in tasks]
+    static = t0_task._static_config()
     for r, t in enumerate(tasks[1:], start=1):
         assert t._static_config() == static, (
             "all replicas must share the same static configuration; "
             f"replica {r} has {t._static_config()} vs {static}"
         )
-        assert t.num_epochs == tasks[0].num_epochs
-        assert t.batch_size == tasks[0].batch_size
-        # data shapes are NOT part of the static config (jit handles new
-        # shapes by retracing) but must match across replicas for stacking
-        assert t._traj_np.shape == n0, (
-            f"replica {r} trajectory shape {t._traj_np.shape} != "
-            f"replica 0's {n0}; all replicas must have the same data shape"
+        assert t.num_epochs == t0_task.num_epochs
+        assert t.batch_size == t0_task.batch_size
+        assert t.test_ratio == t0_task.test_ratio, (
+            f"replica {r} test_ratio {t.test_ratio} != {t0_task.test_ratio}"
         )
-        assert t.test_ratio == tasks[0].test_ratio, (
-            f"replica {r} test_ratio {t.test_ratio} != "
-            f"{tasks[0].test_ratio}"
+    # traced-arg trees must match in structure and leaf shape for stacking
+    # (data shapes are not part of the static config: jit retraces)
+    flat0, treedef0 = jax.tree_util.tree_flatten(plans[0].args)
+    for r, p in enumerate(plans[1:], start=1):
+        flat, treedef = jax.tree_util.tree_flatten(p.args)
+        assert treedef == treedef0, (
+            f"replica {r} traced-argument structure differs from "
+            "replica 0's (check data layouts and gate patterns)"
         )
+        for a, b in zip(flat, flat0):
+            assert np.shape(a) == np.shape(b), (
+                f"replica {r} has a traced leaf of shape {np.shape(a)} vs "
+                f"replica 0's {np.shape(b)}; all replicas must have the "
+                "same data shape"
+            )
 
-    # per-replica splits/batches and data layout
-    models, opt_states, pps, diags, train_ds, test_ds = [], [], [], [], [], []
-    for t, (train_data, test_data, _, _) in zip(tasks, prepared):
-        train_ds.append(train_data)
-        test_ds.append(test_data)
-        # no _protect copies needed: jnp.stack below already materializes
-        # fresh buffers, and only the stacked arrays are donated — the
-        # user-held per-task leaves are never invalidated
-        models.append(t.model)
-        opt_states.append(t.opt_state)
-        pps.append(t._pp_for_loss)
-        diags.append(t._diag_coeff)
+    # no _protect copies needed: jnp.stack below already materializes
+    # fresh buffers, and only the stacked arrays are donated — the
+    # user-held per-task leaves are never invalidated
+    model_e = _stack_trees([t.model for t in tasks])
+    opt_e = _stack_trees([t.opt_state for t in tasks])
+    args_e = _stack_trees([p.args for p in plans])
 
-    model_e = _stack_trees(models)
-    opt_e = _stack_trees(opt_states)
-    pp_e = _stack_trees(pps)
-    diag_e = None if diags[0] is None else jnp.stack(diags)
-    train_e = _stack_trees(train_ds)
-    test_e = _stack_trees(test_ds)
-
-    epochs = tasks[0].num_epochs
-    ens_fn = _ensemble_fn(epochs, static)
+    epochs = t0_task.num_epochs
+    key = (
+        "replica", type(t0_task).__name__, epochs, matmul_precision(),
+        static,
+    )
+    ens_fn = _ensemble_fn(plans[0].impl, key)
 
     t0 = time.perf_counter()
-    model_e, opt_e, train_ms, test_ms = ens_fn(
-        model_e, opt_e, pp_e, diag_e, train_e, test_e
-    )
-    train_ms = np.asarray(train_ms)  # [R, epochs, nb, n_metrics + k]
+    model_e, opt_e, train_ms, test_ms = ens_fn(model_e, opt_e, *args_e)
+    train_ms = np.asarray(train_ms)  # [R, epochs, nb(, n_metrics + k)]
     test_ms = np.asarray(test_ms)
     elapsed = time.perf_counter() - t0
 
-    k = tasks[0].k
-    loss_names = ["loss", "eigen_non_penalty", "eigen_penalty"] + [
-        "eig_%d" % (i + 1) for i in range(k)
-    ]
-    n_metrics = len(loss_names)
-    for r, t in enumerate(tasks):
+    for r, (t, p) in enumerate(zip(tasks, plans)):
         t.model = _index_tree(model_e, r)
         t.opt_state = _index_tree(opt_e, r)
-        t._cvec = train_ms[r, -1, -1, n_metrics:].astype(int)
-        # per-epoch raw metric arrays, matching train()'s loss_list layout
-        t.loss_list = [
-            [train_ms[r, e, :, :n_metrics], test_ms[r, e, :, :n_metrics]]
-            for e in range(epochs)
-        ]
-        t.train_loss_df = losses_to_dataframe(
-            list(train_ms[r, :, :, :n_metrics].mean(axis=1)), loss_names
+        _finalize(t, p, train_ms[r], test_ms[r], elapsed / epochs)
+
+
+# ---------------------------------------------------------------------------
+# hyperparameter sweep over ONE task's data
+# ---------------------------------------------------------------------------
+
+
+class SweepResult(NamedTuple):
+    """One replica's outcome of :func:`train_hyperparameter_sweep`."""
+
+    hyperparams: dict
+    model: object
+    opt_state: object
+    train_loss_df: object
+    test_loss_df: object
+    cvec: np.ndarray | None
+
+
+# hyper-tuple field index per task family (matching each task's _hyper())
+_EIG_HYPER_IX = {"alpha": 0, "eig_weights": 1, "beta": 2}
+_REGAE_HYPER_IX = {
+    "alpha": 0, "gamma": 1, "eta": 2, "eig_weights": 3, "beta": 4,
+}
+
+
+def train_hyperparameter_sweep(task, grid: dict, models=None) -> list:
+    """Train R hyperparameter variants of one task as a single vmapped
+    program, sharing the task's device-placed batch data across all
+    replicas (``in_axes=None`` — no data duplication).
+
+    This is the TPU-native replacement for the sweep loop around the
+    reference's ``train()`` (reference core.py:459): with tiny CV models
+    the chip is mostly idle on a single replica, and the ensemble axis
+    batches every matmul R-fold onto the MXU, so a whole lr x alpha grid
+    costs little more wall-clock than one run.
+
+    Args:
+        task: a constructed task (any of the three families). Its data,
+            split, and static configuration are used for every replica;
+            its own hyperparameter values are the defaults a grid entry
+            overrides.
+        grid: mapping of hyperparameter name -> length-R sequence of
+            values. Supported names: ``learning_rate`` (all tasks);
+            ``alpha``, ``eig_weights``, ``beta`` (EigenFunctionTask);
+            ``alpha``, ``gamma``, ``eta``, ``eig_weights``, ``beta``
+            (RegAutoEncoderTask). For RegAutoEncoderTask the values must
+            not toggle a term's on/off gate (a zero gamma cannot become
+            nonzero across replicas — gates are compiled static).
+        models: optional length-R list of model pytrees (same
+            architecture) for per-replica initializations; default is R
+            copies of ``task.model``.
+
+    Returns:
+        list of R :class:`SweepResult`, in grid order. The task itself is
+        NOT mutated.
+    """
+    from ..config import matmul_precision
+    from ..core.regautoencoder import RegAutoEncoderTask, _EPS
+    from ..core.task import TrainingTask
+
+    assert grid, "grid must name at least one hyperparameter"
+    lengths = {name: len(vals) for name, vals in grid.items()}
+    R = next(iter(lengths.values()))
+    assert all(n == R for n in lengths.values()), (
+        f"all grid value lists must have equal length, got {lengths}"
+    )
+
+    plan = _plan_for(task)
+    has_hyper = not plan.metrics_2d  # AE takes no hyper tuple
+    hyper_ix = (
+        _REGAE_HYPER_IX if isinstance(task, RegAutoEncoderTask)
+        else _EIG_HYPER_IX
+    )
+    for name in grid:
+        if name == "learning_rate":
+            continue
+        assert has_hyper and name in hyper_ix, (
+            f"hyperparameter '{name}' is not sweepable for "
+            f"{type(task).__name__}; supported: ['learning_rate'"
+            + (", " + ", ".join(sorted(hyper_ix)) if has_hyper else "")
+            + "]"
         )
-        t.test_loss_df = losses_to_dataframe(
-            list(test_ms[r, :, :, :n_metrics].mean(axis=1)), loss_names
+
+    if models is None:
+        models = [task.model] * R
+    assert len(models) == R, f"models must have length {R}"
+
+    # per-replica hyper tuples: the task's own values overridden by name
+    if has_hyper:
+        base_hyper = task._hyper()
+        if isinstance(task, RegAutoEncoderTask):
+            # gates are static: a sweep value may not cross _EPS relative
+            # to the task's own value
+            gate_of = {
+                "alpha": lambda v: float(np.asarray(v)) > _EPS,
+                "gamma": lambda v: float(np.sum(np.asarray(v))) > _EPS,
+                "eta": lambda v: tuple(
+                    float(e) > _EPS for e in np.asarray(v).reshape(-1)
+                ),
+            }
+            for name, fn in gate_of.items():
+                if name in grid:
+                    want = fn(np.asarray(base_hyper[hyper_ix[name]]))
+                    for v in grid[name]:
+                        assert fn(v) == want, (
+                            f"sweep value {v!r} for '{name}' toggles its "
+                            "on/off gate relative to the task's value; "
+                            "gates are compiled static — construct a "
+                            "separate task/sweep for that regime"
+                        )
+        hypers = []
+        for r in range(R):
+            h = list(base_hyper)
+            for name, vals in grid.items():
+                if name == "learning_rate":
+                    continue
+                ix = hyper_ix[name]
+                h[ix] = jnp.asarray(
+                    vals[r], dtype=jnp.asarray(base_hyper[ix]).dtype
+                )
+                assert h[ix].shape == base_hyper[ix].shape, (
+                    f"'{name}' sweep value {vals[r]!r} has shape "
+                    f"{h[ix].shape}, expected {base_hyper[ix].shape}"
+                )
+            hypers.append(tuple(h))
+        hyper_e = _stack_trees(hypers)
+
+    # per-replica optimizer states: fresh init per model, lr injected
+    lrs = grid.get("learning_rate", [task.learning_rate] * R)
+    opt_states = []
+    for r in range(R):
+        st = task.optimizer.init(models[r])
+        opt_states.append(TrainingTask.set_learning_rate(st, lrs[r]))
+    model_e = _stack_trees(models)
+    opt_e = _stack_trees(opt_states)
+
+    # replica axis on model/opt/hyper ONLY; pp constants, diag, and the
+    # batch data are broadcast (shared on device across replicas)
+    if has_hyper:
+        args = (plan.args[0], plan.args[1], hyper_e) + plan.args[3:]
+        in_axes = (0, 0, None, None, 0) + (None,) * len(plan.args[3:])
+    else:
+        args = plan.args
+        in_axes = (0, 0) + (None,) * len(plan.args)
+
+    epochs = task.num_epochs
+    key = (
+        "sweep", type(task).__name__, epochs, matmul_precision(),
+        task._static_config(),
+    )
+    ens_fn = _ensemble_fn(plan.impl, key, in_axes=in_axes)
+
+    model_e, opt_e, train_ms, test_ms = ens_fn(model_e, opt_e, *args)
+    train_ms = np.asarray(train_ms)
+    test_ms = np.asarray(test_ms)
+
+    results = []
+    n_metrics = len(plan.loss_names)
+    for r in range(R):
+        if plan.metrics_2d:
+            train_means = [
+                np.asarray([train_ms[r, e].mean()]) for e in range(epochs)
+            ]
+            test_means = [
+                np.asarray([test_ms[r, e].mean()]) for e in range(epochs)
+            ]
+            cvec = None
+        else:
+            train_means = list(train_ms[r, :, :, :n_metrics].mean(axis=1))
+            test_means = list(test_ms[r, :, :, :n_metrics].mean(axis=1))
+            cvec = (
+                train_ms[r, -1, -1, n_metrics:].astype(int)
+                if plan.has_cvec else None
+            )
+        results.append(
+            SweepResult(
+                hyperparams={name: vals[r] for name, vals in grid.items()},
+                model=_index_tree(model_e, r),
+                opt_state=_index_tree(opt_e, r),
+                train_loss_df=losses_to_dataframe(
+                    train_means, plan.loss_names
+                ),
+                test_loss_df=losses_to_dataframe(
+                    test_means, plan.loss_names
+                ),
+                cvec=cvec,
+            )
         )
-        t.epoch_times = [elapsed / epochs] * epochs
+    return results

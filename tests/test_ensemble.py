@@ -1,32 +1,65 @@
-"""Replica-ensemble training: one vmapped program must produce the same
-per-replica results as training each task individually."""
+"""Replica-ensemble + hyperparameter-sweep training: one vmapped program
+must produce the same per-replica results as training each configuration
+individually — including MIXED hyperparameters (lr / loss constants),
+which are traced arguments since round 3."""
 
 import numpy as np
 import pytest
 
-from colvarsfinder_tpu.core import EigenFunctionTask
-from colvarsfinder_tpu.models import EigenFunctions
-from colvarsfinder_tpu.parallel import train_replica_ensemble
+from colvarsfinder_tpu.core import (
+    AutoEncoderTask,
+    EigenFunctionTask,
+    RegAutoEncoderTask,
+)
+from colvarsfinder_tpu.models import (
+    AutoEncoder,
+    EigenFunctions,
+    RegAutoEncoder,
+)
+from colvarsfinder_tpu.parallel import (
+    train_hyperparameter_sweep,
+    train_replica_ensemble,
+)
 from colvarsfinder_tpu.utils import WeightedTrajectory
 
+COMMON = dict(
+    batch_size=64, num_epochs=3, test_ratio=0.25,
+    save_model_every_step=0, verbose=False, tensorboard=False,
+    debug_mode=False,
+)
 
-def _make_tasks(tmp_path, tag, n_replicas=3):
-    rng = np.random.default_rng(7)
+
+def _traj(seed, n=256, d=2):
+    rng = np.random.default_rng(seed)
+    return WeightedTrajectory(
+        trajectory=rng.standard_normal((n, d)).astype(np.float32),
+        weights=rng.uniform(0.5, 1.5, n), dt=0.1, verbose=False,
+    )
+
+
+def _make_tasks(tmp_path, tag, n_replicas=3, lrs=None, alphas=None):
     tasks = []
     for r in range(n_replicas):
-        x = rng.standard_normal((256, 2)).astype(np.float32)
-        w = rng.uniform(0.5, 1.5, 256)
-        traj = WeightedTrajectory(trajectory=x, weights=w, dt=0.1,
-                                  verbose=False)
         model = EigenFunctions([2, 10, 1], k=2, seed=r)
         tasks.append(EigenFunctionTask(
-            traj, None, model, str(tmp_path / f"{tag}{r}"),
-            alpha=10.0, eig_weights=[1.0, 0.5], lag_tau=0.2, k=2,
-            learning_rate=0.01, batch_size=64, num_epochs=3,
-            test_ratio=0.25, save_model_every_step=0, verbose=False,
-            tensorboard=False, debug_mode=False, seed=r,
+            _traj(r), None, model, str(tmp_path / f"{tag}{r}"),
+            alpha=(alphas[r] if alphas else 10.0),
+            eig_weights=[1.0, 0.5], lag_tau=0.2, k=2,
+            learning_rate=(lrs[r] if lrs else 0.01),
+            seed=r, **COMMON,
         ))
     return tasks
+
+
+def _assert_match(t_ind, t_ens, rtol=1e-4):
+    np.testing.assert_allclose(
+        t_ens.train_loss_df.to_numpy(), t_ind.train_loss_df.to_numpy(),
+        rtol=rtol, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        t_ens.test_loss_df.to_numpy(), t_ind.test_loss_df.to_numpy(),
+        rtol=rtol, atol=1e-6,
+    )
 
 
 def test_ensemble_matches_individual_training(tmp_path):
@@ -38,16 +71,7 @@ def test_ensemble_matches_individual_training(tmp_path):
     train_replica_ensemble(ensemble)
 
     for t_ind, t_ens in zip(individual, ensemble):
-        np.testing.assert_allclose(
-            t_ens.train_loss_df.to_numpy(),
-            t_ind.train_loss_df.to_numpy(),
-            rtol=1e-4, atol=1e-6,
-        )
-        np.testing.assert_allclose(
-            t_ens.test_loss_df.to_numpy(),
-            t_ind.test_loss_df.to_numpy(),
-            rtol=1e-4, atol=1e-6,
-        )
+        _assert_match(t_ind, t_ens)
         # trained parameters match too
         a = np.asarray(t_ind.model.params[0]["weight"])
         b = np.asarray(t_ens.model.params[0]["weight"])
@@ -59,24 +83,93 @@ def test_ensemble_matches_individual_training(tmp_path):
         assert out.shape == (4, 2)
 
 
+def test_ensemble_mixed_hyperparameters(tmp_path):
+    """lr and alpha differ per replica — ONE compiled program serves the
+    mixed sweep (the round-2 design baked them into the cache key)."""
+    from colvarsfinder_tpu.core import eigenfunction as eg
+
+    lrs, alphas = [0.005, 0.02, 0.05], [5.0, 20.0, 80.0]
+    individual = _make_tasks(tmp_path, "mhi", lrs=lrs, alphas=alphas)
+    for t in individual:
+        t.train()
+    n_cache = len(eg._EPOCH_FN_CACHE)
+
+    ensemble = _make_tasks(tmp_path, "mhe", lrs=lrs, alphas=alphas)
+    train_replica_ensemble(ensemble)
+    for t_ind, t_ens in zip(individual, ensemble):
+        _assert_match(t_ind, t_ens)
+    # the three individual configs shared one epoch program (hyperparams
+    # are traced, not cache keys)
+    assert len(eg._EPOCH_FN_CACHE) == n_cache
+
+
+def test_ensemble_autoencoder(tmp_path):
+    def build(tag):
+        return [
+            AutoEncoderTask(
+                _traj(s), None, AutoEncoder([2, 12, 1], [1, 12, 2], seed=s),
+                str(tmp_path / f"{tag}{s}"),
+                learning_rate=0.01 * (s + 1), seed=s, **COMMON,
+            )
+            for s in range(2)
+        ]
+
+    individual = build("aei")
+    for t in individual:
+        t.train()
+    ensemble = build("aee")
+    train_replica_ensemble(ensemble)
+    for t_ind, t_ens in zip(individual, ensemble):
+        _assert_match(t_ind, t_ens)
+
+
+def test_ensemble_regautoencoder(tmp_path):
+    def build(tag):
+        return [
+            RegAutoEncoderTask(
+                _traj(s), None,
+                RegAutoEncoder([2, 12, 1], [1, 12, 2], [1, 8, 1], K=2,
+                               seed=s),
+                str(tmp_path / f"{tag}{s}"),
+                eig_weights=[1.0, 0.5], alpha=1.0 + s, gamma=(0.5, 0.25),
+                eta=(0.1, 0.1, 0.1), lag_tau_reg=0.2,
+                learning_rate=0.01, seed=s, **COMMON,
+            )
+            for s in range(2)
+        ]
+
+    individual = build("rgi")
+    for t in individual:
+        t.train()
+    ensemble = build("rge")
+    train_replica_ensemble(ensemble)
+    for t_ind, t_ens in zip(individual, ensemble):
+        # 5e-4: the six-term loss (jacrev encoder constraints) accumulates
+        # slightly different f32 reduction orders under the ensemble vmap
+        _assert_match(t_ind, t_ens, rtol=5e-4)
+
+
 def test_ensemble_rejects_mismatched_configs(tmp_path):
     tasks = _make_tasks(tmp_path, "mm", n_replicas=2)
-    rng = np.random.default_rng(0)
-    traj = WeightedTrajectory(
-        trajectory=rng.standard_normal((256, 2)).astype(np.float32),
-        dt=0.1, verbose=False,
-    )
     odd = EigenFunctionTask(
-        traj, None, EigenFunctions([2, 10, 1], k=2, seed=9),
+        _traj(9), None, EigenFunctions([2, 10, 1], k=2, seed=9),
         str(tmp_path / "odd"),
-        alpha=99.0,  # different loss constant
-        eig_weights=[1.0, 0.5], lag_tau=0.2, k=2, learning_rate=0.01,
-        batch_size=64, num_epochs=3, test_ratio=0.25,
-        save_model_every_step=0, verbose=False, tensorboard=False,
-        debug_mode=False,
+        alpha=10.0, eig_weights=[1.0, 0.5],
+        lag_tau=0.4,  # different lag — genuinely static
+        k=2, learning_rate=0.01, **COMMON,
     )
     with pytest.raises(AssertionError, match="static configuration"):
         train_replica_ensemble(tasks + [odd])
+
+
+def test_ensemble_rejects_mixed_task_types(tmp_path):
+    eig = _make_tasks(tmp_path, "mt", n_replicas=1)
+    ae = AutoEncoderTask(
+        _traj(0), None, AutoEncoder([2, 12, 1], [1, 12, 2], seed=0),
+        str(tmp_path / "mt_ae"), learning_rate=0.01, **COMMON,
+    )
+    with pytest.raises(AssertionError, match="same task type"):
+        train_replica_ensemble(eig + [ae])
 
 
 def test_ensemble_sets_loss_list_like_train(tmp_path):
@@ -86,3 +179,114 @@ def test_ensemble_sets_loss_list_like_train(tmp_path):
         assert len(t.loss_list) == t.num_epochs
         tr, te = t.loss_list[0]
         assert tr.shape[1] == 5 and te.shape[1] == 5  # metrics columns
+
+
+# ---------------------------------------------------------------------------
+# hyperparameter sweep (shared data)
+# ---------------------------------------------------------------------------
+
+
+def test_sweep_matches_individual_training(tmp_path):
+    traj = _traj(3)
+    model = EigenFunctions([2, 10, 1], k=2, seed=0)
+    task = EigenFunctionTask(
+        traj, None, model, str(tmp_path / "sw"),
+        alpha=10.0, eig_weights=[1.0, 0.5], lag_tau=0.2, k=2,
+        learning_rate=0.01, seed=0, **COMMON,
+    )
+    lrs, alphas = [0.005, 0.02, 0.05], [5.0, 20.0, 80.0]
+    results = train_hyperparameter_sweep(
+        task, {"learning_rate": lrs, "alpha": alphas}
+    )
+    assert len(results) == 3
+    # the task itself is untouched (its optimizer state never stepped)
+    import jax
+
+    assert all(
+        np.abs(np.asarray(leaf)).max() == 0
+        for leaf in jax.tree_util.tree_leaves(task.opt_state.inner_state)
+    )
+
+    for r, (lr, alpha) in enumerate(zip(lrs, alphas)):
+        solo = EigenFunctionTask(
+            traj, None, model, str(tmp_path / f"sw_solo{r}"),
+            alpha=alpha, eig_weights=[1.0, 0.5], lag_tau=0.2, k=2,
+            learning_rate=lr, seed=0, **COMMON,
+        )
+        solo.train()
+        np.testing.assert_allclose(
+            results[r].train_loss_df.to_numpy(),
+            solo.train_loss_df.to_numpy(),
+            rtol=1e-4, atol=1e-6,
+        )
+        assert results[r].hyperparams == {
+            "learning_rate": lr, "alpha": alpha
+        }
+        assert results[r].cvec is not None
+
+
+def test_sweep_autoencoder_lr(tmp_path):
+    traj = _traj(4)
+    model = AutoEncoder([2, 12, 1], [1, 12, 2], seed=0)
+    task = AutoEncoderTask(
+        traj, None, model, str(tmp_path / "swae"),
+        learning_rate=0.01, seed=0, **COMMON,
+    )
+    results = train_hyperparameter_sweep(
+        task, {"learning_rate": [0.001, 0.03]}
+    )
+    solo = AutoEncoderTask(
+        traj, None, model, str(tmp_path / "swae_solo"),
+        learning_rate=0.03, seed=0, **COMMON,
+    )
+    solo.train()
+    np.testing.assert_allclose(
+        results[1].train_loss_df.to_numpy(),
+        solo.train_loss_df.to_numpy(),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
+def test_sweep_regae_vector_hyperparams(tmp_path):
+    traj = _traj(5)
+    model = RegAutoEncoder([2, 12, 1], [1, 12, 2], [1, 8, 1], K=2, seed=0)
+    task = RegAutoEncoderTask(
+        traj, None, model, str(tmp_path / "swrg"),
+        eig_weights=[1.0, 0.5], alpha=1.0, gamma=(0.5, 0.25),
+        eta=(0.1, 0.1, 0.1), lag_tau_reg=0.2, learning_rate=0.01,
+        seed=0, **COMMON,
+    )
+    results = train_hyperparameter_sweep(
+        task, {"gamma": [(0.5, 0.25), (1.0, 0.1)]}
+    )
+    solo = RegAutoEncoderTask(
+        traj, None, model, str(tmp_path / "swrg_solo"),
+        eig_weights=[1.0, 0.5], alpha=1.0, gamma=(1.0, 0.1),
+        eta=(0.1, 0.1, 0.1), lag_tau_reg=0.2, learning_rate=0.01,
+        seed=0, **COMMON,
+    )
+    solo.train()
+    np.testing.assert_allclose(
+        results[1].train_loss_df.to_numpy(),
+        solo.train_loss_df.to_numpy(),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
+def test_sweep_rejects_gate_toggle(tmp_path):
+    task = RegAutoEncoderTask(
+        _traj(6), None,
+        RegAutoEncoder([2, 12, 1], [1, 12, 2], [1, 8, 1], K=2, seed=0),
+        str(tmp_path / "swgate"),
+        eig_weights=[1.0, 0.5], alpha=1.0, gamma=(0.5, 0.25),
+        eta=(0.1, 0.1, 0.1), lag_tau_reg=0.2, learning_rate=0.01,
+        seed=0, **COMMON,
+    )
+    with pytest.raises(AssertionError, match="gate"):
+        train_hyperparameter_sweep(task, {"alpha": [0.0, 1.0]})
+
+
+def test_sweep_rejects_unknown_name(tmp_path):
+    task = _make_tasks(tmp_path, "unk", n_replicas=1)[0]
+    with pytest.raises(AssertionError, match="not sweepable"):
+        train_hyperparameter_sweep(task, {"gamma": [(1, 1), (2, 2)]})
