@@ -1,8 +1,7 @@
 """Round-2 hardening tests: DCD dt/NSAVC semantics, weighted alignment
-centering, numpy-fallback gradients, device remap warning, precision cache
-keying, and the mocked-OpenMM MD wrapper."""
+centering, numpy-fallback gradients, device remap warning, and precision
+cache keying."""
 
-import sys
 import types
 
 import numpy as np
@@ -174,105 +173,6 @@ def test_precision_change_recompiles_epoch_fns(tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# mocked-OpenMM MD wrapper (VERDICT r1 item 4)
+# The mocked-OpenMM MD-wrapper tests moved to tests/test_md_sampler.py
+# (expanded there with an end-to-end behavioral fake engine).
 # ---------------------------------------------------------------------------
-
-class _FakeSimulation:
-    instances = []
-
-    def __init__(self, topology, system, integrator):
-        self.topology, self.system, self.integrator = topology, system, integrator
-        self.context = types.SimpleNamespace(
-            setPositions=lambda p: None,
-            getPlatform=lambda: types.SimpleNamespace(getName=lambda: "Fake"),
-        )
-        self.minimized = False
-        self.step_calls = []
-        self.reporters = []
-        _FakeSimulation.instances.append(self)
-
-    def minimizeEnergy(self):
-        self.minimized = True
-
-    def step(self, n):
-        self.step_calls.append(n)
-
-
-@pytest.fixture
-def fake_openmm(monkeypatch):
-    _FakeSimulation.instances = []
-    reporter_log = []
-
-    def _reporter(kind):
-        class R:
-            def __init__(self, target, interval, **kw):
-                reporter_log.append((kind, target, interval, kw))
-        return R
-
-    app = types.ModuleType("openmm.app")
-    app.Simulation = _FakeSimulation
-    app.DCDReporter = _reporter("dcd")
-    app.StateDataReporter = _reporter("state")
-    openmm_mod = types.ModuleType("openmm")
-    openmm_mod.app = app
-
-    plumed_forces = []
-
-    class PlumedForce:
-        def __init__(self, script):
-            self.script = script
-            plumed_forces.append(self)
-
-    plumed = types.ModuleType("openmmplumed")
-    plumed.PlumedForce = PlumedForce
-
-    monkeypatch.setitem(sys.modules, "openmm", openmm_mod)
-    monkeypatch.setitem(sys.modules, "openmm.app", app)
-    monkeypatch.setitem(sys.modules, "openmmplumed", plumed)
-    return types.SimpleNamespace(
-        reporters=reporter_log, plumed_forces=plumed_forces
-    )
-
-
-def test_integrate_md_langevin_basic(tmp_path, fake_openmm):
-    from colvarsfinder_tpu.utils.sampling import integrate_md_langevin
-
-    added_forces = []
-    system = types.SimpleNamespace(addForce=added_forces.append)
-    pdb = types.SimpleNamespace(topology="top", positions="pos")
-
-    dcd, csv, elapsed = integrate_md_langevin(
-        pdb, system, "integrator", n_steps=1000,
-        sampling_output_path=str(tmp_path / "md"),
-        report_interval=20, report_interval_stdout=50, verbose=False,
-    )
-    sim = _FakeSimulation.instances[-1]
-    assert sim.minimized
-    assert sim.step_calls == [1000]  # no equilibration call when pre_steps=0
-    assert len(sim.reporters) == 3
-    assert not added_forces  # no plumed bias requested
-    assert dcd.endswith("traj.dcd") and csv.endswith("output.csv")
-    # DCD reporter got the production path + interval
-    kinds = [r[0] for r in fake_openmm.reporters]
-    assert kinds.count("dcd") == 1 and kinds.count("state") == 2
-    dcd_call = next(r for r in fake_openmm.reporters if r[0] == "dcd")
-    assert dcd_call[1] == dcd and dcd_call[2] == 20
-
-
-def test_integrate_md_langevin_plumed_and_equilibration(tmp_path, fake_openmm):
-    from colvarsfinder_tpu.utils.sampling import integrate_md_langevin
-
-    added_forces = []
-    system = types.SimpleNamespace(addForce=added_forces.append)
-    pdb = types.SimpleNamespace(topology="top", positions="pos")
-
-    integrate_md_langevin(
-        pdb, system, "integrator", n_steps=500,
-        sampling_output_path=str(tmp_path / "md2"),
-        pre_steps=200, plumed_script="UNITS LENGTH=A", verbose=False,
-    )
-    sim = _FakeSimulation.instances[-1]
-    # equilibration runs before reporters attach, then production
-    assert sim.step_calls == [200, 500]
-    assert len(added_forces) == 1
-    assert fake_openmm.plumed_forces[0].script == "UNITS LENGTH=A"
