@@ -23,6 +23,7 @@ Layer map (mirrors SURVEY.md §1, rebuilt TPU-first):
 __version__ = "0.1.0"
 
 from . import config, core, models, ops, parallel, utils
+from .checkpoint import load_torch_state_dict, save_torch_state_dict
 from .core import (
     AutoEncoderTask,
     EigenFunctionTask,
@@ -57,6 +58,8 @@ __all__ = [
     "load_colvar",
     "load_numpy_cv",
     "save_numpy_cv",
+    "load_torch_state_dict",
+    "save_torch_state_dict",
     "TrainingTask",
     "AutoEncoderTask",
     "EigenFunctionTask",

@@ -21,6 +21,7 @@ __all__ = [
     "save_pytree",
     "load_pytree",
     "load_torch_state_dict",
+    "save_torch_state_dict",
     "save_spec",
 ]
 
@@ -184,3 +185,84 @@ def load_torch_state_dict(model: Any, source) -> Any:
         f"unsupported model type {type(model).__name__} for torch "
         "state-dict migration"
     )
+
+
+def save_torch_state_dict(model: Any, filename=None) -> dict:
+    """Reference-compatible PyTorch state dict from a framework model —
+    the REVERSE migration path: a model trained here can be handed back to
+    reference-ecosystem tooling as the ``model.pt`` artifact the reference
+    writes and loads (reference: colvarsfinder/core.py:156-161, :200-201).
+
+    Key naming follows the reference's module layout exactly (Linear
+    modules named '1', '2', ... inside each Sequential, reference
+    nn.py:52-57; per-head ModuleLists 'eigen_funcs' / 'reg',
+    nn.py:272/:150), so the reference's ``load_state_dict(...,
+    strict=True)`` consumes it without remapping.
+
+    Args:
+        model: :class:`~colvarsfinder_tpu.models.Sequential`,
+            :class:`~colvarsfinder_tpu.models.AutoEncoder`,
+            :class:`~colvarsfinder_tpu.models.EigenFunctions`, or
+            :class:`~colvarsfinder_tpu.models.RegAutoEncoder`.
+        filename: if given, ``torch.save`` the dict there (``model.pt``).
+
+    Returns:
+        an OrderedDict of torch tensors (the state dict).
+    """
+    import collections
+
+    import torch
+
+    from .models.ae import AutoEncoder, RegAutoEncoder
+    from .models.eigen import EigenFunctions
+    from .models.module import Sequential
+
+    sd: dict = collections.OrderedDict()
+
+    def put_seq(prefix: str, params) -> None:
+        # reference Linear modules are named '1', '2', ... (nn.py:52-57)
+        for i, layer in enumerate(params):
+            sd[f"{prefix}{i + 1}.weight"] = torch.from_numpy(
+                np.asarray(layer["weight"], dtype=np.float32).copy()
+            )
+            sd[f"{prefix}{i + 1}.bias"] = torch.from_numpy(
+                np.asarray(layer["bias"], dtype=np.float32).copy()
+            )
+
+    def put_stacked(prefix: str, params, k: int) -> None:
+        # stacked-ensemble params [k, d_out, d_in] -> per-head ModuleList
+        # entries '{prefix}{head}.{layer}.weight'
+        for h in range(k):
+            put_seq(
+                f"{prefix}{h}.",
+                [
+                    {
+                        "weight": np.asarray(layer["weight"])[h],
+                        "bias": np.asarray(layer["bias"])[h],
+                    }
+                    for layer in params
+                ],
+            )
+
+    if isinstance(model, Sequential):
+        put_seq("", model.params)
+    elif isinstance(model, EigenFunctions):
+        put_stacked("eigen_funcs.", model.params, model.k)
+    elif isinstance(model, RegAutoEncoder):
+        put_seq("encoder.", model.encoder.params)
+        put_seq("decoder.", model.decoder.params)
+        if model.num_reg > 0:
+            put_stacked("reg.", model.reg, model.num_reg)
+    elif isinstance(model, AutoEncoder):
+        put_seq("encoder.", model.encoder.params)
+        put_seq("decoder.", model.decoder.params)
+    else:
+        raise TypeError(
+            f"unsupported model type {type(model).__name__} for torch "
+            "state-dict export"
+        )
+
+    if filename is not None:
+        os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
+        torch.save(sd, filename)
+    return sd
