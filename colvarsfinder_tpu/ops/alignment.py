@@ -267,6 +267,9 @@ class AlignmentLayer:
         input_ag: optional MDAnalysis AtomGroup of the input atoms.
         method: 'quaternion' (default; QCP — ~50x faster than
             the SVD path on TPU at identical accuracy), 'svd', or 'pallas'.
+        align_weights: optional per-align-atom weights (e.g. atomic
+            masses) for weighted Kabsch alignment; pass the string
+            ``'masses'`` with an AtomGroup to use its masses.
     """
 
     def __init__(
@@ -275,13 +278,16 @@ class AlignmentLayer:
         align_indices: Optional[Sequence[int]] = None,
         input_ag=None,
         method: str = "quaternion",
+        align_weights=None,
         *,
         _ref_centered=None,
         _align_idx=None,
+        _align_weights=None,
     ):
         if _ref_centered is not None:
             self.ref_centered = _ref_centered
             self.align_idx = _align_idx
+            self.align_weights = _align_weights
             self.method = method
             return
         ag = align_positions
@@ -302,6 +308,28 @@ class AlignmentLayer:
         pos = pos - pos.mean(axis=0, keepdims=True)
         self.ref_centered = jnp.asarray(pos)
         self.align_idx = jnp.asarray(np.asarray(align_indices, dtype=np.int32))
+        if isinstance(align_weights, str):
+            if align_weights != "masses":
+                raise ValueError(
+                    f"unknown align_weights spec '{align_weights}' "
+                    "(supported: 'masses' with an AtomGroup)"
+                )
+            if not hasattr(ag, "masses"):
+                raise ValueError(
+                    "align_weights='masses' requires align_positions to be "
+                    "an AtomGroup with masses"
+                )
+            align_weights = np.asarray(ag.masses, dtype=default_dtype())
+        self.align_weights = (
+            None if align_weights is None
+            else jnp.asarray(np.asarray(align_weights, dtype=default_dtype()))
+        )
+        if self.align_weights is not None:
+            assert self.align_weights.shape == (self.ref_centered.shape[0],), (
+                f"align_weights must have one entry per align atom "
+                f"({self.ref_centered.shape[0]}), got "
+                f"{self.align_weights.shape}"
+            )
         self.method = method
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -310,23 +338,29 @@ class AlignmentLayer:
         if squeeze:
             x = x[None]
         out = align_frames(
-            x, self.ref_centered, self.align_idx, method=self.method
+            x, self.ref_centered, self.align_idx,
+            align_weights=self.align_weights, method=self.method,
         )
         return out[0] if squeeze else out
 
     def show_info(self):
+        weighted = "" if self.align_weights is None else ", weighted"
         print(
             f"AlignmentLayer: {self.ref_centered.shape[0]} align atoms, "
-            f"method={self.method}\nreference (centered):\n"
+            f"method={self.method}{weighted}\nreference (centered):\n"
             f"{np.asarray(self.ref_centered)}"
         )
 
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self):
-        return (self.ref_centered, self.align_idx), (self.method,)
+        return (
+            (self.ref_centered, self.align_idx, self.align_weights),
+            (self.method,),
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(
-            method=aux[0], _ref_centered=children[0], _align_idx=children[1]
+            method=aux[0], _ref_centered=children[0],
+            _align_idx=children[1], _align_weights=children[2],
         )

@@ -81,6 +81,29 @@ def test_full_molecular_pipeline_roundtrip(tmp_path):
     np.testing.assert_allclose(f(x[0]), np.asarray(cv(x[0])), atol=1e-5)
 
 
+def test_mass_weighted_alignment_roundtrip(tmp_path):
+    """The numpy deployment artifact must carry and apply align_weights."""
+    x, base = _coords()
+    masses = np.linspace(1.0, 16.0, 6).astype(np.float32)
+    align = AlignmentLayer(
+        base[:6], align_indices=list(range(6)), align_weights=masses
+    )
+    feat = FeatureLayer([Feature("p", "position", [0, 2, 4])])
+    head = create_sequential_nn([9, 8, 2], seed=1)
+    cv = ColvarModel(PreprocessingANN(align, feat), head)
+    save_numpy_cv(cv, str(tmp_path))
+    f = load_numpy_cv(str(tmp_path))
+    np.testing.assert_allclose(f(x), np.asarray(cv(x)), atol=5e-5)
+    # sanity: weighted differs from the unweighted pipeline
+    cv_u = ColvarModel(
+        PreprocessingANN(
+            AlignmentLayer(base[:6], align_indices=list(range(6))), feat
+        ),
+        head,
+    )
+    assert np.abs(np.asarray(cv(x)) - np.asarray(cv_u(x))).max() > 1e-4
+
+
 def test_autoencoder_and_regmodel_nodes(tmp_path):
     ae = AutoEncoder([6, 10, 2], [2, 10, 6], seed=0)
     x = np.random.default_rng(0).standard_normal((4, 6)).astype(np.float32)

@@ -208,6 +208,47 @@ def test_alignment_invariance_property(rng):
     np.testing.assert_allclose(out1, out2, atol=2e-4)
 
 
+def test_alignment_layer_mass_weighted(rng):
+    """align_weights plumbs through __call__: the layer must reproduce
+    weighted align_frames, be rigid-motion invariant, and differ from the
+    unweighted result for non-uniform weights."""
+    m = 6
+    ref = rng.standard_normal((m, 3)).astype(np.float32)
+    masses = np.asarray([12.0, 1.0, 1.0, 14.0, 16.0, 12.0], np.float32)
+    layer_w = AlignmentLayer(
+        ref, align_indices=list(range(m)), align_weights=masses
+    )
+    layer_u = AlignmentLayer(ref, align_indices=list(range(m)))
+    x = (ref[None] + 0.2 * rng.standard_normal((4, m, 3))).astype(np.float32)
+
+    out_w = np.asarray(layer_w(jnp.asarray(x)))
+    expect = np.asarray(align_frames(
+        jnp.asarray(x), layer_w.ref_centered, layer_w.align_idx,
+        align_weights=jnp.asarray(masses),
+    ))
+    np.testing.assert_allclose(out_w, expect, atol=1e-6)
+    # non-uniform weights change the alignment
+    assert np.abs(out_w - np.asarray(layer_u(jnp.asarray(x)))).max() > 1e-3
+
+    # invariance to rigid motion still holds under weighting
+    R = _random_rotations(1, rng)[0].astype(np.float32)
+    t = np.asarray([0.3, -1.0, 2.0], dtype=np.float32)
+    moved = np.einsum("bmi,ij->bmj", x, R) + t
+    np.testing.assert_allclose(
+        out_w, np.asarray(layer_w(jnp.asarray(moved))), atol=2e-4
+    )
+
+    # uniform weights reduce to the unweighted alignment
+    layer_1 = AlignmentLayer(
+        ref, align_indices=list(range(m)),
+        align_weights=np.full(m, 3.0, np.float32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(layer_1(jnp.asarray(x))),
+        np.asarray(layer_u(jnp.asarray(x))), atol=1e-5,
+    )
+
+
 def test_preprocessing_ann_composition(rng):
     m = 4
     ref = rng.standard_normal((m, 3)).astype(np.float32)
