@@ -95,8 +95,12 @@ def main():
     finals = [float(r.train_loss_df["loss"].iloc[-1]) for r in results]
     sweep_s = time.perf_counter() - t0
     sweep_sps = R * samples_per_replica / sweep_s
+    from colvarsfinder_tpu.parallel import ensemble as _ens
+    device_s = _ens.last_run_seconds
+    device_sps = R * samples_per_replica / device_s
     log(f"vmapped sweep: {R} replicas in {sweep_s:.3f}s "
-        f"(+{compile_s:.1f}s first-call compile) -> "
+        f"(+{compile_s:.1f}s first-call compile; device run "
+        f"{device_s:.3f}s -> {device_sps:,.0f} sps) -> "
         f"{sweep_sps:,.0f} samples/s aggregate")
     log(f"  best replica: loss {min(finals):.4f} at "
         f"{results[int(np.argmin(finals))].hyperparams}")
@@ -136,6 +140,7 @@ def main():
         f'"value": {sweep_sps:.1f}, "unit": "samples/sec", '
         f'"speedup_vs_sequential": {sweep_sps / seq_sps:.2f}, '
         f'"sweep_s": {sweep_s:.3f}, "seq_s": {seq_s:.3f}, '
+        f'"device_s": {device_s:.3f}, "device_sps": {device_sps:.1f}, '
         f'"tflops_effective": {tflops:.2f}, '
         f'"parity_rel": {worst:.2e}}}'
     )

@@ -6,9 +6,9 @@ TPU-native counterpart of the reference's ``EigenFunctionTask``
 Execution model: the full trajectory and weights live on device; each epoch
 is one jitted program scanning over *index batches*: lagged pairs are
 on-device gathers ``traj[idx + lag_idx]`` (reference core.py:511-512), and
-the generator's per-sample input gradients are a fused ``vmap(jacrev)``
-inside the step (reference runs k separate autograd backward passes per
-batch, core.py:424). The outer parameter gradient differentiates through
+the generator's per-sample input gradients are k fused batched vjps
+(``jacrev`` of the batched head sums) inside the step (reference runs k
+separate autograd backward passes per batch, core.py:424). The outer parameter gradient differentiates through
 the input-gradient computation (double backprop, core.py:517).
 """
 

@@ -26,6 +26,7 @@ All use the standard det-sign correction so reflections are excluded.
 
 from __future__ import annotations
 
+from contextlib import contextmanager as _contextmanager
 from typing import Optional, Sequence
 
 import jax
@@ -68,7 +69,39 @@ def _det3(a, b, c, d, e, f, g, h, i):
     return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
 
 
-def quaternion_from_covariance(c9, newton_iters: int = 16):
+#: default differentiation mode of the QCP Newton solve: 0 = fully
+#: differentiable unroll (backward through all ``newton_iters`` steps),
+#: >0 = implicit differentiation (convergence under stop_gradient + this
+#: many differentiable tail steps; exact first/second derivatives at the
+#: root, machine-eps parity vs the SVD oracle). A same-process A/B on TPU
+#: v5e (benchmarks/qcp_ab.py) measured the two modes within 2-4% on both
+#: the transfer-op backward and the generator double backprop — XLA fuses
+#: the elementwise Newton chain either way — so the default stays at the
+#: round-2 numerics (full unroll); the implicit mode is kept for
+#: memory-bound contexts (it shrinks the saved-residual footprint 8x).
+DEFAULT_NEWTON_DIFF_STEPS: int = 0
+
+
+@_contextmanager
+def newton_diff_mode(diff_steps: int):
+    """Trace-time override of :data:`DEFAULT_NEWTON_DIFF_STEPS`.
+
+    Used by the generator loss to trace its per-sample input-jacobian
+    region with implicit Newton differentiation (``diff_steps=2``) while
+    the rest of the program keeps the full unroll.
+    """
+    global DEFAULT_NEWTON_DIFF_STEPS
+    prev = DEFAULT_NEWTON_DIFF_STEPS
+    DEFAULT_NEWTON_DIFF_STEPS = diff_steps
+    try:
+        yield
+    finally:
+        DEFAULT_NEWTON_DIFF_STEPS = prev
+
+
+def quaternion_from_covariance(
+    c9, newton_iters: int = 16, diff_steps: int | None = None
+):
     """Optimal-rotation quaternion from 3x3 cross-covariance entries.
 
     The QCP scheme (Theobald-style): the optimal quaternion is the dominant
@@ -90,6 +123,18 @@ def quaternion_from_covariance(c9, newton_iters: int = 16):
             invariance before calling).
         newton_iters: Newton steps (quadratic convergence; generous default
             covers near-degenerate double roots).
+        diff_steps: differentiation mode. ``None`` (default) resolves to
+            :data:`DEFAULT_NEWTON_DIFF_STEPS`. ``0``: fully differentiable
+            unroll (backward through every Newton step). ``>0``: implicit
+            differentiation — convergence runs under ``stop_gradient`` and
+            this many differentiable Newton steps are appended. At a
+            converged root one differentiable step yields the exact
+            implicit-function-theorem first derivative (dλ/dc = -P_c/P');
+            two steps make the second derivative exact too (needed by the
+            generator loss's double backprop). The forward value is
+            unchanged either way (Newton is idempotent at the root);
+            derivative agreement vs the SVD oracle is machine-eps at f64
+            (tests/test_features.py).
 
     Returns:
         (w, x, y, z): unit quaternion components (sign unnormalized — q and
@@ -122,12 +167,30 @@ def quaternion_from_covariance(c9, newton_iters: int = 16):
         - k03 * _det3(k01, k11, k12, k02, k12, k22, k03, k13, k23)
     )
 
-    # Newton from above: lambda_max <= sqrt(tr K^2) = 2 ||C||_F
-    lam = 2.0 * jnp.sqrt(fro2)
-    for _ in range(newton_iters):
+    def newton_step(lam, c2, c1, c0):
         p = ((lam * lam + c2) * lam + c1) * lam + c0
         dp = (4.0 * lam * lam + 2.0 * c2) * lam + c1
-        lam = lam - p / jnp.where(jnp.abs(dp) > 1e-12, dp, 1e-12)
+        return lam - p / jnp.where(jnp.abs(dp) > 1e-12, dp, 1e-12)
+
+    if diff_steps is None:
+        diff_steps = DEFAULT_NEWTON_DIFF_STEPS
+    if diff_steps <= 0:
+        # fully differentiable unroll (backward through every step)
+        lam = 2.0 * jnp.sqrt(fro2)
+        for _ in range(newton_iters):
+            lam = newton_step(lam, c2, c1, c0)
+    else:
+        # Newton from above: lambda_max <= sqrt(tr K^2) = 2 ||C||_F.
+        # Convergence runs on stop-gradient'ed coefficients (forward-
+        # only); the short differentiable tail supplies the implicit
+        # derivatives.
+        sg = jax.lax.stop_gradient
+        c2s, c1s, c0s = sg(c2), sg(c1), sg(c0)
+        lam = 2.0 * jnp.sqrt(sg(fro2))
+        for _ in range(newton_iters):
+            lam = newton_step(lam, c2s, c1s, c0s)
+        for _ in range(diff_steps):
+            lam = newton_step(lam, c2, c1, c0)
 
     # adjugate rows of M = K - lam I; each nonzero row ~ the eigenvector
     m00 = k00 - lam

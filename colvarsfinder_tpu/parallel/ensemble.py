@@ -54,6 +54,11 @@ __all__ = ["train_replica_ensemble", "train_hyperparameter_sweep"]
 _ENSEMBLE_FN_CACHE: dict = {}
 _ENSEMBLE_FN_CACHE_MAX = 32
 
+#: wall-clock seconds of the last ensemble/sweep DEVICE run (the jitted
+#: vmapped program only, excluding host-side stacking/unpacking) — for
+#: benchmarking the compute separately from tunnel transfer overheads.
+last_run_seconds: float = 0.0
+
 
 def _ensemble_fn(impl, cache_key, in_axes=0):
     fn = _ENSEMBLE_FN_CACHE.get(cache_key)
@@ -234,11 +239,16 @@ def train_replica_ensemble(tasks: Sequence) -> None:
     )
     ens_fn = _ensemble_fn(plans[0].impl, key)
 
+    global last_run_seconds
     t0 = time.perf_counter()
     model_e, opt_e, train_ms, test_ms = ens_fn(model_e, opt_e, *args_e)
     train_ms = np.asarray(train_ms)  # [R, epochs, nb(, n_metrics + k)]
-    test_ms = np.asarray(test_ms)
     elapsed = time.perf_counter() - t0
+    last_run_seconds = elapsed
+    # one bulk fetch; per-replica trees are then sliced on the host (the
+    # tasks' model/opt_state leaves become numpy arrays — re-placed on
+    # device automatically at next use)
+    model_e, opt_e, test_ms = jax.device_get((model_e, opt_e, test_ms))
 
     for r, (t, p) in enumerate(zip(tasks, plans)):
         t.model = _index_tree(model_e, r)
@@ -252,7 +262,12 @@ def train_replica_ensemble(tasks: Sequence) -> None:
 
 
 class SweepResult(NamedTuple):
-    """One replica's outcome of :func:`train_hyperparameter_sweep`."""
+    """One replica's outcome of :func:`train_hyperparameter_sweep`.
+
+    ``model`` / ``opt_state`` leaves are host numpy arrays (fetched in one
+    bulk transfer); they are placed back on device automatically when next
+    used in a jitted computation.
+    """
 
     hyperparams: dict
     model: object
@@ -371,14 +386,29 @@ def train_hyperparameter_sweep(task, grid: dict, models=None) -> list:
             hypers.append(tuple(h))
         hyper_e = _stack_trees(hypers)
 
-    # per-replica optimizer states: fresh init per model, lr injected
+    # per-replica optimizer states: ONE vmapped+jitted init over the
+    # stacked models with the lr injected inside (an eager per-replica
+    # init loop costs R x n_leaves tiny device dispatches — several
+    # seconds through the TPU tunnel at R=64)
     lrs = grid.get("learning_rate", [task.learning_rate] * R)
-    opt_states = []
-    for r in range(R):
-        st = task.optimizer.init(models[r])
-        opt_states.append(TrainingTask.set_learning_rate(st, lrs[r]))
     model_e = _stack_trees(models)
-    opt_e = _stack_trees(opt_states)
+    lrs_arr = jnp.asarray([float(v) for v in lrs])
+    init_key = (
+        "sweep_init", type(task).__name__, matmul_precision(),
+        task._static_config(),
+    )
+    init_fn = _ENSEMBLE_FN_CACHE.get(init_key)
+    if init_fn is None:
+        optimizer = task.optimizer
+
+        def _init_one(m, lr):
+            return TrainingTask.set_learning_rate(optimizer.init(m), lr)
+
+        init_fn = jax.jit(jax.vmap(_init_one))
+        while len(_ENSEMBLE_FN_CACHE) >= _ENSEMBLE_FN_CACHE_MAX:
+            _ENSEMBLE_FN_CACHE.pop(next(iter(_ENSEMBLE_FN_CACHE)))
+        _ENSEMBLE_FN_CACHE[init_key] = init_fn
+    opt_e = init_fn(model_e, lrs_arr)
 
     # replica axis on model/opt/hyper ONLY; pp constants, diag, and the
     # batch data are broadcast (shared on device across replicas)
@@ -396,9 +426,16 @@ def train_hyperparameter_sweep(task, grid: dict, models=None) -> list:
     )
     ens_fn = _ensemble_fn(plan.impl, key, in_axes=in_axes)
 
+    global last_run_seconds
+    t0 = time.perf_counter()
     model_e, opt_e, train_ms, test_ms = ens_fn(model_e, opt_e, *args)
-    train_ms = np.asarray(train_ms)
-    test_ms = np.asarray(test_ms)
+    train_ms = np.asarray(train_ms)  # blocks until the device run finishes
+    last_run_seconds = time.perf_counter() - t0
+    # ONE bulk fetch, then slice per replica on the host: per-replica
+    # device indexing costs R x n_leaves tiny dispatches through the
+    # tunnel (~4 s at R=64), dwarfing the training itself. Result leaves
+    # are host numpy arrays (documented in SweepResult).
+    model_e, opt_e, test_ms = jax.device_get((model_e, opt_e, test_ms))
 
     results = []
     n_metrics = len(plan.loss_names)

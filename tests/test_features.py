@@ -177,6 +177,41 @@ def test_kabsch_quaternion_matches_svd(rng):
     np.testing.assert_allclose(R_quat, R_svd, atol=5e-4)
 
 
+def test_implicit_newton_derivative_parity(rng):
+    """QCP implicit differentiation (stop-gradient convergence + short
+    differentiable tail, ops/alignment.py:newton_diff_mode) must match the
+    SVD oracle's value, gradient, AND hessian-vector product — the
+    generator loss double-backprops through alignment."""
+    from colvarsfinder_tpu.ops.alignment import align_frames, newton_diff_mode
+
+    m, B = 7, 6
+    ref = rng.standard_normal((m, 3))
+    ref -= ref.mean(0)
+    refj = jnp.asarray(ref, dtype=jnp.float32)
+    x = jnp.asarray(
+        ref[None] + 0.3 * rng.standard_normal((B, m, 3)), dtype=jnp.float32
+    )
+    idx = jnp.arange(m)
+
+    def scalar(xx, method):
+        out = align_frames(xx, refj, idx, method=method)
+        return (jnp.sin(out) * jnp.cos(out[..., ::-1])).sum()
+
+    v = jnp.asarray(rng.standard_normal(x.shape), dtype=jnp.float32)
+    with newton_diff_mode(2):
+        val_q = scalar(x, "quaternion")
+        g_q = jax.grad(scalar)(x, "quaternion")
+        h_q = jax.jvp(
+            jax.grad(lambda xx: scalar(xx, "quaternion")), (x,), (v,)
+        )[1]
+    val_s = scalar(x, "svd")
+    g_s = jax.grad(scalar)(x, "svd")
+    h_s = jax.jvp(jax.grad(lambda xx: scalar(xx, "svd")), (x,), (v,))[1]
+    np.testing.assert_allclose(float(val_q), float(val_s), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_q), np.asarray(g_s), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(h_q), np.asarray(h_s), atol=2e-3)
+
+
 def test_alignment_layer_and_differentiability(rng):
     m = 5
     ref = rng.standard_normal((m, 3)).astype(np.float32)
