@@ -136,7 +136,7 @@ def main():
     flops_per_sample = 34_760  # see bench.py
     tflops = sweep_sps * flops_per_sample / 1e12
     print(
-        f'{{"metric": "64-replica lr x alpha sweep aggregate throughput", '
+        f'{{"metric": "{R}-replica lr x alpha sweep aggregate throughput", '
         f'"value": {sweep_sps:.1f}, "unit": "samples/sec", '
         f'"speedup_vs_sequential": {sweep_sps / seq_sps:.2f}, '
         f'"sweep_s": {sweep_s:.3f}, "seq_s": {seq_s:.3f}, '
