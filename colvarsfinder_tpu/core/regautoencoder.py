@@ -464,6 +464,58 @@ class RegAutoEncoderTask(TrainingTask):
         return ColvarModel(self.preprocessing_layer, reg_reordered)
 
     # ------------------------------------------------------------------
+    # per-term loss surface (reference core.py:884-1034) — thin method
+    # wrappers over the pure loss functions in core/losses.py, kept so
+    # reference users find the same callable names on the task object
+    def weighted_MSE_loss(self, X, X_lagged, weight):
+        r"""Time-lagged reconstruction loss (reference core.py:884-897)."""
+        return weighted_mse_lagged_loss(
+            self.model.forward_ae, self._pp_for_loss,
+            jnp.asarray(X), jnp.asarray(X_lagged), jnp.asarray(weight),
+        )
+
+    def reg_enc_grad_loss(self, X, weight):
+        r"""Squared L2 norm of encoder feature-gradients
+        (reference core.py:899-920)."""
+        return enc_grad_loss(
+            self.model.encoder, self._pp_for_loss,
+            jnp.asarray(X), jnp.asarray(weight), self.k,
+        )
+
+    def reg_enc_norm_loss(self, X, weight):
+        r"""Penalty on encoder-component variances
+        (reference core.py:922-944)."""
+        return enc_norm_loss(
+            self.model.encoder, self._pp_for_loss,
+            jnp.asarray(X), jnp.asarray(weight), self.k,
+        )
+
+    def reg_enc_orthognal_loss(self, X, weight):
+        r"""Penalty on pairwise encoder-component covariances (reference
+        core.py:946-973; the reference's spelling is preserved)."""
+        return enc_orthogonality_loss(
+            self.model.encoder, self._pp_for_loss,
+            jnp.asarray(X), jnp.asarray(weight), self.k,
+        )
+
+    def reg_eigen_loss(self, X, weight, X_lagged, weight_lagged):
+        r"""Eigenfunction regularization on the reg heads (reference
+        core.py:975-1034). Returns ``(eig_vals, non_penalty, penalty,
+        cvec)``."""
+        return reg_eigen_loss(
+            self.model, self._pp_for_loss,
+            jnp.asarray(X), jnp.asarray(weight),
+            None if X_lagged is None else jnp.asarray(X_lagged),
+            None if weight_lagged is None else jnp.asarray(weight_lagged),
+            num_reg=self.num_reg,
+            eig_w=jnp.asarray(self._eig_w, dtype=default_dtype()),
+            beta=self._beta,
+            diag_coeff=self._diag_coeff,
+            lag_idx=self.lag_idx,
+            traj_dt=self.traj_dt,
+        )
+
+    # ------------------------------------------------------------------
     def _static_config(self):
         """Hashable tuple of everything baked into the compiled epoch
         program (see core/eigenfunction.py for the shared-cache design).

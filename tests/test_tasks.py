@@ -202,6 +202,40 @@ def test_regautoencoder_task_all_terms(traj, tmp_path):
     assert out_r.shape == (4, 2)
 
 
+def test_regautoencoder_per_term_loss_methods(traj, tmp_path):
+    """The reference exposes each RegAE loss term as a task method
+    (core.py:884-1034); the wrappers must agree with what training logs."""
+    model = RegAutoEncoder([2, 12, 1], [1, 12, 2], [1, 8, 1], K=2, seed=0)
+    task = RegAutoEncoderTask(
+        traj, None, model,
+        eig_weights=[1.0, 0.5],
+        alpha=1.0, gamma=[0.5, 2.0], eta=[0.1, 0.1, 0.2],
+        lag_tau_ae=0.1, lag_tau_reg=0.2,
+        **_mk_task_kwargs(tmp_path, "regae_terms"),
+    )
+    X = traj.trajectory[:16].astype(np.float32)
+    X_l = traj.trajectory[2:18].astype(np.float32)
+    w = np.ones(16, dtype=np.float32)
+    mse = float(task.weighted_MSE_loss(X, X_l, w))
+    g = float(task.reg_enc_grad_loss(X, w))
+    n = float(task.reg_enc_norm_loss(X, w))
+    o = float(task.reg_enc_orthognal_loss(X, w))
+    eig_vals, non_pen, pen, cvec = task.reg_eigen_loss(X, w, X_l, w)
+    for v in (mse, g, n, o, float(non_pen), float(pen)):
+        assert np.isfinite(v)
+    assert eig_vals.shape == (2,)
+    assert sorted(np.asarray(cvec).tolist()) == [0, 1]
+    # cross-check two terms against the pure loss functions on identity pp
+    import jax.numpy as jnp
+
+    from colvarsfinder_tpu.core.losses import enc_norm_loss
+
+    ref_n = float(enc_norm_loss(
+        task.model.encoder, lambda x: x, jnp.asarray(X), jnp.asarray(w), 1
+    ))
+    np.testing.assert_allclose(n, ref_n, rtol=1e-6)
+
+
 def test_regautoencoder_generator_reg(traj, tmp_path):
     model = RegAutoEncoder([2, 10, 1], [1, 10, 2], [1, 6, 1], K=1, seed=1)
     task = RegAutoEncoderTask(
