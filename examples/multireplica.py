@@ -108,6 +108,31 @@ def main():
         "mean epoch time: %.1f ms"
         % (1000 * np.mean(task.epoch_times[1:]))
     )
+
+    # 5. hyperparameter sweep: an lr x alpha grid trained as ONE vmapped
+    # program, the batch data SHARED on device across all grid points
+    # (in_axes=None). This is the chip-filling formulation — a 64-point
+    # grid at full dipeptide scale costs ~2 s on one v5e chip
+    # (benchmarks/sweep_bench.py)
+    from colvarsfinder_tpu.parallel import train_hyperparameter_sweep
+
+    lrs = [1e-3, 3e-3, 1e-2]
+    alphas = [5.0, 10.0, 20.0]
+    grid = {
+        "learning_rate": [lr for lr in lrs for _ in alphas],
+        "alpha": [a for _ in lrs for a in alphas],
+    }
+    # sweep over the first replica's (single-device) task: the replica
+    # axis and the mesh axis are separate levers — combine deliberately
+    results = train_hyperparameter_sweep(per_replica[0], grid)
+    best = min(
+        results, key=lambda r: float(r.train_loss_df["loss"].iloc[-1])
+    )
+    print(
+        f"sweep over {len(results)} (lr, alpha) points -> best "
+        f"{best.hyperparams} with final loss "
+        f"{float(best.train_loss_df['loss'].iloc[-1]):.4f}"
+    )
     # the slowest mode of the double well is the x-barrier crossing; the
     # leading eigenfunction should correlate with x
     cv = task.colvar_model()
