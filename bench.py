@@ -33,7 +33,14 @@ ALPHA = 20.0
 EIG_W = [1.0, 0.2]
 LR = 0.002
 WARMUP_STEPS = 5
-MEASURE_STEPS = 60
+# 3000 steps (600 epochs over 5 batches) keeps the tunnel round-trip
+# (~35 ms) under ~4% of the measured window. Round-3 found the old
+# 60-step window was paying ~half its wall time in round-trip — the
+# identical binary read 16.7-25.8M samples/s at 60 steps, 51.8M at 300,
+# 65.3M at 1500 — so the measurement is best-of-3 LONG dispatches
+# (steady-state device capability, not tunnel luck).
+MEASURE_STEPS = 3000
+MEASURE_REPS = 3
 
 
 log = lambda *a: print(*a, file=sys.stderr, flush=True)
@@ -128,14 +135,16 @@ def bench_jax(ref, traj_np, weights_np):
     )
     _ = np.asarray(losses)  # host fetch: reliable warmup barrier
 
-    t0 = time.perf_counter()
-    model, opt_state, losses = train_run(
-        model, opt_state, batches, n_epochs=n_epochs
-    )
-    _ = np.asarray(losses)  # host fetch: robust completion barrier on the
-    # tunnel backend (block_until_ready has been observed returning early
-    # under sustained load)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _rep in range(MEASURE_REPS):
+        t0 = time.perf_counter()
+        model, opt_state, losses = train_run(
+            model, opt_state, batches, n_epochs=n_epochs
+        )
+        _ = np.asarray(losses)  # host fetch: robust completion barrier on
+        # the tunnel backend (block_until_ready has been observed
+        # returning early under sustained load)
+        dt = min(dt, time.perf_counter() - t0)
     steps = n_epochs * nb
     sps = steps * BATCH / dt
     # effective compute: analytic ~35k flops/sample (two fwd+bwd MLP passes
