@@ -35,6 +35,60 @@ __all__ = ["EigenFunctionTask"]
 # arguments. A multi-replica sweep over same-shaped tasks compiles once.
 _EPOCH_FN_CACHE: dict = {}
 
+# jitted per-batch (H, M) preprocessing-Gram computation for the gram
+# generator path, shared across same-shaped tasks
+_GRAM_FN_CACHE: dict = {}
+
+
+def _gram_fn(state_shape: tuple, tot_dim: int):
+    """Jitted ``(pp, diag_coeff, Xf) -> (H, M)``: features and the
+    preprocessing-jacobian Gram matrix M = J_pp diag(c) J_pp^T per sample
+    (tot_dim basis JVPs through pp — one-time per batch; the training
+    step then never backprops through the preprocessing layer)."""
+    from ..config import matmul_precision
+
+    key = (tuple(state_shape), int(tot_dim), matmul_precision())
+    fn = _GRAM_FN_CACHE.get(key)
+    if fn is None:
+        prec = matmul_precision()
+
+        def impl(pp, diag_coeff, Xf):
+            def ppf(xf):
+                out = pp(xf.reshape((-1,) + tuple(state_shape)))
+                return out.reshape(out.shape[0], -1)
+
+            H = ppf(Xf)
+            basis = jnp.eye(tot_dim, dtype=Xf.dtype)
+            A = jax.vmap(
+                lambda e: jax.jvp(
+                    ppf, (Xf,), (jnp.broadcast_to(e, Xf.shape),)
+                )[1]
+            )(basis)  # [D, B, d_r]
+            M = jnp.einsum(
+                "dbi,d,dbj->bij", A, diag_coeff, A, precision=prec
+            )
+            return H, M
+
+        fn = jax.jit(impl)
+        _GRAM_FN_CACHE[key] = fn
+    return fn
+
+
+def _feat_fn(state_shape: tuple):
+    """Jitted ``(pp, Xf) -> H``: flat features of flat-row batches (used
+    by gram-mode data prep for rows that need features but no Gram)."""
+    key = ("feat", tuple(state_shape))
+    fn = _GRAM_FN_CACHE.get(key)
+    if fn is None:
+
+        def impl(pp, Xf):
+            out = pp(Xf.reshape((-1,) + tuple(state_shape)))
+            return out.reshape(out.shape[0], -1)
+
+        fn = jax.jit(impl)
+        _GRAM_FN_CACHE[key] = fn
+    return fn
+
 
 def _multi_epoch_fn(length: int, static: tuple):
     from ..config import matmul_precision
@@ -45,7 +99,7 @@ def _multi_epoch_fn(length: int, static: tuple):
         return cached[0]
 
     (state_shape, k, lag_idx, traj_dt,
-     sort_eigvals, opt_name, prebatch, unroll, fused) = static
+     sort_eigvals, opt_name, prebatch, unroll, fused, gram) = static
     from .task import TrainingTask
 
     # lr rides in the optimizer state (inject_hyperparams), and the loss
@@ -111,6 +165,26 @@ def _multi_epoch_fn(length: int, static: tuple):
             if lag_idx > 0:
                 Xf, Xlf, w, w_l = batch
                 X_l = Xlf.reshape((-1,) + state_shape)
+            elif gram:
+                # Gram path: the batch carries (H, M, w) — features and
+                # the precomputed pp-jacobian Gram matrix (see
+                # _prepare_data); diag_coeff is folded into M
+                H, M, w = batch
+                alpha, eig_w, beta = hyper
+                loss, aux = eigen_loss(
+                    model, None, H, w, None, None,
+                    k=k, alpha=alpha, eig_w=eig_w, beta=beta,
+                    diag_coeff=None, lag_idx=0, traj_dt=traj_dt,
+                    sort_eigvals=sort_eigvals, pp_gram=M,
+                )
+                metrics = jnp.concatenate(
+                    [
+                        jnp.stack([loss, aux.non_penalty_loss, aux.penalty]),
+                        aux.eig_vals,
+                        aux.cvec.astype(loss.dtype),
+                    ]
+                )
+                return loss, metrics
             else:
                 Xf, w = batch
                 X_l = w_l = None
@@ -225,6 +299,10 @@ class EigenFunctionTask(TrainingTask):
     # so the stacked+scanned layout is used instead
     PREBATCH_UNROLL_LIMIT = 32
 
+    # the gram generator path stores one [B, d_r, d_r] Gram tensor per
+    # batch; above this total it falls back to the vjp path
+    GRAM_AUTO_LIMIT_BYTES = 4 << 30
+
     def __init__(
         self,
         traj_obj,
@@ -253,6 +331,7 @@ class EigenFunctionTask(TrainingTask):
         precompute_features: bool = False,
         prebatch: bool | None = None,
         fused_step: bool = False,
+        gram_pp: bool | None = None,
         **kwargs,
     ):
         assert isinstance(model, EigenFunctions), (
@@ -386,6 +465,28 @@ class EigenFunctionTask(TrainingTask):
             self._beta = float(beta)
             self._diag_coeff = None
 
+        # Gram-path generator loss (losses.eigen_loss pp_gram): the
+        # preprocessing input-jacobian is loop-invariant across the epoch
+        # scan, so its Gram matrix M = J_pp diag(c) J_pp^T is precomputed
+        # per batch and the per-step Dirichlet term becomes a quadratic
+        # form in the model-only jacobian — 1.53x faster per step at
+        # dipeptide scale (benchmarks/gram_ab.py). Default: on for
+        # generator tasks with a non-identity preprocessing layer under
+        # the prebatched-unrolled layout (resolved in _prepare_data).
+        from ..ops.features import Identity
+
+        if gram_pp is None:
+            self._gram_requested = (
+                self.lag_idx == 0
+                and not isinstance(self._pp_for_loss, Identity)
+            )
+        else:
+            self._gram_requested = bool(gram_pp)
+            assert not (self._gram_requested and self.lag_idx > 0), (
+                "gram_pp applies to the generator loss only (lag_tau == 0)"
+            )
+        self._gram = False  # resolved with the data layout in _prepare_data
+
 
     @property
     def _traj_flat(self):
@@ -452,6 +553,7 @@ class EigenFunctionTask(TrainingTask):
             self._prebatch,
             self._unroll,
             self.fused_step,
+            self._gram,
         )
 
     def _hyper(self):
@@ -504,6 +606,32 @@ class EigenFunctionTask(TrainingTask):
                 len(train_b) + len(test_b) <= self.PREBATCH_UNROLL_LIMIT
             )
 
+            # resolve the Gram generator path: requested, generator loss,
+            # unrolled layout, and the per-batch M tensors fit in HBM
+            self._gram = (
+                self._gram_requested and self.lag_idx == 0 and self._unroll
+            )
+            if self._gram:
+                state_shape = tuple(self._traj_np.shape[1:])
+                d_r = int(np.prod(jax.eval_shape(
+                    self._pp_for_loss,
+                    jax.ShapeDtypeStruct(
+                        (1,) + state_shape, self._traj_np.dtype
+                    ),
+                ).shape[1:]))
+                n_rows = sum(len(np.asarray(b).reshape(-1))
+                             for b in list(train_b) + list(test_b))
+                m_bytes = n_rows * d_r * d_r * self._traj_np.itemsize
+                if m_bytes > self.GRAM_AUTO_LIMIT_BYTES:
+                    self._gram = False
+                    if self.verbose:
+                        print(
+                            f"gram_pp: per-batch Gram tensors would need "
+                            f"{m_bytes / 2**30:.1f} GiB; falling back to "
+                            "the vjp generator path",
+                            flush=True,
+                        )
+
             def pack_one(rows):
                 shape = tuple(np.shape(rows))
                 bd = jnp.asarray(np.asarray(rows).reshape(-1))
@@ -528,12 +656,28 @@ class EigenFunctionTask(TrainingTask):
                     place = lambda t: shard_frames(t, self.mesh)  # noqa: E731
                 else:
                     place = self._place_batched
-                train_data = place(tuple(pack_one(row) for row in train_b))
-                test_data = place(tuple(pack_one(row) for row in test_b))
+                if self._gram:
+                    gf = _gram_fn(
+                        tuple(self._traj_np.shape[1:]), self.tot_dim
+                    )
+
+                    def pack_gram(rows):
+                        bd = jnp.asarray(np.asarray(rows).reshape(-1))
+                        H, M = gf(
+                            self._pp_for_loss, self._diag_coeff, flat_d[bd]
+                        )
+                        return (H, M, w_d[bd])
+
+                    pack = pack_gram
+                else:
+                    pack = pack_one
+                train_data = place(tuple(pack(row) for row in train_b))
+                test_data = place(tuple(pack(row) for row in test_b))
             else:
                 train_data = self._place_batched(pack_one(train_b))
                 test_data = self._place_batched(pack_one(test_b))
         else:
+            self._gram = False  # gather layout backprops through pp
             if self.shard_trajectory and self.mesh is not None:
                 # long-trajectory scaling (SURVEY.md §5): the frame axis
                 # is sharded across the mesh so trajectories larger than

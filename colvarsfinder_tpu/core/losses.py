@@ -39,6 +39,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..config import matmul_precision
+
 __all__ = [
     "weighted_mse_loss",
     "weighted_mse_lagged_loss",
@@ -152,6 +154,7 @@ def eigen_loss(
     traj_dt: float,
     sort_eigvals: bool,
     fuse_lagged: bool = False,
+    pp_gram: jnp.ndarray | None = None,
 ):
     r"""Eigenfunction loss (reference: colvarsfinder/core.py:387-457).
 
@@ -168,9 +171,26 @@ def eigen_loss(
     savings; benchmarks/perf_sweep.py), so it is off by default; it wins
     only in combination with bf16 fast mode.
 
+    ``pp_gram`` (generator only): precomputed per-sample Gram matrix
+    :math:`M_b = J_{pp}(x_b)\,\mathrm{diag}(c)\,J_{pp}(x_b)^T` of the
+    preprocessing jacobian, shape [B, d_r, d_r]. When given, ``X`` must
+    be the PRECOMPUTED feature batch :math:`H = r(x)` and
+    ``pp_layer``/``diag_coeff`` are ignored: the Dirichlet integrand
+    :math:`\sum_d c_d (\partial_d f_i)^2` becomes the quadratic form
+    :math:`G_i M G_i^T` in the model-only input jacobian
+    :math:`G = \partial f/\partial h` — exactly the same math with the
+    heavy (loop-invariant) preprocessing backward hoisted out of the
+    training step. Measured 1.53x faster per generator step on TPU v5e
+    at dipeptide scale, loss parity 1.4e-5 (benchmarks/gram_ab.py,
+    same-process interleaved best-of-3; RESULTS.md round 3).
+
     Returns ``(loss, EigenAux)``.
     """
-    if lag_idx > 0 and fuse_lagged and X_lagged is not None:
+    if pp_gram is not None:
+        assert lag_idx == 0, "pp_gram applies to the generator loss only"
+        y = model(X)  # X is the precomputed feature batch H
+        y_lagged_fused = None
+    elif lag_idx > 0 and fuse_lagged and X_lagged is not None:
         both = model(pp_layer(jnp.concatenate([X, X_lagged], axis=0)))
         y, y_lagged_fused = both[: X.shape[0]], both[X.shape[0]:]
     else:
@@ -180,10 +200,18 @@ def eigen_loss(
     means, variances = _weighted_moments(y, weight, tot_weight)
 
     if lag_idx == 0:
-        # --- generator: per-sample input gradients, k batched vjps ---
-        grad_sq = _per_sample_input_grad_sq(
-            lambda Xb: model(pp_layer(Xb)), X, k, diag_coeff
-        )  # [B, k]
+        if pp_gram is not None:
+            # Gram path: model-only input jacobian x precomputed pp Gram
+            G = jax.jacrev(lambda h: model(h).sum(axis=0))(X)  # [k, B, d_r]
+            grad_sq = jnp.einsum(
+                "kbi,bij,kbj->bk", G, pp_gram, G,
+                precision=matmul_precision(),
+            )  # [B, k]
+        else:
+            # per-sample input gradients, k batched vjps through pp
+            grad_sq = _per_sample_input_grad_sq(
+                lambda Xb: model(pp_layer(Xb)), X, k, diag_coeff
+            )  # [B, k]
         dirichlet = (grad_sq * weight[:, None]).sum(axis=0)  # [k]
         quotients = dirichlet / (tot_weight * beta) / variances  # [k], traced
         eig_vals = jax.lax.stop_gradient(quotients)
@@ -283,23 +311,41 @@ def reg_eigen_loss(
     diag_coeff: jnp.ndarray | None,
     lag_idx: int,
     traj_dt: float,
+    pp_gram: jnp.ndarray | None = None,
 ):
     r"""Eigenfunction regularization acting on ``forward_reg`` (reg heads
     composed with the encoder) (reference: colvarsfinder/core.py:975-1034).
 
     Always sorts by eigenvalue (the reference has no flag here,
     core.py:1015). Returns ``(eig_vals, non_penalty, penalty, cvec)``.
+
+    ``pp_gram`` (generator only): same contract as in :func:`eigen_loss`
+    — ``X`` is the precomputed feature batch and the Dirichlet integrand
+    is the quadratic form in the model-only jacobian against the
+    precomputed preprocessing-jacobian Gram matrix [B, d_r, d_r]
+    (``pp_layer``/``diag_coeff`` ignored).
     """
 
-    def fwd(x_raw):
-        return model.forward_reg(pp_layer(x_raw))
+    if pp_gram is not None:
+        assert lag_idx == 0, "pp_gram applies to the generator loss only"
+        fwd = model.forward_reg  # X is the precomputed feature batch
+    else:
+        def fwd(x_raw):
+            return model.forward_reg(pp_layer(x_raw))
 
     y = fwd(X)  # [B, K]
     tot_weight = weight.sum()
     means, variances = _weighted_moments(y, weight, tot_weight)
 
     if lag_idx == 0:
-        grad_sq = _per_sample_input_grad_sq(fwd, X, num_reg, diag_coeff)
+        if pp_gram is not None:
+            G = jax.jacrev(lambda h: fwd(h).sum(axis=0))(X)  # [K, B, d_r]
+            grad_sq = jnp.einsum(
+                "kbi,bij,kbj->bk", G, pp_gram, G,
+                precision=matmul_precision(),
+            )  # [B, K]
+        else:
+            grad_sq = _per_sample_input_grad_sq(fwd, X, num_reg, diag_coeff)
         dirichlet = (grad_sq * weight[:, None]).sum(axis=0)
         quotients = dirichlet / (tot_weight * beta) / variances
         eig_vals = jax.lax.stop_gradient(quotients)

@@ -65,14 +65,21 @@ def _regae_gather(loss_static, traj, weights, idx):
     return (X, X_ae_lagged, X_l, w, w_l)
 
 
-def _regae_batch_loss(loss_static, model, pp, diag_coeff, hyper, batch):
+def _regae_batch_loss(loss_static, model, pp, diag_coeff, hyper, batch,
+                      pp_gram=None):
     """All gated loss terms for one pre-gathered batch
     (reference core.py:1069-1135). ``loss_static`` is the hashable config
     prefix (state_shape, k, num_reg, ae_on, eig_on, eta_on, lag_ae_idx,
     lag_idx, traj_dt); gating is Python-level (static on/off booleans) so
     disabled terms compile out of the step, while the term WEIGHTS arrive
     in the traced ``hyper`` tuple (alpha, gamma, eta, eig_w, beta) — a
-    sweep over loss constants shares one compiled program."""
+    sweep over loss constants shares one compiled program.
+
+    ``pp_gram`` (gram mode, see :class:`RegAutoEncoderTask`): the batch
+    carries precomputed FEATURES and ``pp`` is the identity; the
+    generator eigen regularizer takes the quadratic form against the
+    precomputed preprocessing-jacobian Gram matrix instead of
+    backpropagating through the preprocessing layer."""
     (state_shape, k, num_reg, ae_on, eig_on, eta_on,
      lag_ae_idx, lag_idx, traj_dt) = loss_static
     alpha, gamma, eta, eig_w, beta = hyper
@@ -106,6 +113,7 @@ def _regae_batch_loss(loss_static, model, pp, diag_coeff, hyper, batch):
             diag_coeff=diag_coeff,
             lag_idx=lag_idx,
             traj_dt=traj_dt,
+            pp_gram=pp_gram,
         )
     else:
         g0 = jnp.zeros(())
@@ -154,7 +162,7 @@ def _multi_epoch_fn(length: int, static: tuple):
     if cached is not None:
         return cached[0]
     loss_static = static[:9]
-    freeze, opt_name, prebatch, unroll = static[9:]
+    freeze, opt_name, prebatch, unroll, gram = static[9:]
     state_shape = loss_static[0]
     # lr rides in the optimizer state (inject_hyperparams) and the loss
     # constants in the traced ``hyper`` tuple — hyperparameter sweeps
@@ -167,21 +175,37 @@ def _multi_epoch_fn(length: int, static: tuple):
         # separate per-batch tuples up to the unroll limit, and scans a
         # stacked [nb, B, ...] layout above it (see core/eigenfunction.py
         # for the measured rationale of both layouts)
-        def batch_loss(model, pp, diag_coeff, hyper, batch):
-            Xf, Xaef, Xlf, w, w_l = batch
-            X = Xf.reshape((-1,) + state_shape)
-            X_ae = (
-                None if Xaef is None
-                else Xaef.reshape((-1,) + state_shape)
-            )
-            X_l = (
-                None if Xlf is None
-                else Xlf.reshape((-1,) + state_shape)
-            )
-            return _regae_batch_loss(
-                loss_static, model, pp, diag_coeff, hyper,
-                (X, X_ae, X_l, w, w_l),
-            )
+        if gram:
+            from ..ops.features import Identity
+
+            _ident = Identity()
+
+            def batch_loss(model, pp, diag_coeff, hyper, batch):
+                # gram mode: the batch carries FEATURES (flat [B, d_r])
+                # plus the precomputed pp-jacobian Gram matrix M; pp and
+                # diag_coeff args are ignored (pp backward hoisted to
+                # data prep — see _prepare_data)
+                H, Hae, M, w = batch
+                return _regae_batch_loss(
+                    loss_static, model, _ident, None, hyper,
+                    (H, Hae, None, w, None), pp_gram=M,
+                )
+        else:
+            def batch_loss(model, pp, diag_coeff, hyper, batch):
+                Xf, Xaef, Xlf, w, w_l = batch
+                X = Xf.reshape((-1,) + state_shape)
+                X_ae = (
+                    None if Xaef is None
+                    else Xaef.reshape((-1,) + state_shape)
+                )
+                X_l = (
+                    None if Xlf is None
+                    else Xlf.reshape((-1,) + state_shape)
+                )
+                return _regae_batch_loss(
+                    loss_static, model, pp, diag_coeff, hyper,
+                    (X, X_ae, X_l, w, w_l),
+                )
 
         if unroll:
             def epoch_body(model, opt_state, pp, diag_coeff, hyper,
@@ -293,9 +317,10 @@ class RegAutoEncoderTask(TrainingTask):
             'encoder_orthogonality']
     """
 
-    # see core/eigenfunction.py for both limits' rationale
+    # see core/eigenfunction.py for all three limits' rationale
     PREBATCH_AUTO_LIMIT_BYTES = 4 << 30
     PREBATCH_UNROLL_LIMIT = 32
+    GRAM_AUTO_LIMIT_BYTES = 4 << 30
 
     def __init__(
         self,
@@ -325,6 +350,7 @@ class RegAutoEncoderTask(TrainingTask):
         debug_mode: bool = True,
         precompute_features: bool = False,
         prebatch: bool | None = None,
+        gram_pp: bool | None = None,
         **kwargs,
     ):
         assert isinstance(model, RegAutoEncoder), (
@@ -408,6 +434,31 @@ class RegAutoEncoderTask(TrainingTask):
                 self._diag_coeff = None
         else:
             self._diag_coeff = None
+
+        # Gram-path generator regularizer (losses.reg_eigen_loss pp_gram;
+        # same design as EigenFunctionTask.gram_pp): the frozen
+        # preprocessing layer's input-jacobian Gram matrix is precomputed
+        # per batch, every term then runs on precomputed features and the
+        # per-step Dirichlet term never backprops through the
+        # preprocessing layer. Default: on when the generator-type eigen
+        # regularizer is active with a non-identity preprocessing layer
+        # (resolved with the data layout in _prepare_data).
+        from ..ops.features import Identity
+
+        _gen_reg_on = (
+            self.gamma[0] + self.gamma[1] > self._eps and self.lag_idx == 0
+        )
+        if gram_pp is None:
+            self._gram_requested = _gen_reg_on and not isinstance(
+                self._pp_for_loss, Identity
+            )
+        else:
+            self._gram_requested = bool(gram_pp)
+            assert not (self._gram_requested and not _gen_reg_on), (
+                "gram_pp applies to the generator-type eigen regularizer "
+                "only (gamma > 0 with lag_tau_reg == 0)"
+            )
+        self._gram = False  # resolved with the data layout in _prepare_data
 
         # batch-data layout (docs/api.md option matrix): pre-gathered
         # per-batch tuples with the epoch body unrolled (the fast layout,
@@ -537,6 +588,7 @@ class RegAutoEncoderTask(TrainingTask):
             self.optimizer_name.lower(),
             self._prebatch,
             self._unroll,
+            self._gram,
         )
 
     def _hyper(self):
@@ -598,6 +650,30 @@ class RegAutoEncoderTask(TrainingTask):
                 self.gamma[0] + self.gamma[1] > _EPS and self.lag_idx > 0
             )
 
+            # resolve the Gram generator-regularizer path (see __init__):
+            # unrolled layout only, and the per-batch M tensors must fit
+            self._gram = self._gram_requested and self._unroll
+            if self._gram:
+                state_shape = tuple(self._traj_np.shape[1:])
+                d_r = int(np.prod(jax.eval_shape(
+                    self._pp_for_loss,
+                    jax.ShapeDtypeStruct(
+                        (1,) + state_shape, self._traj_np.dtype
+                    ),
+                ).shape[1:]))
+                n_rows = sum(len(np.asarray(b).reshape(-1))
+                             for b in list(train_b) + list(test_b))
+                m_bytes = n_rows * d_r * d_r * self._traj_np.itemsize
+                if m_bytes > self.GRAM_AUTO_LIMIT_BYTES:
+                    self._gram = False
+                    if self.verbose:
+                        print(
+                            f"gram_pp: per-batch Gram tensors would need "
+                            f"{m_bytes / 2**30:.1f} GiB; falling back to "
+                            "the vjp regularizer path",
+                            flush=True,
+                        )
+
             def pack_flat(rows):
                 shape = tuple(np.shape(rows))
                 bd = jnp.asarray(np.asarray(rows).reshape(-1))
@@ -624,9 +700,31 @@ class RegAutoEncoderTask(TrainingTask):
                     place = lambda t: shard_frames(t, self.mesh)  # noqa: E731
                 else:
                     place = self._place_batched
+                if self._gram:
+                    from .eigenfunction import _feat_fn, _gram_fn
+
+                    state_shape = tuple(self._traj_np.shape[1:])
+                    gf = _gram_fn(state_shape, self.tot_dim)
+                    ff = _feat_fn(state_shape)
+
+                    def pack_gram(rows):
+                        bd = jnp.asarray(np.asarray(rows).reshape(-1))
+                        H, M = gf(
+                            self._pp_for_loss, self._diag_coeff, flat_d[bd]
+                        )
+                        Hae = (
+                            ff(self._pp_for_loss,
+                               flat_d[bd + self.lag_ae_idx])
+                            if alpha_ae_on else None
+                        )
+                        return (H, Hae, M, w_d[bd])
+
+                    pack = pack_gram
+                else:
+                    pack = pack_flat
                 data_args = (
-                    place(tuple(pack_flat(row) for row in train_b)),
-                    place(tuple(pack_flat(row) for row in test_b)),
+                    place(tuple(pack(row) for row in train_b)),
+                    place(tuple(pack(row) for row in test_b)),
                 )
             else:
                 data_args = (

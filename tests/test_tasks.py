@@ -166,6 +166,94 @@ def test_eigenfunction_task_transfer(traj, tmp_path):
     assert np.isfinite(task.test_loss_df.to_numpy()).all()
 
 
+def test_generator_gram_path_matches_vjp(tmp_path):
+    """The gram generator path (precomputed pp-jacobian Gram, losses
+    pp_gram) must reproduce the vjp path's training trajectory — same
+    math, preprocessing backward hoisted to data prep."""
+    from colvarsfinder_tpu.ops import (
+        AlignmentLayer, Feature, FeatureLayer, PreprocessingANN,
+    )
+
+    rng = np.random.default_rng(0)
+    ref = rng.standard_normal((4, 3)).astype(np.float32)
+    traj_arr = (
+        ref[None] + 0.2 * rng.standard_normal((600, 4, 3))
+    ).astype(np.float32)
+
+    class T:
+        trajectory = traj_arr
+        weights = np.ones(600, dtype=np.float32)
+        dt = 0.1
+        n_frames = 600
+
+    pp = PreprocessingANN(
+        AlignmentLayer(ref, align_indices=[0, 1, 2, 3]),
+        FeatureLayer([Feature("p", "position", [0, 1, 2, 3])]),
+    )
+    results = {}
+    for gram in (True, False):
+        model = EigenFunctions([12, 10, 1], k=2, seed=0)
+        kw = _mk_task_kwargs(tmp_path, f"gram{gram}")
+        kw.update(batch_size=200, num_epochs=3)
+        task = EigenFunctionTask(
+            T(), pp, model, alpha=2.0, eig_weights=[1.0, 0.6],
+            lag_tau=0.0, k=2, gram_pp=gram, **kw,
+        )
+        task.train()
+        assert task._gram == gram
+        results[gram] = task.train_loss_df.to_numpy()
+    np.testing.assert_allclose(
+        results[True], results[False], rtol=5e-4, atol=1e-4
+    )
+
+
+def test_regae_gram_path_matches_vjp(tmp_path):
+    """The RegAE gram regularizer path (losses.reg_eigen_loss pp_gram)
+    must reproduce the vjp path's training trajectory — same math with
+    the preprocessing backward hoisted to data prep. Exercises the
+    generator-type eigen regularizer together with the (lagged) AE and
+    encoder-constraint terms, all running on precomputed features."""
+    from colvarsfinder_tpu.ops import (
+        AlignmentLayer, Feature, FeatureLayer, PreprocessingANN,
+    )
+
+    rng = np.random.default_rng(1)
+    ref = rng.standard_normal((4, 3)).astype(np.float32)
+    traj_arr = (
+        ref[None] + 0.2 * rng.standard_normal((600, 4, 3))
+    ).astype(np.float32)
+
+    class T:
+        trajectory = traj_arr
+        weights = np.ones(600, dtype=np.float32)
+        dt = 0.1
+        n_frames = 600
+
+    pp = PreprocessingANN(
+        AlignmentLayer(ref, align_indices=[0, 1, 2, 3]),
+        FeatureLayer([Feature("p", "position", [0, 1, 2, 3])]),
+    )
+    results = {}
+    for gram in (True, False):
+        model = RegAutoEncoder([12, 10, 2], [2, 10, 12], [2, 8, 1], K=2,
+                               seed=0)
+        kw = _mk_task_kwargs(tmp_path, f"regae_gram{gram}")
+        kw.update(batch_size=200, num_epochs=3)
+        task = RegAutoEncoderTask(
+            T(), pp, model,
+            eig_weights=[1.0, 0.5],
+            alpha=1.0, gamma=[0.5, 2.0], eta=[0.1, 0.1, 0.2],
+            lag_tau_ae=0.2, lag_tau_reg=0.0,
+            gram_pp=gram, **kw,
+        )
+        task.train()
+        assert task._gram == gram
+        results[gram] = task.train_loss_df.to_numpy()
+    np.testing.assert_allclose(
+        results[True], results[False], rtol=5e-4, atol=1e-4
+    )
+
+
 def test_eigenfunction_lag_divisibility(traj, tmp_path):
     model = EigenFunctions([2, 8, 1], k=1, seed=0)
     with pytest.raises(AssertionError, match="not divisable"):
