@@ -16,6 +16,7 @@ one-time Gram precompute timed separately.
 Usage: python benchmarks/gram_ab.py
 """
 
+import os
 import sys
 import time
 from functools import partial
@@ -28,7 +29,10 @@ import bench  # noqa: E402
 
 log = lambda *a: print(*a, file=sys.stderr, flush=True)
 
-STEPS = 100
+# 100-step windows carry ~0.35 ms/step of tunnel round-trip; set
+# GRAM_AB_STEPS=600 for figures of record (see RESULTS.md round-3
+# measurement correction)
+STEPS = int(os.environ.get("GRAM_AB_STEPS", "100"))
 
 
 def main():
@@ -226,6 +230,66 @@ def main():
         '{"metric": "regae gram-path A/B (ms/step, best-of-3)", '
         f'"vjp": {rout["vjp"]:.3f}, "gram": {rout["gram"]:.3f}, '
         f'"speedup": {rout["vjp"] / rout["gram"]:.3f}}}'
+    )
+
+    # ----- transfer-op: precompute_features (pp hoisted, forward only) ---
+    # same theme for the lagged loss: pp is frozen and carries no input-
+    # gradient term here, so hoisting it is just feature precompute
+    # (EigenFunctionTask precompute_features=True)
+    X_l = jnp.asarray(traj_np[bench.LAG:B + bench.LAG])
+    w_l = jnp.asarray(weights_np[bench.LAG:B + bench.LAG])
+    H_l = ff2 = None
+    from colvarsfinder_tpu.core.eigenfunction import _feat_fn
+
+    ff2 = _feat_fn((bench.N_ATOMS, 3))
+    H_l = ff2(pp, X_l.reshape(B, -1))
+    jax.block_until_ready(H_l)
+
+    def tloss_pp(m):
+        loss, _ = eigen_loss(
+            m, pp, X, w, X_l, w_l,
+            k=bench.K, alpha=bench.ALPHA, eig_w=bench.EIG_W, beta=1.0,
+            diag_coeff=None, lag_idx=bench.LAG, traj_dt=bench.TRAJ_DT,
+            sort_eigvals=True,
+        )
+        return loss
+
+    def tloss_feat(m):
+        loss, _ = eigen_loss(
+            m, ident, H, w, H_l, w_l,
+            k=bench.K, alpha=bench.ALPHA, eig_w=bench.EIG_W, beta=1.0,
+            diag_coeff=None, lag_idx=bench.LAG, traj_dt=bench.TRAJ_DT,
+            sort_eigvals=True,
+        )
+        return loss
+
+    truns = {"pp_in_step": make_run(tloss_pp),
+             "precomputed": make_run(tloss_feat)}
+    tresults = {k: [] for k in truns}
+    tlosses = {}
+    for order in (list(truns), list(truns)[::-1], list(truns)):
+        for key in order:
+            ms, l0, ln = measure(truns[key])
+            tresults[key].append(ms)
+            tlosses[key] = (l0, ln)
+
+    tout = {}
+    for key, times in tresults.items():
+        best = min(times)
+        tout[key] = best
+        log(f"transfer {key:11s}: best {best:7.3f} ms/step "
+            f"(runs: {', '.join(f'{t:.3f}' for t in times)}; "
+            f"loss step0 {tlosses[key][0]:.6f} stepN {tlosses[key][1]:.6f})")
+    trel = abs(tlosses["precomputed"][0] - tlosses["pp_in_step"][0]) / abs(
+        tlosses["pp_in_step"][0]
+    )
+    log(f"transfer step-0 loss parity: rel diff {trel:.2e}")
+    print(
+        '{"metric": "transfer-op precompute_features A/B (ms/step, '
+        'best-of-3)", '
+        f'"pp_in_step": {tout["pp_in_step"]:.3f}, '
+        f'"precomputed": {tout["precomputed"]:.3f}, '
+        f'"speedup": {tout["pp_in_step"] / tout["precomputed"]:.3f}}}'
     )
 
 

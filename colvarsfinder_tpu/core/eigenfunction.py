@@ -469,7 +469,7 @@ class EigenFunctionTask(TrainingTask):
         # preprocessing input-jacobian is loop-invariant across the epoch
         # scan, so its Gram matrix M = J_pp diag(c) J_pp^T is precomputed
         # per batch and the per-step Dirichlet term becomes a quadratic
-        # form in the model-only jacobian — 1.53x faster per step at
+        # form in the model-only jacobian — 1.61x faster per step at
         # dipeptide scale (benchmarks/gram_ab.py). Default: on for
         # generator tasks with a non-identity preprocessing layer under
         # the prebatched-unrolled layout (resolved in _prepare_data).

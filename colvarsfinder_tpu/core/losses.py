@@ -180,8 +180,8 @@ def eigen_loss(
     :math:`G_i M G_i^T` in the model-only input jacobian
     :math:`G = \partial f/\partial h` — exactly the same math with the
     heavy (loop-invariant) preprocessing backward hoisted out of the
-    training step. Measured 1.53x faster per generator step on TPU v5e
-    at dipeptide scale, loss parity 1.4e-5 (benchmarks/gram_ab.py,
+    training step. Measured 1.61x faster per generator step on TPU v5e
+    at dipeptide scale, loss parity ~5e-6 (benchmarks/gram_ab.py,
     same-process interleaved best-of-3; RESULTS.md round 3).
 
     Returns ``(loss, EigenAux)``.

@@ -225,6 +225,52 @@ def test_sweep_matches_individual_training(tmp_path):
         assert results[r].cvec is not None
 
 
+def test_sweep_generator_gram_path(tmp_path):
+    """A sweep over a generator task with an alignment preprocessing
+    layer runs the gram data layout (features + Gram tensors shared
+    across replicas); per-replica results must match solo training."""
+    from colvarsfinder_tpu.ops import (
+        AlignmentLayer, Feature, FeatureLayer, PreprocessingANN,
+    )
+
+    rng = np.random.default_rng(3)
+    ref = rng.standard_normal((4, 3)).astype(np.float32)
+    traj = WeightedTrajectory(
+        trajectory=(
+            ref[None] + 0.2 * rng.standard_normal((400, 4, 3))
+        ).astype(np.float32),
+        weights=np.ones(400), dt=0.1, verbose=False,
+    )
+    pp = PreprocessingANN(
+        AlignmentLayer(ref, align_indices=[0, 1, 2, 3]),
+        FeatureLayer([Feature("p", "position", [0, 1, 2, 3])]),
+    )
+
+    def mk(name, lr, alpha):
+        return EigenFunctionTask(
+            traj, pp, EigenFunctions([12, 10, 1], k=2, seed=0),
+            str(tmp_path / name),
+            alpha=alpha, eig_weights=[1.0, 0.5], lag_tau=0.0, k=2,
+            learning_rate=lr, seed=0,
+            **{**COMMON, "batch_size": 100, "num_epochs": 2},
+        )
+
+    task = mk("swgram", 0.01, 10.0)
+    lrs, alphas = [0.005, 0.02], [5.0, 40.0]
+    results = train_hyperparameter_sweep(
+        task, {"learning_rate": lrs, "alpha": alphas}
+    )
+    assert task._gram  # the shared data layout is the gram layout
+    for r, (lr, alpha) in enumerate(zip(lrs, alphas)):
+        solo = mk(f"swgram_solo{r}", lr, alpha)
+        solo.train()
+        np.testing.assert_allclose(
+            results[r].train_loss_df.to_numpy(),
+            solo.train_loss_df.to_numpy(),
+            rtol=1e-4, atol=1e-6,
+        )
+
+
 def test_sweep_autoencoder_lr(tmp_path):
     traj = _traj(4)
     model = AutoEncoder([2, 12, 1], [1, 12, 2], seed=0)
