@@ -11,7 +11,12 @@ Workload: the headline dipeptide transfer-op config (bench.py) — 120k
 frames, d_r=30 features after Kabsch+position preprocessing, k=2 heads
 [30,20,20,20,1], batch 20k, 12 epochs (60 steps) per replica.
 
-Usage: python benchmarks/sweep_bench.py [R]
+Usage: python benchmarks/sweep_bench.py [R] [--gen]
+
+``--gen`` sweeps the GENERATOR loss instead of the transfer-op loss —
+the per-replica step then runs the Gram path (losses pp_gram; the
+frozen-preprocessing backward hoisted to the shared data prep), which is
+what makes generator-loss hyperparameter sweeps practical.
 """
 
 import sys
@@ -23,7 +28,9 @@ sys.path.insert(0, ".")  # repo root (bench.py)
 
 import bench  # noqa: E402  (dipeptide-scale data + constants)
 
-R = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+argv = [a for a in sys.argv[1:] if a != "--gen"]
+GEN = "--gen" in sys.argv[1:]
+R = int(argv[0]) if argv else 64
 EPOCHS = 12  # 60 steps/replica, matching bench.py's measure window
 
 log = lambda *a: print(*a, file=sys.stderr, flush=True)
@@ -37,7 +44,8 @@ def build_task(traj_obj, pp, model, lr=bench.LR, alpha=bench.ALPHA,
 
     return EigenFunctionTask(
         traj_obj, pp, model, tempfile.mkdtemp(prefix=f"cvf_{tag}_"),
-        alpha=alpha, eig_weights=bench.EIG_W, lag_tau=bench.LAG * bench.TRAJ_DT,
+        alpha=alpha, eig_weights=bench.EIG_W,
+        lag_tau=0.0 if GEN else bench.LAG * bench.TRAJ_DT,
         k=bench.K, learning_rate=lr, batch_size=bench.BATCH,
         num_epochs=EPOCHS, test_ratio=0.001, save_model_every_step=0,
         verbose=False, tensorboard=False, debug_mode=False, seed=0,
@@ -79,7 +87,11 @@ def main():
     }
 
     task = build_task(Traj(), pp, models[0])
-    nb = (int((bench.N_FRAMES - bench.LAG) * 0.999)) // bench.BATCH
+    ll = bench.N_FRAMES - (0 if GEN else bench.LAG)
+    nb = (int(ll * 0.999)) // bench.BATCH
+    if GEN:
+        task._prepare_data()
+        log(f"generator sweep: gram path active = {task._gram}")
     samples_per_replica = EPOCHS * nb * bench.BATCH
     log(f"grid: R={R} ({side} lrs x {len(alphas)} alphas), "
         f"{EPOCHS} epochs x {nb} batches of {bench.BATCH} per replica")
@@ -135,8 +147,10 @@ def main():
 
     flops_per_sample = 34_760  # see bench.py
     tflops = sweep_sps * flops_per_sample / 1e12
+    kind = "generator (gram path)" if GEN else "transfer-op"
     print(
-        f'{{"metric": "{R}-replica lr x alpha sweep aggregate throughput", '
+        f'{{"metric": "{R}-replica {kind} lr x alpha sweep aggregate '
+        'throughput", '
         f'"value": {sweep_sps:.1f}, "unit": "samples/sec", '
         f'"speedup_vs_sequential": {sweep_sps / seq_sps:.2f}, '
         f'"sweep_s": {sweep_s:.3f}, "seq_s": {seq_s:.3f}, '

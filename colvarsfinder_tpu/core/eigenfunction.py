@@ -485,6 +485,7 @@ class EigenFunctionTask(TrainingTask):
             assert not (self._gram_requested and self.lag_idx > 0), (
                 "gram_pp applies to the generator loss only (lag_tau == 0)"
             )
+        self._gram_explicit = gram_pp is not None
         self._gram = False  # resolved with the data layout in _prepare_data
 
 
@@ -696,6 +697,15 @@ class EigenFunctionTask(TrainingTask):
                 )
             train_data = (traj, weights, self._place_batched(train_b))
             test_data = (traj, weights, self._place_batched(test_b))
+        if self._gram_requested and self._gram_explicit and not self._gram:
+            import warnings
+
+            warnings.warn(
+                "gram_pp=True could not be honored (it requires the "
+                "prebatched-unrolled layout and per-batch Gram tensors "
+                "within GRAM_AUTO_LIMIT_BYTES); training uses the vjp "
+                "generator path"
+            )
         self._prepared_data_cache = (train_data, test_data, train_b, test_b)
         return self._prepared_data_cache
 

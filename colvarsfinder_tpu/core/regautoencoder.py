@@ -458,6 +458,7 @@ class RegAutoEncoderTask(TrainingTask):
                 "gram_pp applies to the generator-type eigen regularizer "
                 "only (gamma > 0 with lag_tau_reg == 0)"
             )
+        self._gram_explicit = gram_pp is not None
         self._gram = False  # resolved with the data layout in _prepare_data
 
         # batch-data layout (docs/api.md option matrix): pre-gathered
@@ -750,6 +751,15 @@ class RegAutoEncoderTask(TrainingTask):
             data_args = (
                 traj, weights,
                 self._place_batched(train_b), self._place_batched(test_b),
+            )
+        if self._gram_requested and self._gram_explicit and not self._gram:
+            import warnings
+
+            warnings.warn(
+                "gram_pp=True could not be honored (it requires the "
+                "prebatched-unrolled layout and per-batch Gram tensors "
+                "within GRAM_AUTO_LIMIT_BYTES); training uses the vjp "
+                "regularizer path"
             )
         self._prepared_data_cache = (data_args, train_b, test_b)
         return self._prepared_data_cache

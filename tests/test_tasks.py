@@ -207,6 +207,41 @@ def test_generator_gram_path_matches_vjp(tmp_path):
     )
 
 
+def test_gram_explicit_override_warns(tmp_path):
+    """An explicit gram_pp=True that the data layout cannot honor
+    (gather layout, prebatch=False) must warn and fall back to the vjp
+    path instead of silently dropping the request."""
+    from colvarsfinder_tpu.ops import (
+        AlignmentLayer, Feature, FeatureLayer, PreprocessingANN,
+    )
+
+    rng = np.random.default_rng(2)
+    ref = rng.standard_normal((4, 3)).astype(np.float32)
+
+    class T:
+        trajectory = (
+            ref[None] + 0.2 * rng.standard_normal((300, 4, 3))
+        ).astype(np.float32)
+        weights = np.ones(300, dtype=np.float32)
+        dt = 0.1
+        n_frames = 300
+
+    pp = PreprocessingANN(
+        AlignmentLayer(ref, align_indices=[0, 1, 2, 3]),
+        FeatureLayer([Feature("p", "position", [0, 1, 2, 3])]),
+    )
+    task = EigenFunctionTask(
+        T(), pp, EigenFunctions([12, 8, 1], k=1, seed=0),
+        alpha=2.0, eig_weights=[1.0], lag_tau=0.0, k=1,
+        gram_pp=True, prebatch=False,
+        **{**_mk_task_kwargs(tmp_path, "gram_warn"),
+           "batch_size": 100, "num_epochs": 1},
+    )
+    with pytest.warns(UserWarning, match="gram_pp=True could not"):
+        task._prepare_data()
+    assert not task._gram
+
+
 def test_regae_gram_path_matches_vjp(tmp_path):
     """The RegAE gram regularizer path (losses.reg_eigen_loss pp_gram)
     must reproduce the vjp path's training trajectory — same math with
