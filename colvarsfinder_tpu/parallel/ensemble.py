@@ -284,7 +284,9 @@ _REGAE_HYPER_IX = {
 }
 
 
-def train_hyperparameter_sweep(task, grid: dict, models=None) -> list:
+def train_hyperparameter_sweep(
+    task, grid: dict, models=None, chunk_size: int | None = None
+) -> list:
     """Train R hyperparameter variants of one task as a single vmapped
     program, sharing the task's device-placed batch data across all
     replicas (``in_axes=None`` — no data duplication).
@@ -310,6 +312,15 @@ def train_hyperparameter_sweep(task, grid: dict, models=None) -> list:
         models: optional length-R list of model pytrees (same
             architecture) for per-replica initializations; default is R
             copies of ``task.model``.
+        chunk_size: optional cap on the vmapped replica axis. Grids wider
+            than this run as ceil(R/chunk_size) sequential vmapped
+            programs sharing the same compiled program and device data.
+            Use when R replicas' training temporaries exceed HBM — e.g.
+            generator-loss sweeps OOM at R=64 on one v5e (16 GB) while
+            the device rate saturates by R=16 anyway
+            (benchmarks/RESULTS.md, generator-loss sweeps). The last
+            chunk is padded by repeating its final entry (and the padding
+            dropped from the results) so it reuses the same program.
 
     Returns:
         list of R :class:`SweepResult`, in grid order. The task itself is
@@ -325,6 +336,22 @@ def train_hyperparameter_sweep(task, grid: dict, models=None) -> list:
     assert all(n == R for n in lengths.values()), (
         f"all grid value lists must have equal length, got {lengths}"
     )
+
+    if chunk_size is not None and R > int(chunk_size):
+        cs = int(chunk_size)
+        assert cs > 0, "chunk_size must be positive"
+        out = []
+        for lo in range(0, R, cs):
+            hi = min(lo + cs, R)
+            # pad the last chunk by repeating its final entry so every
+            # chunk has width cs and shares ONE compiled program
+            idx = list(range(lo, hi)) + [hi - 1] * (cs - (hi - lo))
+            sub = {k: [list(v)[i] for i in idx] for k, v in grid.items()}
+            subm = None if models is None else [models[i] for i in idx]
+            out.extend(
+                train_hyperparameter_sweep(task, sub, models=subm)[:hi - lo]
+            )
+        return out
 
     plan = _plan_for(task)
     has_hyper = not plan.metrics_2d  # AE takes no hyper tuple

@@ -225,6 +225,31 @@ def test_sweep_matches_individual_training(tmp_path):
         assert results[r].cvec is not None
 
 
+def test_sweep_chunked_matches_unchunked(tmp_path):
+    """chunk_size splits a wide grid into sequential vmapped programs
+    (incl. a padded last chunk); results must equal the one-shot sweep."""
+    traj = _traj(5)
+    model = EigenFunctions([2, 10, 1], k=2, seed=0)
+    task = EigenFunctionTask(
+        traj, None, model, str(tmp_path / "chunk"),
+        alpha=10.0, eig_weights=[1.0, 0.5], lag_tau=0.2, k=2,
+        learning_rate=0.01, seed=0, **COMMON,
+    )
+    grid = {
+        "learning_rate": [0.005, 0.01, 0.02, 0.04, 0.08],
+        "alpha": [5.0, 10.0, 20.0, 40.0, 80.0],
+    }
+    full = train_hyperparameter_sweep(task, grid)
+    chunked = train_hyperparameter_sweep(task, grid, chunk_size=2)
+    assert len(chunked) == len(full) == 5
+    for a, b in zip(full, chunked):
+        assert a.hyperparams == b.hyperparams
+        np.testing.assert_allclose(
+            b.train_loss_df.to_numpy(), a.train_loss_df.to_numpy(),
+            rtol=1e-5, atol=1e-7,
+        )
+
+
 def test_sweep_generator_gram_path(tmp_path):
     """A sweep over a generator task with an alignment preprocessing
     layer runs the gram data layout (features + Gram tensors shared
