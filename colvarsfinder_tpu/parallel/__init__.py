@@ -1,9 +1,14 @@
 """Parallelism: device meshes and sharding for data-parallel training."""
 
-from .ensemble import train_hyperparameter_sweep, train_replica_ensemble
+from .ensemble import (
+    adopt_sweep_result,
+    train_hyperparameter_sweep,
+    train_replica_ensemble,
+)
 from .mesh import make_data_mesh, replicate, shard_batches, shard_frames
 
 __all__ = [
+    "adopt_sweep_result",
     "make_data_mesh",
     "replicate",
     "shard_batches",

@@ -284,6 +284,37 @@ _REGAE_HYPER_IX = {
 }
 
 
+def adopt_sweep_result(task, result: SweepResult):
+    """Load a sweep winner back into ``task`` so its normal surface
+    (``colvar_model``/``save_model``/``export_colvar``/checkpointing, or
+    continued ``train()``) operates on the winning replica.
+
+    Sets the model, optimizer state, head ordering (``cvec``), and the
+    task's hyperparameter attributes to the replica's values. Returns the
+    task for chaining.
+    """
+    task.model = jax.tree.map(jnp.asarray, result.model)
+    task.opt_state = jax.tree.map(jnp.asarray, result.opt_state)
+    if result.cvec is not None:
+        task._cvec = np.asarray(result.cvec)
+    attr_of = {  # task attribute behind each sweepable hyperparameter
+        "learning_rate": "learning_rate", "eig_weights": "_eig_w",
+        "beta": "_beta",
+        "alpha": "_alpha" if not hasattr(task, "gamma") else "alpha",
+        "gamma": "gamma", "eta": "eta",
+    }
+    for name, value in result.hyperparams.items():
+        attr = attr_of.get(name)
+        if attr is not None and hasattr(task, attr):
+            old = getattr(task, attr)
+            if isinstance(old, list) and old:
+                value = [type(old[0])(v) for v in np.asarray(value).reshape(-1)]
+            elif isinstance(old, float):
+                value = float(value)
+            setattr(task, attr, value)
+    return task
+
+
 def train_hyperparameter_sweep(
     task, grid: dict, models=None, chunk_size: int | None = None
 ) -> list:

@@ -114,7 +114,10 @@ def main():
     # (in_axes=None). This is the chip-filling formulation — a 64-point
     # grid at full dipeptide scale costs ~2 s on one v5e chip
     # (benchmarks/sweep_bench.py)
-    from colvarsfinder_tpu.parallel import train_hyperparameter_sweep
+    from colvarsfinder_tpu.parallel import (
+        adopt_sweep_result,
+        train_hyperparameter_sweep,
+    )
 
     lrs = [1e-3, 3e-3, 1e-2]
     alphas = [5.0, 10.0, 20.0]
@@ -133,6 +136,9 @@ def main():
         f"{best.hyperparams} with final loss "
         f"{float(best.train_loss_df['loss'].iloc[-1]):.4f}"
     )
+    # load the winner back into the task; its normal surface (export,
+    # checkpointing, continued training) now operates on that replica
+    adopt_sweep_result(per_replica[0], best)
     # the slowest mode of the double well is the x-barrier crossing; the
     # leading eigenfunction should correlate with x
     cv = task.colvar_model()

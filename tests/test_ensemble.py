@@ -342,6 +342,13 @@ def test_sweep_regae_vector_hyperparams(tmp_path):
         solo.train_loss_df.to_numpy(),
         rtol=1e-4, atol=1e-6,
     )
+    # adopting a winner maps the vector hyperparameter onto the RegAE
+    # task's list-typed attribute (gamma) without disturbing the others
+    from colvarsfinder_tpu.parallel import adopt_sweep_result
+
+    adopt_sweep_result(task, results[1])
+    assert task.gamma == [1.0, 0.1]
+    assert task.eta == [0.1, 0.1, 0.1] and task.alpha == 1.0
 
 
 def test_sweep_rejects_gate_toggle(tmp_path):
@@ -361,3 +368,52 @@ def test_sweep_rejects_unknown_name(tmp_path):
     task = _make_tasks(tmp_path, "unk", n_replicas=1)[0]
     with pytest.raises(AssertionError, match="not sweepable"):
         train_hyperparameter_sweep(task, {"gamma": [(1, 1), (2, 2)]})
+
+
+def test_adopt_sweep_result(tmp_path):
+    """adopt_sweep_result loads a sweep winner back into the task: the
+    task's hyperparameter attributes, model, optimizer state, and head
+    ordering become the replica's, and the normal task surface
+    (colvar_model / continued train) operates on the winner."""
+    from colvarsfinder_tpu.parallel import adopt_sweep_result
+
+    traj = _traj(7)
+    model = EigenFunctions([2, 10, 1], k=2, seed=0)
+    task = EigenFunctionTask(
+        traj, None, model, str(tmp_path / "adopt"),
+        alpha=10.0, eig_weights=[1.0, 0.5], lag_tau=0.2, k=2,
+        learning_rate=0.01, seed=0, **COMMON,
+    )
+    lrs, alphas = [0.005, 0.02], [5.0, 40.0]
+    results = train_hyperparameter_sweep(
+        task, {"learning_rate": lrs, "alpha": alphas}
+    )
+    winner = results[1]
+    out = adopt_sweep_result(task, winner)
+    assert out is task
+    assert task.learning_rate == lrs[1]
+    assert task._alpha == alphas[1]
+    np.testing.assert_array_equal(task._cvec, winner.cvec)
+    # the adopted model parameters are the winner's
+    np.testing.assert_allclose(
+        np.asarray(task.model.params[0]["weight"]),
+        np.asarray(winner.model.params[0]["weight"]),
+    )
+    # colvar_model uses the adopted weights + cvec
+    cv = task.colvar_model()
+    x = np.asarray(traj.trajectory[:8], dtype=np.float32)
+    assert np.asarray(cv(x)).shape == (8, 2)
+    # continued training resumes from the adopted state without error,
+    # and matches a solo task trained with the winner's hyperparameters
+    task.train()
+    solo = EigenFunctionTask(
+        traj, None, model, str(tmp_path / "adopt_solo"),
+        alpha=alphas[1], eig_weights=[1.0, 0.5], lag_tau=0.2, k=2,
+        learning_rate=lrs[1], seed=0, **COMMON,
+    )
+    solo.train()
+    solo.train()
+    np.testing.assert_allclose(
+        task.train_loss_df.to_numpy(), solo.train_loss_df.to_numpy(),
+        rtol=1e-4, atol=1e-6,
+    )
