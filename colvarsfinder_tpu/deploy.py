@@ -49,6 +49,7 @@ __all__ = [
     "save_numpy_cv",
     "load_numpy_cv",
     "eval_spec",
+    "eval_spec_grad",
     "build_spec",
     "UnsupportedLayerError",
 ]
@@ -216,11 +217,414 @@ def eval_spec(spec: dict, params: dict, x: np.ndarray) -> np.ndarray:
     return out[0] if squeeze else out
 
 
-def load_numpy_cv(out_dir: str) -> Callable[[np.ndarray], np.ndarray]:
+# ---------------------------------------------------------------------------
+# numpy gradients (hand-written reverse mode; still no JAX anywhere below)
+#
+# The reference's deployment artifact is a TorchScript module whose consumers
+# (MD engines biasing along the CV) get forces dCV/dx from torch autograd for
+# free (reference: colvarsfinder/core.py:212-227). The numpy artifact must
+# provide the same, so every spec node kind carries an analytic VJP here.
+# Cotangents carry a leading axis of size K (one slot per CV component), so
+# the full Jacobian [B, K, *state] is a single backward sweep.
+# ---------------------------------------------------------------------------
+
+
+def _softplus_sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _gelu_grad(x):
+    c = np.sqrt(2.0 / np.pi)
+    a = 0.044715
+    u = c * (x + a * x**3)
+    t = np.tanh(u)
+    return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * c * (1.0 + 3.0 * a * x * x)
+
+
+# derivative of each activation given its pre-activation input z
+_NP_ACTIVATION_GRADS: dict[str, Callable[[np.ndarray], np.ndarray]] = {
+    "tanh": lambda z: 1.0 - np.tanh(z) ** 2,
+    "tanh_native": lambda z: 1.0 - np.tanh(z) ** 2,
+    "relu": lambda z: (z > 0).astype(z.dtype),
+    "elu": lambda z: np.where(z > 0, 1.0, np.exp(np.minimum(z, 0.0))),
+    "celu": lambda z: np.where(z > 0, 1.0, np.exp(np.minimum(z, 0.0))),
+    "gelu": _gelu_grad,
+    "sigmoid": lambda z: _softplus_sigmoid(z) * (1.0 - _softplus_sigmoid(z)),
+    "softplus": _softplus_sigmoid,
+    "identity": lambda z: np.ones_like(z),
+}
+
+
+def _quat_rotations(C: np.ndarray):
+    """Rotations + quaternion eigen-data from cross-covariances [B, 3, 3].
+
+    Same QCP convention as ops.alignment.quaternion_from_covariance (Horn's
+    4x4 key matrix; row-vector rotation y = x @ R), solved by ``eigh``
+    instead of Newton since the host-side batch is small. Returns
+    ``(R [B,3,3], q [B,4], evals [B,4], evecs [B,4,4], ok [B])`` — the
+    eigen-data feeds the implicit-differentiation backward.
+    """
+    B = C.shape[0]
+    norm = np.sqrt((C * C).sum(axis=(-2, -1)))
+    ok = norm > 1e-12
+    c = C[:, 0, 0], C[:, 0, 1], C[:, 0, 2]
+    sxx, sxy, sxz = c
+    syx, syy, syz = C[:, 1, 0], C[:, 1, 1], C[:, 1, 2]
+    szx, szy, szz = C[:, 2, 0], C[:, 2, 1], C[:, 2, 2]
+    K = np.empty((B, 4, 4), dtype=C.dtype)
+    K[:, 0, 0] = sxx + syy + szz
+    K[:, 0, 1] = K[:, 1, 0] = syz - szy
+    K[:, 0, 2] = K[:, 2, 0] = szx - sxz
+    K[:, 0, 3] = K[:, 3, 0] = sxy - syx
+    K[:, 1, 1] = sxx - syy - szz
+    K[:, 1, 2] = K[:, 2, 1] = sxy + syx
+    K[:, 1, 3] = K[:, 3, 1] = szx + sxz
+    K[:, 2, 2] = syy - sxx - szz
+    K[:, 2, 3] = K[:, 3, 2] = syz + szy
+    K[:, 3, 3] = szz - sxx - syy
+    evals, evecs = np.linalg.eigh(K)  # ascending
+    q = evecs[:, :, 3]  # top eigenvector = optimal quaternion
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R = np.empty((B, 3, 3), dtype=C.dtype)
+    R[:, 0, 0] = 1 - 2 * (y * y + z * z)
+    R[:, 0, 1] = 2 * (x * y + w * z)
+    R[:, 0, 2] = 2 * (x * z - w * y)
+    R[:, 1, 0] = 2 * (x * y - w * z)
+    R[:, 1, 1] = 1 - 2 * (x * x + z * z)
+    R[:, 1, 2] = 2 * (y * z + w * x)
+    R[:, 2, 0] = 2 * (x * z + w * y)
+    R[:, 2, 1] = 2 * (y * z - w * x)
+    R[:, 2, 2] = 1 - 2 * (x * x + y * y)
+    R[~ok] = np.eye(3, dtype=C.dtype)
+    return R, q, evals, evecs, ok
+
+
+def _quat_rotation_vjp(g_R, q, evals, evecs, ok):
+    """Cotangent on C from cotangent on R = R(q(C)) — [.., B, 3, 3].
+
+    Chains (a) the quadratic map q -> R, (b) the top eigenpair of the 4x4
+    key matrix via the implicit derivative dq = (lam I - K)^+ dK q (exact
+    for the simple symmetric eigenproblem), and (c) the linear map C -> K.
+    Degenerate frames (``~ok``: all-coincident atoms, R pinned to I in the
+    forward) contribute zero gradient through R, matching the forward's
+    constant fallback.
+    """
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    zero = np.zeros_like(w)
+    # d(R entries, row-major)/d(q components): [B, 9, 4]
+    J = np.stack([
+        np.stack([zero, zero, -4 * y, -4 * z], axis=-1),
+        np.stack([2 * z, 2 * y, 2 * x, 2 * w], axis=-1),
+        np.stack([-2 * y, 2 * z, -2 * w, 2 * x], axis=-1),
+        np.stack([-2 * z, 2 * y, 2 * x, -2 * w], axis=-1),
+        np.stack([zero, -4 * x, zero, -4 * z], axis=-1),
+        np.stack([2 * x, 2 * w, 2 * z, 2 * y], axis=-1),
+        np.stack([2 * y, 2 * z, 2 * w, 2 * x], axis=-1),
+        np.stack([-2 * x, -2 * w, 2 * z, 2 * y], axis=-1),
+        np.stack([zero, -4 * x, -4 * y, zero], axis=-1),
+    ], axis=-2)
+    g_flat = g_R.reshape(g_R.shape[:-2] + (9,))
+    g_q = np.einsum("...be,bef->...bf", g_flat, J)
+    # implicit top-eigenpair backward: t = sum_{i<top} v_i (v_i . g_q)/gap_i
+    lam = evals[:, 3]
+    vs = evecs[:, :, :3]  # [B, 4, 3] non-top eigenvectors
+    gaps = lam[:, None] - evals[:, :3]  # > 0 for a simple top eigenvalue
+    coef = np.einsum("bfi,...bf->...bi", vs, g_q) / np.maximum(gaps, 1e-12)
+    t = np.einsum("bfi,...bi->...bf", vs, coef)
+    t = np.where(ok[:, None], t, 0.0)
+    gK = t[..., :, None] * q[..., None, :]  # [.., B, 4, 4] (K-bar = t q^T)
+    # transpose of the linear map C -> K
+    gC = np.empty(gK.shape[:-2] + (3, 3), dtype=gK.dtype)
+    d00, d11, d22, d33 = (gK[..., i, i] for i in range(4))
+    gC[..., 0, 0] = d00 + d11 - d22 - d33
+    gC[..., 1, 1] = d00 - d11 + d22 - d33
+    gC[..., 2, 2] = d00 - d11 - d22 + d33
+    s01 = gK[..., 0, 1] + gK[..., 1, 0]
+    s02 = gK[..., 0, 2] + gK[..., 2, 0]
+    s03 = gK[..., 0, 3] + gK[..., 3, 0]
+    s12 = gK[..., 1, 2] + gK[..., 2, 1]
+    s13 = gK[..., 1, 3] + gK[..., 3, 1]
+    s23 = gK[..., 2, 3] + gK[..., 3, 2]
+    gC[..., 1, 2] = s01 + s23
+    gC[..., 2, 1] = -s01 + s23
+    gC[..., 2, 0] = s02 + s13
+    gC[..., 0, 2] = -s02 + s13
+    gC[..., 0, 1] = s03 + s12
+    gC[..., 1, 0] = -s03 + s12
+    return gC
+
+
+def _vjp_alignment(node, params, x):
+    """Forward + VJP of the alignment node. The rotation here comes from
+    the quaternion eigenproblem (same optimum as the forward-only SVD path
+    in :func:`_np_kabsch_align`, consistent with its own backward)."""
+    idx = np.asarray(node["align_idx"], dtype=np.int64)
+    ref_c = params[node["ref"]]
+    weights = params[node["weights"]] if "weights" in node else None
+    m = idx.shape[0]
+    sel = x[:, idx, :]
+    if weights is not None:
+        wn = weights / weights.sum()
+        ref_c = ref_c - np.einsum("m,mi->i", wn, ref_c)
+    else:
+        wn = np.full((m,), 1.0 / m, dtype=x.dtype)
+    com = np.einsum("m,bmi->bi", wn, sel)
+    x_c = x - com[:, None, :]
+    sel_c0 = sel - com[:, None, :]
+    sel_c = sel_c0 * weights[None, :, None] if weights is not None else sel_c0
+    C = np.einsum("bmi,mj->bij", sel_c, ref_c)
+    R, q, evals, evecs, ok = _quat_rotations(C)
+    out = np.einsum("bni,bij->bnj", x_c, R)
+
+    def vjp(g):  # g: [K, B, N, 3]
+        g_xc = np.einsum("kbnj,bij->kbni", g, R)
+        g_R = np.einsum("bni,kbnj->kbij", x_c, g)
+        g_C = _quat_rotation_vjp(g_R, q, evals, evecs, ok)
+        g_sel_c = np.einsum("kbij,mj->kbmi", g_C, ref_c)
+        if weights is not None:
+            g_sel_c = g_sel_c * weights[None, None, :, None]
+        g_com = -g_xc.sum(axis=2) - g_sel_c.sum(axis=2)  # [K, B, 3]
+        g_x = g_xc.copy()
+        g_sel = g_sel_c + wn[None, None, :, None] * g_com[:, :, None, :]
+        np.add.at(g_x, (slice(None), slice(None), idx), g_sel)
+        return g_x
+
+    return out, vjp
+
+
+def _vjp_feature(ftype: str, idx, x: np.ndarray):
+    """(out, per-feature vjp into a [K, B, N, 3] accumulator)."""
+    if ftype == "position":
+        ai = np.asarray(idx, dtype=np.int64)
+        out = x[:, ai, :].reshape(x.shape[0], -1)
+
+        def vjp_pos(g, acc):
+            np.add.at(
+                acc, (slice(None), slice(None), ai),
+                g.reshape(g.shape[:2] + (ai.shape[0], 3)),
+            )
+
+        return out, vjp_pos
+
+    a = x[:, idx[0], :]
+    b = x[:, idx[1], :]
+    if ftype == "bond":
+        d = b - a
+        r = np.linalg.norm(d, axis=-1)
+        u = d / r[:, None]
+        out = r[:, None]
+
+        def vjp_bond(g, acc):
+            gu = g[..., 0][..., None] * u  # [K, B, 3]
+            np.add.at(acc, (slice(None), slice(None), idx[0]), -gu)
+            np.add.at(acc, (slice(None), slice(None), idx[1]), gu)
+
+        return out, vjp_bond
+
+    c = x[:, idx[2], :]
+    if ftype in ("angle", "angle_rad"):
+        u, v = a - b, c - b
+        nu = np.linalg.norm(u, axis=-1)
+        nv = np.linalg.norm(v, axis=-1)
+        dot = (u * v).sum(-1)
+        cos_t = dot / (nu * nv)
+        if ftype == "angle":
+            out = cos_t[:, None]
+            du = v / (nu * nv)[:, None] - cos_t[:, None] * u / (nu * nu)[:, None]
+            dv = u / (nu * nv)[:, None] - cos_t[:, None] * v / (nv * nv)[:, None]
+        else:
+            w = np.cross(u, v)
+            s = np.linalg.norm(w, axis=-1)
+            out = np.arctan2(s, dot)[:, None]
+            # dtheta = (c ds - s dc)/(s^2 + c^2); d|w|/du = v x w_hat
+            wh = w / np.maximum(s, 1e-30)[:, None]
+            n2 = s * s + dot * dot
+            cs, ss = (dot / n2)[:, None], (s / n2)[:, None]
+            du = cs * np.cross(v, wh) - ss * v
+            dv = cs * np.cross(wh, u) - ss * u
+
+        def vjp_angle(g, acc, du=du, dv=dv):
+            ga = g[..., 0][..., None] * du
+            gc = g[..., 0][..., None] * dv
+            np.add.at(acc, (slice(None), slice(None), idx[0]), ga)
+            np.add.at(acc, (slice(None), slice(None), idx[2]), gc)
+            np.add.at(acc, (slice(None), slice(None), idx[1]), -(ga + gc))
+
+        return out, vjp_angle
+
+    # dihedral / dihedral_rad
+    d = x[:, idx[3], :]
+    b1, b2, b3 = b - a, c - b, d - c
+    n1 = np.cross(b1, b2)
+    n2 = np.cross(b2, b3)
+    nb2 = np.linalg.norm(b2, axis=-1)
+    b2h = b2 / nb2[:, None]
+    m1 = np.cross(n1, b2h)
+    ct = (n1 * n2).sum(axis=-1)
+    st = (m1 * n2).sum(axis=-1)
+    norm2 = ct * ct + st * st
+    inv_norm = 1.0 / np.sqrt(norm2)
+    cos_p, sin_p = ct * inv_norm, st * inv_norm
+    out = (
+        np.stack([cos_p, sin_p], axis=-1)
+        if ftype == "dihedral"
+        else np.arctan2(st, ct)[:, None]
+    )
+    # dphi = (ct d st - st d ct)/norm2; assemble d st, d ct per bond vector
+    dct_db1 = np.cross(b2, n2)
+    dct_db2 = np.cross(n2, b1) + np.cross(b3, n1)
+    dct_db3 = np.cross(n1, b2)
+    bxn = np.cross(b2h, n2)
+    proj = np.cross(n2, n1)
+    proj = (proj - b2h * (proj * b2h).sum(-1)[:, None]) / nb2[:, None]
+    dst_db1 = np.cross(b2, bxn)
+    dst_db2 = np.cross(bxn, b1) + proj + np.cross(b3, m1)
+    dst_db3 = np.cross(m1, b2)
+
+    def vjp_dihedral(g, acc):
+        if ftype == "dihedral":
+            # chain through (cos, sin) = (ct, st)/norm: d cos = -sin dphi...
+            g_phi = -g[..., 0] * sin_p + g[..., 1] * cos_p
+        else:
+            g_phi = g[..., 0]
+        a_st = (g_phi * ct / norm2)[..., None]
+        a_ct = (-g_phi * st / norm2)[..., None]
+        g_b1 = a_ct * dct_db1 + a_st * dst_db1
+        g_b2 = a_ct * dct_db2 + a_st * dst_db2
+        g_b3 = a_ct * dct_db3 + a_st * dst_db3
+        np.add.at(acc, (slice(None), slice(None), idx[0]), -g_b1)
+        np.add.at(acc, (slice(None), slice(None), idx[1]), g_b1 - g_b2)
+        np.add.at(acc, (slice(None), slice(None), idx[2]), g_b2 - g_b3)
+        np.add.at(acc, (slice(None), slice(None), idx[3]), g_b3)
+
+    return out, vjp_dihedral
+
+
+def _vjp_node(node: dict, params: dict, x: np.ndarray):
+    """Forward + VJP for a spec node. The returned vjp maps a cotangent of
+    shape [K, B, *out] to [K, B, *in] (K = CV-component axis)."""
+    kind = node["kind"]
+    if kind == "identity":
+        return x, lambda g: g
+    if kind == "compose":
+        vjps = []
+        for stage in node["stages"]:
+            x, vjp = _vjp_node(stage, params, x)
+            vjps.append(vjp)
+
+        def vjp_compose(g):
+            for v in reversed(vjps):
+                g = v(g)
+            return g
+
+        return x, vjp_compose
+    if kind == "alignment":
+        return _vjp_alignment(node, params, x)
+    if kind == "features":
+        outs, fns, widths = [], [], []
+        for f in node["features"]:
+            o, fn = _vjp_feature(f["type"], f["atom_indices"], x)
+            outs.append(o)
+            fns.append(fn)
+            widths.append(o.shape[1])
+        out = np.concatenate(outs, axis=1)
+        x_shape = x.shape
+
+        def vjp_features(g):
+            acc = np.zeros(g.shape[:2] + x_shape[1:], dtype=g.dtype)
+            off = 0
+            for fn, wd in zip(fns, widths):
+                fn(g[:, :, off:off + wd], acc)
+                off += wd
+            return acc
+
+        return out, vjp_features
+    if kind == "mlp":
+        act = _NP_ACTIVATIONS[node["activation"]]
+        act_g = _NP_ACTIVATION_GRADS[node["activation"]]
+        n = len(node["layers"])
+        zs = []
+        for i, (wk, bk) in enumerate(node["layers"]):
+            z = x @ params[wk].T + params[bk]
+            zs.append(z)
+            x = act(z) if i < n - 1 else z
+
+        def vjp_mlp(g):
+            for i in range(n - 1, -1, -1):
+                if i < n - 1:
+                    g = g * act_g(zs[i])[None]
+                g = g @ params[node["layers"][i][0]]
+            return g
+
+        return x, vjp_mlp
+    if kind == "stacked_mlp":
+        act = _NP_ACTIVATIONS[node["activation"]]
+        act_g = _NP_ACTIVATION_GRADS[node["activation"]]
+        n = len(node["layers"])
+        w0 = params[node["layers"][0][0]]
+        h = np.broadcast_to(x[None], (w0.shape[0],) + x.shape)
+        zs = []
+        for i, (wk, bk) in enumerate(node["layers"]):
+            z = np.einsum("kbi,koi->kbo", h, params[wk]) + params[bk][:, None, :]
+            zs.append(z)
+            h = act(z) if i < n - 1 else z
+        k, B, o = h.shape
+        out = np.transpose(h, (1, 0, 2)).reshape(B, k * o)
+
+        def vjp_stacked(g):  # [K, B, k*o]
+            gh = np.transpose(
+                g.reshape(g.shape[0], B, k, o), (0, 2, 1, 3)
+            )  # [K, k, B, o]
+            for i in range(n - 1, -1, -1):
+                if i < n - 1:
+                    gh = gh * act_g(zs[i])[None]
+                gh = np.einsum(
+                    "Kkbo,koi->Kkbi", gh, params[node["layers"][i][0]]
+                )
+            return gh.sum(axis=1)
+
+        return out, vjp_stacked
+    raise ValueError(f"unknown spec node kind '{kind}'")
+
+
+def eval_spec_grad(spec: dict, params: dict, x: np.ndarray):
+    """Evaluate a CV spec AND its input Jacobian with pure numpy.
+
+    Returns ``(values, jacobian)`` with shapes ``[B, K]`` and
+    ``[B, K, *state]`` (leading ``B`` dropped for an unbatched state) —
+    the per-component input gradients an MD engine needs to turn a bias
+    potential along the CV into atomic forces. Computed in float64 for
+    host-side robustness regardless of the stored parameter dtype.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    params = {
+        k: v.astype(np.float64) if v.dtype.kind == "f" else v
+        for k, v in params.items()
+    }
+    state_ndim = int(spec.get("state_ndim", 1))
+    squeeze = x.ndim == state_ndim
+    if squeeze:
+        x = x[None]
+    out, vjp = _vjp_node(spec["graph"], params, x)
+    out_shape = out.shape[1:]
+    if out.ndim > 2:  # e.g. a bare alignment graph: flatten the components
+        out = out.reshape(out.shape[0], -1)
+    B, K = out.shape
+    cot = np.zeros((K, B, K), dtype=x.dtype)
+    cot[np.arange(K), :, np.arange(K)] = 1.0
+    jac = np.moveaxis(vjp(cot.reshape((K, B) + out_shape)), 0, 1)
+    return (out[0], jac[0]) if squeeze else (out, jac)
+
+
+def load_numpy_cv(
+    out_dir: str, with_grad: bool = False
+) -> Callable[[np.ndarray], np.ndarray]:
     """Load a saved numpy-CV artifact as a plain ``x -> cv(x)`` callable.
 
     Requires only numpy — usable from processes that have no JAX (MD engine
-    plugins, analysis scripts).
+    plugins, analysis scripts). With ``with_grad=True`` the callable
+    returns ``(values, jacobian)`` (see :func:`eval_spec_grad`), covering
+    the biased-sampling consumers that need forces along the CV.
     """
     with open(os.path.join(out_dir, SPEC_NAME)) as f:
         spec = json.load(f)
@@ -228,6 +632,8 @@ def load_numpy_cv(out_dir: str) -> Callable[[np.ndarray], np.ndarray]:
         raise ValueError(f"not a {FORMAT} artifact: {spec.get('format')!r}")
     with np.load(os.path.join(out_dir, PARAMS_NAME)) as data:
         params = {k: data[k] for k in data.files}
+    if with_grad:
+        return lambda x: eval_spec_grad(spec, params, x)
     return lambda x: eval_spec(spec, params, x)
 
 

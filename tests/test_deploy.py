@@ -191,3 +191,130 @@ def test_spec_is_json_serializable_and_versioned(tmp_path):
     assert spec["format"] == "colvarsfinder-tpu-cv-numpy/1"
     assert spec["state_ndim"] == 1
     assert spec["graph"]["kind"] == "compose"
+
+
+# ---------------------------------------------------------------------------
+# gradient (force) path: the numpy artifact must provide dCV/dx, the way the
+# reference's TorchScript artifact provides autograd to MD-engine consumers
+# (reference: colvarsfinder/core.py:212-227)
+# ---------------------------------------------------------------------------
+
+
+def _molecular_cv(base, seed=5, weighted=False):
+    masses = np.linspace(1.0, 16.0, 6).astype(np.float32)
+    align = AlignmentLayer(
+        base[:6], align_indices=list(range(6)),
+        align_weights=masses if weighted else None,
+    )
+    feat = FeatureLayer(
+        [
+            Feature("pos", "position", [0, 2, 4]),
+            Feature("phi", "dihedral", [0, 1, 2, 3]),
+            Feature("ang", "angle", [1, 2, 3]),
+            Feature("angr", "angle_rad", [2, 3, 4]),
+            Feature("b", "bond", [5, 6]),
+            Feature("dr", "dihedral_rad", [3, 4, 5, 6]),
+        ]
+    )
+    pp = PreprocessingANN(align, feat)
+    head = EigenFunctions([pp.output_dimension, 16, 1], 2, seed=seed)
+    return ColvarModel(pp, head)
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_grad_matches_jax_jacobian(tmp_path, weighted):
+    import jax
+
+    x, base = _coords(n_frames=4)
+    cv = _molecular_cv(base, weighted=weighted)
+    save_numpy_cv(cv, str(tmp_path))
+    f = load_numpy_cv(str(tmp_path), with_grad=True)
+    val, jac = f(x)
+    np.testing.assert_allclose(val, np.asarray(cv(x)), atol=1e-5)
+    oracle = jax.vmap(jax.jacrev(lambda s: cv(s[None])[0]))(x)
+    np.testing.assert_allclose(jac, np.asarray(oracle), atol=2e-4)
+    # single-state squeeze: (K,), (K, N, 3)
+    v1, j1 = f(x[0])
+    assert v1.shape == (2,) and j1.shape == (2,) + x.shape[1:]
+    np.testing.assert_allclose(j1, jac[0], atol=1e-12)
+
+
+def test_grad_finite_difference_consistency(tmp_path):
+    """The hand-written backward must match central differences of the
+    grad-path forward itself (both float64) to ~1e-7 — catches any drift
+    between the analytic VJPs and the evaluated graph."""
+    from colvarsfinder_tpu.deploy import eval_spec_grad
+
+    x, base = _coords(n_frames=2)
+    cv = _molecular_cv(base, weighted=True)
+    save_numpy_cv(cv, str(tmp_path))
+    with open(tmp_path / "cv_numpy_spec.json") as fh:
+        spec = json.load(fh)
+    with np.load(tmp_path / "cv_numpy.npz") as data:
+        params = {k: data[k] for k in data.files}
+    x64 = np.asarray(x, dtype=np.float64)
+    _, jac = eval_spec_grad(spec, params, x64)
+    h = 1e-6
+    fd = np.zeros_like(jac)
+    for ix in np.ndindex(*x64.shape[1:]):
+        xp, xm = x64.copy(), x64.copy()
+        sl = (slice(None),) + ix
+        xp[sl] += h
+        xm[sl] -= h
+        vp, _ = eval_spec_grad(spec, params, xp)
+        vm, _ = eval_spec_grad(spec, params, xm)
+        fd[(slice(None), slice(None)) + ix] = (vp - vm) / (2 * h)
+    scale = max(np.abs(fd).max(), 1.0)
+    assert np.abs(jac - fd).max() / scale < 1e-7
+
+
+def test_grad_identity_mlp_and_regmodel(tmp_path):
+    import jax
+
+    x = np.random.default_rng(2).standard_normal((5, 6)).astype(np.float32)
+    rae = RegAutoEncoder([6, 10, 2], [2, 10, 6], [2, 8, 1], K=3, seed=1)
+    rm = RegModel(rae, [2, 0, 1])
+    cv = ColvarModel(Identity(), rm)
+    save_numpy_cv(cv, str(tmp_path))
+    f = load_numpy_cv(str(tmp_path), with_grad=True)
+    val, jac = f(x)
+    assert jac.shape == (5, 3, 6)
+    oracle = jax.vmap(jax.jacrev(lambda s: cv(s[None])[0]))(x)
+    np.testing.assert_allclose(jac, np.asarray(oracle), atol=1e-4)
+
+
+def test_grad_runs_without_jax(tmp_path):
+    """The gradient path is part of the deployment half: it must work in a
+    process that never imports JAX."""
+    x, base = _coords(n_frames=3)
+    cv = _molecular_cv(base)
+    save_numpy_cv(cv, str(tmp_path))
+    np.save(tmp_path / "x.npy", x)
+
+    script = f"""
+import sys
+import numpy as np
+import importlib.util
+spec = importlib.util.spec_from_file_location(
+    "deploy_standalone",
+    {str(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "colvarsfinder_tpu", "deploy.py"))!r},
+)
+deploy = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(deploy)
+f = deploy.load_numpy_cv({str(tmp_path)!r}, with_grad=True)
+x = np.load({str(tmp_path / "x.npy")!r})
+val, jac = f(x)
+assert val.shape == (3, 2) and jac.shape == (3, 2) + x.shape[1:]
+assert np.isfinite(val).all() and np.isfinite(jac).all()
+assert "jax" not in sys.modules, "deploy gradients must not import jax"
+print("OK")
+"""
+    env = dict(os.environ)
+    env.pop("PYTHONSTARTUP", None)
+    env["PYTHONPATH"] = ""
+    res = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert res.returncode == 0, res.stderr
+    assert "OK" in res.stdout
