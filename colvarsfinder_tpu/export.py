@@ -11,6 +11,9 @@ The reference's deployment artifact is a TorchScript module
   without the model-building code. The program takes the parameter pytree as
   inputs, so re-saving after further training only rewrites the .npz —
   the StableHLO is exported once per architecture.
+* ``cv_grad_exported.bin`` — a second StableHLO program computing
+  ``(values, dCV/dx)``; biased-MD consumers need the input Jacobian for
+  forces (the TorchScript artifact exposes it via torch autograd).
 
 :class:`ColvarModel` is the composition :math:`\xi = g \circ r` of a
 preprocessing layer and a trained head (reference: core.py:372-382,
@@ -64,6 +67,20 @@ def _apply_fn(cv_model_struct):
     def apply(params, x):
         model = jax.tree_util.tree_unflatten(cv_model_struct, params)
         return model(x)
+
+    return apply
+
+
+def _apply_grad_fn(cv_model_struct):
+    """A (params, x) -> (cv, dcv/dx) function: values plus the per-sample
+    input Jacobian [batch, k, *state] — the forces a biased-MD consumer
+    needs (the reference's TorchScript artifact exposes them via torch
+    autograd, core.py:212-227)."""
+
+    def apply(params, x):
+        model = jax.tree_util.tree_unflatten(cv_model_struct, params)
+        jac = jax.vmap(jax.jacrev(lambda s: model(s[None])[0]))(x)
+        return model(x), jac
 
     return apply
 
@@ -126,32 +143,42 @@ def export_colvar(
 
     from jax import export as jax_export
 
-    cache_key = ("stablehlo", treedef, state_shape)
     cache = _exported_cache if _exported_cache is not None else {}
-    blob = cache.get(cache_key)
-    if blob is None:
-        apply = _apply_fn(treedef)
-        b = jax_export.symbolic_shape("b")[0]
-        x_spec = jax.ShapeDtypeStruct((b,) + state_shape, jnp.float32)
-        leaf_specs = [
-            jax.ShapeDtypeStruct(np.shape(l), jnp.asarray(l).dtype) for l in leaves
-        ]
-        exported = jax_export.export(jax.jit(apply))(leaf_specs, x_spec)
-        blob = bytes(exported.serialize())
-        cache[cache_key] = blob
-    with open(os.path.join(out_dir, "cv_exported.bin"), "wb") as f:
-        f.write(blob)
+    b = jax_export.symbolic_shape("b")[0]
+    x_spec = jax.ShapeDtypeStruct((b,) + state_shape, jnp.float32)
+    leaf_specs = [
+        jax.ShapeDtypeStruct(np.shape(l), jnp.asarray(l).dtype) for l in leaves
+    ]
+    for tag, make_fn, fname in (
+        ("stablehlo", _apply_fn, "cv_exported.bin"),
+        ("stablehlo_grad", _apply_grad_fn, "cv_grad_exported.bin"),
+    ):
+        cache_key = (tag, treedef, state_shape)
+        blob = cache.get(cache_key)
+        if blob is None:
+            exported = jax_export.export(jax.jit(make_fn(treedef)))(
+                leaf_specs, x_spec
+            )
+            blob = bytes(exported.serialize())
+            cache[cache_key] = blob
+        with open(os.path.join(out_dir, fname), "wb") as f:
+            f.write(blob)
 
 
-def load_colvar(out_dir: str) -> Callable[[np.ndarray], jnp.ndarray]:
+def load_colvar(
+    out_dir: str, with_grad: bool = False
+) -> Callable[[np.ndarray], jnp.ndarray]:
     """Load a deployed CV artifact as a plain callable ``x -> cv(x)``.
 
     Prefers the serialized StableHLO program (no model code needed); the
-    parameters are fed from ``cv_params.npz``.
+    parameters are fed from ``cv_params.npz``. With ``with_grad=True`` the
+    callable returns ``(values, jacobian)`` from the exported gradient
+    program (``cv_grad_exported.bin``) — forces for biased-MD consumers.
     """
     from jax import export as jax_export
 
-    path = os.path.join(out_dir, "cv_exported.bin")
+    fname = "cv_grad_exported.bin" if with_grad else "cv_exported.bin"
+    path = os.path.join(out_dir, fname)
     if not os.path.exists(path):
         raise FileNotFoundError(
             f"no exported CV program at {path}; re-save with "
@@ -179,6 +206,9 @@ def load_colvar(out_dir: str) -> Callable[[np.ndarray], jnp.ndarray]:
         if squeeze:
             x = x[None]
         out = exported.call(params, x)
+        if with_grad:
+            val, jac = out
+            return (val[0], jac[0]) if squeeze else (val, jac)
         return out[0] if squeeze else out
 
     return cv

@@ -443,3 +443,16 @@ def test_exported_cv_roundtrip(traj, tmp_path):
     # symbolic batch dimension: different batch size works too
     x2 = traj.trajectory[:3].astype(np.float32)
     assert np.asarray(loaded(x2)).shape == (3, 1)
+
+    # gradient program: (values, jacobian) matches jacrev of the live model
+    import jax
+
+    loaded_g = load_colvar(out_dir, with_grad=True)
+    val, jac = loaded_g(x)
+    np.testing.assert_allclose(np.asarray(val), np.asarray(cv(x)), atol=1e-6)
+    oracle = jax.vmap(jax.jacrev(lambda s: cv(s[None])[0]))(x)
+    np.testing.assert_allclose(np.asarray(jac), np.asarray(oracle), atol=1e-5)
+    # single-state squeeze returns (k,), (k, *state)
+    v1, j1 = loaded_g(x[0])
+    assert np.asarray(v1).shape == (1,)
+    np.testing.assert_allclose(np.asarray(j1), np.asarray(oracle)[0], atol=1e-5)
