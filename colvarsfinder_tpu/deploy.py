@@ -774,3 +774,13 @@ def save_numpy_cv(cv_model: Any, out_dir: str) -> None:
     with open(os.path.join(out_dir, SPEC_NAME), "w") as f:
         json.dump(spec, f, indent=1)
     np.savez(os.path.join(out_dir, PARAMS_NAME), **params)
+    # engine-side binary program for the C++ evaluator (native/cveval.cpp);
+    # a pure-Python re-encoding of the same graph, no compiler involved
+    try:
+        from .deploy_native import write_native_cv
+
+        write_native_cv(out_dir)
+    except Exception as e:  # artifact saving must not fail on this extra
+        import warnings
+
+        warnings.warn(f"native CV program not written: {e}")

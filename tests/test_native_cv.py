@@ -1,0 +1,142 @@
+"""Native (C++) CV evaluator: parity with the numpy reference evaluator.
+
+The reference's artifact is consumed natively by MD engines through
+libtorch (reference: colvarsfinder/core.py:212-227); this framework's
+counterpart is native/cveval.cpp consuming cv_native.bin through a C API.
+Values and Jacobians must match the numpy evaluator (itself validated
+against jax.jacrev) at float64 precision.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from colvarsfinder_tpu import ColvarModel, save_numpy_cv
+from colvarsfinder_tpu.deploy import eval_spec_grad
+from colvarsfinder_tpu.deploy_native import (
+    load_native_cv,
+    native_available,
+    write_native_cv,
+)
+from colvarsfinder_tpu.models import (
+    EigenFunctions,
+    RegAutoEncoder,
+    RegModel,
+    create_sequential_nn,
+)
+from colvarsfinder_tpu.ops import (
+    AlignmentLayer,
+    Feature,
+    FeatureLayer,
+    Identity,
+    PreprocessingANN,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native evaluator library unavailable"
+)
+
+
+def _coords(n_frames=6, n_atoms=9, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_atoms, 3)).astype(np.float32)
+    wig = 0.1 * rng.standard_normal((n_frames, n_atoms, 3)).astype(np.float32)
+    return base[None] + wig, base
+
+
+def _artifact(cv, tmp_path):
+    save_numpy_cv(cv, str(tmp_path))
+    with open(tmp_path / "cv_numpy_spec.json") as fh:
+        spec = json.load(fh)
+    with np.load(tmp_path / "cv_numpy.npz") as data:
+        params = {k: data[k] for k in data.files}
+    return spec, params
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_native_molecular_pipeline_parity(tmp_path, weighted):
+    x, base = _coords()
+    align = AlignmentLayer(
+        base[:6], align_indices=list(range(6)),
+        align_weights=np.linspace(1.0, 12.0, 6) if weighted else None,
+    )
+    feat = FeatureLayer(
+        [
+            Feature("pos", "position", [0, 2, 4]),
+            Feature("phi", "dihedral", [0, 1, 2, 3]),
+            Feature("ang", "angle", [1, 2, 3]),
+            Feature("angr", "angle_rad", [2, 3, 4]),
+            Feature("b", "bond", [5, 6]),
+            Feature("dr", "dihedral_rad", [3, 4, 5, 6]),
+        ]
+    )
+    pp = PreprocessingANN(align, feat)
+    head = EigenFunctions([pp.output_dimension, 14, 1], 2, seed=3)
+    spec, params = _artifact(ColvarModel(pp, head), tmp_path)
+    assert (tmp_path / "cv_native.bin").exists()  # written at save time
+
+    f = load_native_cv(str(tmp_path), with_grad=True)
+    val_n, jac_n = f(np.asarray(x, dtype=np.float64))
+    val_p, jac_p = eval_spec_grad(spec, params, np.asarray(x, np.float64))
+    np.testing.assert_allclose(val_n, val_p, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(jac_n, jac_p, rtol=0, atol=1e-12)
+
+    # forward-only callable
+    f0 = load_native_cv(str(tmp_path))
+    np.testing.assert_allclose(f0(x), val_p, atol=1e-12)
+
+    # single-frame squeeze
+    v1, j1 = f(x[0])
+    assert v1.shape == (2,) and j1.shape == (2,) + x.shape[1:]
+    np.testing.assert_allclose(v1, val_p[0], atol=1e-12)
+
+
+def test_native_identity_mlp_and_regmodel(tmp_path):
+    x = np.random.default_rng(1).standard_normal((5, 6))
+    head = create_sequential_nn([6, 12, 2], seed=4)
+    spec, params = _artifact(ColvarModel(Identity(), head), tmp_path / "mlp")
+    f = load_native_cv(str(tmp_path / "mlp"), with_grad=True)
+    val_n, jac_n = f(x)
+    val_p, jac_p = eval_spec_grad(spec, params, x)
+    np.testing.assert_allclose(val_n, val_p, atol=1e-12)
+    np.testing.assert_allclose(jac_n, jac_p, atol=1e-12)
+
+    rae = RegAutoEncoder([6, 10, 2], [2, 10, 6], [2, 8, 1], K=3, seed=1)
+    rm = RegModel(rae, [2, 0, 1])
+    spec, params = _artifact(ColvarModel(Identity(), rm), tmp_path / "rm")
+    f = load_native_cv(str(tmp_path / "rm"), with_grad=True)
+    val_n, jac_n = f(x)
+    val_p, jac_p = eval_spec_grad(spec, params, x)
+    np.testing.assert_allclose(val_n, val_p, atol=1e-12)
+    np.testing.assert_allclose(jac_n, jac_p, atol=1e-12)
+
+
+@pytest.mark.parametrize(
+    "activation", ["tanh", "relu", "elu", "gelu", "sigmoid", "softplus"]
+)
+def test_native_activations(tmp_path, activation):
+    x = np.random.default_rng(2).standard_normal((4, 5)) + 0.05
+    head = create_sequential_nn([5, 8, 8, 1], activation=activation, seed=6)
+    spec, params = _artifact(ColvarModel(Identity(), head), tmp_path)
+    f = load_native_cv(str(tmp_path), with_grad=True)
+    val_n, jac_n = f(x)
+    val_p, jac_p = eval_spec_grad(spec, params, x)
+    np.testing.assert_allclose(val_n, val_p, atol=1e-12)
+    np.testing.assert_allclose(jac_n, jac_p, atol=1e-12)
+
+
+def test_native_written_on_demand(tmp_path):
+    """load_native_cv regenerates cv_native.bin from spec + npz if absent."""
+    head = create_sequential_nn([3, 6, 1], seed=0)
+    save_numpy_cv(ColvarModel(Identity(), head), str(tmp_path))
+    (tmp_path / "cv_native.bin").unlink()
+    f = load_native_cv(str(tmp_path))
+    assert (tmp_path / "cv_native.bin").exists()
+    x = np.zeros((2, 3))
+    assert f(x).shape == (2, 1)
+
+
+def test_write_native_cv_rejects_foreign_dir(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        write_native_cv(str(tmp_path))
