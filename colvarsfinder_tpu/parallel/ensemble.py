@@ -81,6 +81,33 @@ def _index_tree(tree, r):
     return jax.tree_util.tree_map(lambda x: x[r], tree)
 
 
+def _shard_replica_axis(mesh, R: int, stacked_trees, replicated_trees):
+    """Ensemble parallelism: place the replica-stacked pytrees with their
+    leading axis sharded over ``mesh``'s first axis, and the shared pytrees
+    fully replicated. Replicas are independent, so XLA partitions the
+    vmapped program with zero collectives — each device advances R/n_dev
+    replicas. Returns ``(stacked_trees, replicated_trees)`` re-placed."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    n_dev = mesh.devices.size
+    assert R % n_dev == 0, (
+        f"replica count {R} must be divisible by the mesh size {n_dev} "
+        "to shard the ensemble axis"
+    )
+    shard = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+    rep = NamedSharding(mesh, PartitionSpec())
+    stacked_trees = tuple(
+        jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep if np.ndim(x) == 0 else shard), t
+        )
+        for t in stacked_trees
+    )
+    replicated_trees = tuple(
+        jax.device_put(t, rep) for t in replicated_trees
+    )
+    return stacked_trees, replicated_trees
+
+
 # ---------------------------------------------------------------------------
 # per-task-family adapters
 # ---------------------------------------------------------------------------
@@ -173,7 +200,7 @@ def _finalize(task, plan: _Plan, train_ms, test_ms, per_epoch_time):
     task.epoch_times = [per_epoch_time] * epochs
 
 
-def train_replica_ensemble(tasks: Sequence) -> None:
+def train_replica_ensemble(tasks: Sequence, mesh=None) -> None:
     """Train R same-shaped task replicas in one vmapped program.
 
     Supports all three task families (:class:`EigenFunctionTask`,
@@ -187,6 +214,18 @@ def train_replica_ensemble(tasks: Sequence) -> None:
     ``test_loss_df`` are populated exactly as if ``task.train()`` had run
     (without per-task checkpoint/plot hooks — drive those separately if
     needed).
+
+    Args:
+        tasks: the R replicas.
+        mesh: optional :class:`jax.sharding.Mesh` for **ensemble
+            parallelism**: every replica-stacked input (models, optimizer
+            states, data) has its replica axis sharded over the mesh's
+            first axis, so each device trains R/n_dev replicas. Replicas
+            are independent — XLA partitions the program with zero
+            collectives. R must divide by the mesh size; the tasks must
+            not themselves shard over a mesh (one lever at a time —
+            combine ensembles with data sharding deliberately via
+            per-task ``mesh=`` instead).
     """
     from ..config import matmul_precision
 
@@ -231,6 +270,15 @@ def train_replica_ensemble(tasks: Sequence) -> None:
     model_e = _stack_trees([t.model for t in tasks])
     opt_e = _stack_trees([t.opt_state for t in tasks])
     args_e = _stack_trees([p.args for p in plans])
+
+    if mesh is not None:
+        assert all(getattr(t, "mesh", None) is None for t in tasks), (
+            "ensemble-parallel training requires tasks without their own "
+            "data mesh"
+        )
+        (model_e, opt_e, args_e), _ = _shard_replica_axis(
+            mesh, len(tasks), (model_e, opt_e, args_e), ()
+        )
 
     epochs = t0_task.num_epochs
     key = (
@@ -316,7 +364,7 @@ def adopt_sweep_result(task, result: SweepResult):
 
 
 def train_hyperparameter_sweep(
-    task, grid: dict, models=None, chunk_size: int | None = None
+    task, grid: dict, models=None, chunk_size: int | None = None, mesh=None
 ) -> list:
     """Train R hyperparameter variants of one task as a single vmapped
     program, sharing the task's device-placed batch data across all
@@ -352,6 +400,14 @@ def train_hyperparameter_sweep(
             (benchmarks/RESULTS.md, generator-loss sweeps). The last
             chunk is padded by repeating its final entry (and the padding
             dropped from the results) so it reuses the same program.
+        mesh: optional :class:`jax.sharding.Mesh` for **ensemble
+            parallelism**: the replica axis of the stacked models /
+            optimizer states / hyperparameters is sharded over the mesh's
+            first axis (each device trains R/n_dev grid points; zero
+            collectives — replicas are independent) while the shared
+            batch data is replicated to every device. R (or chunk_size)
+            must divide by the mesh size. The task must not itself shard
+            its data over a mesh.
 
     Returns:
         list of R :class:`SweepResult`, in grid order. The task itself is
@@ -380,7 +436,9 @@ def train_hyperparameter_sweep(
             sub = {k: [list(v)[i] for i in idx] for k, v in grid.items()}
             subm = None if models is None else [models[i] for i in idx]
             out.extend(
-                train_hyperparameter_sweep(task, sub, models=subm)[:hi - lo]
+                train_hyperparameter_sweep(
+                    task, sub, models=subm, mesh=mesh
+                )[:hi - lo]
             )
         return out
 
@@ -476,6 +534,23 @@ def train_hyperparameter_sweep(
     else:
         args = plan.args
         in_axes = (0, 0) + (None,) * len(plan.args)
+
+    if mesh is not None:
+        assert getattr(task, "mesh", None) is None, (
+            "ensemble-parallel sweeps require a task without its own "
+            "data mesh"
+        )
+        if has_hyper:
+            (model_e, opt_e, hyper_e), shared = _shard_replica_axis(
+                mesh, R, (model_e, opt_e, hyper_e),
+                (plan.args[0], plan.args[1]) + plan.args[3:],
+            )
+            args = (shared[0], shared[1], hyper_e) + shared[2:]
+        else:
+            (model_e, opt_e), shared = _shard_replica_axis(
+                mesh, R, (model_e, opt_e), tuple(plan.args)
+            )
+            args = shared
 
     epochs = task.num_epochs
     key = (

@@ -417,3 +417,70 @@ def test_adopt_sweep_result(tmp_path):
         task.train_loss_df.to_numpy(), solo.train_loss_df.to_numpy(),
         rtol=1e-4, atol=1e-6,
     )
+
+
+def test_sweep_mesh_sharded_matches_unsharded(tmp_path):
+    """Ensemble parallelism: sharding the replica axis over an 8-device
+    mesh must reproduce the single-device sweep exactly (replicas are
+    independent; the partitioning introduces no collectives)."""
+    from colvarsfinder_tpu.parallel import make_data_mesh
+
+    traj = _traj(9)
+    model = EigenFunctions([2, 10, 1], k=2, seed=0)
+
+    def mk(tag):
+        return EigenFunctionTask(
+            traj, None, model, str(tmp_path / tag),
+            alpha=10.0, eig_weights=[1.0, 0.5], lag_tau=0.2, k=2,
+            learning_rate=0.01, seed=0, **COMMON,
+        )
+
+    grid = {
+        "learning_rate": [0.004 * (i + 1) for i in range(8)],
+        "alpha": [5.0 * (i + 1) for i in range(8)],
+    }
+    plain = train_hyperparameter_sweep(mk("plain"), grid)
+    mesh = make_data_mesh()
+    assert mesh.devices.size == 8
+    sharded = train_hyperparameter_sweep(mk("mesh"), grid, mesh=mesh)
+    for a, b in zip(plain, sharded):
+        assert a.hyperparams == b.hyperparams
+        np.testing.assert_allclose(
+            b.train_loss_df.to_numpy(), a.train_loss_df.to_numpy(),
+            rtol=1e-5, atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(b.model.params[0]["weight"]),
+            np.asarray(a.model.params[0]["weight"]),
+            rtol=1e-5, atol=1e-7,
+        )
+
+    # indivisible replica count is rejected
+    bad = {k: v[:6] for k, v in grid.items()}
+    with pytest.raises(AssertionError, match="divisible"):
+        train_hyperparameter_sweep(mk("bad"), bad, mesh=mesh)
+
+    # chunked + mesh: chunks of 4 would not divide 8 devices -> use 8
+    chunked = train_hyperparameter_sweep(
+        mk("chunk"), grid, chunk_size=8, mesh=mesh
+    )
+    for a, b in zip(plain, chunked):
+        np.testing.assert_allclose(
+            b.train_loss_df.to_numpy(), a.train_loss_df.to_numpy(),
+            rtol=1e-5, atol=1e-7,
+        )
+
+
+def test_replica_ensemble_mesh_sharded(tmp_path):
+    """train_replica_ensemble(mesh=...) shards replicas (and their data)
+    across devices and matches the unsharded ensemble."""
+    from colvarsfinder_tpu.parallel import make_data_mesh
+
+    plain = _make_tasks(tmp_path, "ep", n_replicas=8,
+                        lrs=[0.004 * (i + 1) for i in range(8)])
+    train_replica_ensemble(plain)
+    sharded = _make_tasks(tmp_path, "eps", n_replicas=8,
+                          lrs=[0.004 * (i + 1) for i in range(8)])
+    train_replica_ensemble(sharded, mesh=make_data_mesh())
+    for a, b in zip(plain, sharded):
+        _assert_match(a, b)
