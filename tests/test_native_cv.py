@@ -140,3 +140,77 @@ def test_native_written_on_demand(tmp_path):
 def test_write_native_cv_rejects_foreign_dir(tmp_path):
     with pytest.raises(FileNotFoundError):
         write_native_cv(str(tmp_path))
+
+
+def test_pure_c_consumer(tmp_path):
+    """End-to-end proof of the engine-plugin story: a ~40-line pure-C
+    program linking libcveval.so loads the artifact and computes value +
+    forces with no Python/numpy in the process."""
+    import os
+    import subprocess
+
+    x, base = _coords(n_frames=1)
+    cv = ColvarModel(
+        PreprocessingANN(
+            AlignmentLayer(base[:5], align_indices=list(range(5))),
+            FeatureLayer([Feature("p", "position", [0, 2, 4])]),
+        ),
+        EigenFunctions([9, 12, 1], 2, seed=8),
+    )
+    save_numpy_cv(cv, str(tmp_path))
+    spec, params = _artifact(cv, tmp_path)
+    x64 = np.asarray(x[0], dtype=np.float64)
+    val_ref, jac_ref = eval_spec_grad(spec, params, x64)
+
+    c_src = tmp_path / "consumer.c"
+    c_src.write_text(
+        r"""
+#include <stdio.h>
+#include <stdlib.h>
+
+void* cveval_load(const char* path);
+void cveval_free(void* h);
+int cveval_n_out(void* h);
+int cveval_eval_grad(void* h, const double* x, long n, long state,
+                     double* val, double* jac);
+
+int main(int argc, char** argv) {
+    void* h = cveval_load(argv[1]);
+    if (!h) { fprintf(stderr, "load failed\n"); return 1; }
+    int k = cveval_n_out(h);
+    long state = atol(argv[3]);
+    double* x = malloc(state * sizeof(double));
+    FILE* f = fopen(argv[2], "rb");
+    if (fread(x, sizeof(double), state, f) != (size_t)state) return 2;
+    fclose(f);
+    double* val = malloc(k * sizeof(double));
+    double* jac = malloc(k * state * sizeof(double));
+    if (cveval_eval_grad(h, x, 1, state, val, jac) != 0) return 3;
+    for (int i = 0; i < k; i++) printf("%.17g\n", val[i]);
+    for (long i = 0; i < k * state; i++) printf("%.17g\n", jac[i]);
+    cveval_free(h);
+    return 0;
+}
+"""
+    )
+    from colvarsfinder_tpu.deploy_native import _SO_PATH
+
+    exe = tmp_path / "consumer"
+    subprocess.run(
+        ["gcc", "-O2", str(c_src), _SO_PATH, "-o", str(exe),
+         f"-Wl,-rpath,{os.path.dirname(_SO_PATH)}"],
+        check=True, capture_output=True,
+    )
+    xfile = tmp_path / "x.f64"
+    np.ascontiguousarray(x64).tofile(xfile)
+    res = subprocess.run(
+        [str(exe), str(tmp_path / "cv_native.bin"), str(xfile),
+         str(x64.size)],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert res.returncode == 0, res.stderr
+    nums = np.array([float(v) for v in res.stdout.split()])
+    np.testing.assert_allclose(nums[:2], val_ref, atol=1e-12)
+    np.testing.assert_allclose(
+        nums[2:].reshape(jac_ref.shape), jac_ref, atol=1e-12
+    )
