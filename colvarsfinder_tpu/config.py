@@ -82,3 +82,67 @@ def default_dtype():
     import jax.numpy as jnp
 
     return jnp.float64 if _DTYPE_NAME == "float64" else jnp.float32
+
+
+_COMPUTE_DTYPE = "float32"
+
+
+def set_compute_dtype(dtype) -> None:
+    """Set the ACTIVATION dtype of network forward/backward passes.
+
+    'float32' (default) stores activations at full width. 'bfloat16'
+    runs the model layers in mixed precision: parameters and optimizer
+    state stay float32 (master weights), but per-layer inputs/weights are
+    cast to bfloat16, activations are stored in bfloat16, and the network
+    output is cast back to float32 before the loss statistics.
+
+    Why this exists: at dipeptide scale the training step is
+    HBM-bandwidth-bound on activation traffic, not FLOP-bound — at a
+    64-replica hyperparameter sweep every fusion streams
+    [R, k, B, width] tensors (~0.4 GB each at f32), and halving the
+    element size measured ~2x step throughput (benchmarks/
+    ensemble_layout_ab.py). Gradients are correspondingly rounded
+    (~1e-2 relative loss noise) — intended for exploratory sweeps and
+    fast production training; re-train or fine-tune at float32 for
+    parity-grade results (the sweep winner can be adopted with
+    ``adopt_sweep_result`` and fine-tuned with ``task.train()``).
+
+    Incompatible with ``set_default_dtype('float64')``. The value is read
+    at trace time and is part of every compiled-program cache key, so
+    flipping it triggers recompiles rather than being silently ignored.
+    """
+    global _COMPUTE_DTYPE
+    import numpy as np
+
+    name = (
+        dtype if dtype in ("float32", "bfloat16") else np.dtype(dtype).name
+    )
+    if name not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"unsupported compute dtype {name!r}; "
+            "expected 'float32' or 'bfloat16'"
+        )
+    if name == "bfloat16" and _DTYPE_NAME == "float64":
+        raise ValueError(
+            "bfloat16 compute mode is incompatible with the float64 "
+            "default dtype (set_default_dtype('float32') first)"
+        )
+    _COMPUTE_DTYPE = name
+
+
+def compute_dtype():
+    """Current activation compute dtype (a jax.numpy dtype)."""
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if _COMPUTE_DTYPE == "bfloat16" else jnp.float32
+
+
+def compute_dtype_name() -> str:
+    """Current activation compute dtype as its string name."""
+    return _COMPUTE_DTYPE
+
+
+def numerics_key() -> tuple:
+    """Hashable fingerprint of the numerics configuration, for compiled-
+    program cache keys (contraction precision + activation dtype)."""
+    return (_PRECISION, _COMPUTE_DTYPE)

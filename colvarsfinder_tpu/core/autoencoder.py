@@ -36,10 +36,10 @@ _EPOCH_FN_CACHE: dict = {}
 
 
 def _multi_epoch_fn(length: int, opt_name: str, unroll: bool):
-    from ..config import matmul_precision
+    from ..config import matmul_precision, numerics_key
     from .task import TrainingTask
 
-    key = (length, matmul_precision(), opt_name, unroll)
+    key = (length, numerics_key(), opt_name, unroll)
     cached = _EPOCH_FN_CACHE.get(key)
     if cached is not None:
         return cached[0]
@@ -100,10 +100,10 @@ def _multi_epoch_fn(length: int, opt_name: str, unroll: bool):
 
 def _multi_epoch_impl(length: int, opt_name: str, unroll: bool):
     """Un-jitted multi-epoch program (for the replica-ensemble vmap)."""
-    from ..config import matmul_precision
+    from ..config import matmul_precision, numerics_key
 
     _multi_epoch_fn(length, opt_name, unroll)  # populate the cache
-    key = (length, matmul_precision(), opt_name, unroll)
+    key = (length, numerics_key(), opt_name, unroll)
     return _EPOCH_FN_CACHE[key][1]
 
 

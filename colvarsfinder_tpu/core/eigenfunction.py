@@ -45,7 +45,7 @@ def _gram_fn(state_shape: tuple, tot_dim: int):
     preprocessing-jacobian Gram matrix M = J_pp diag(c) J_pp^T per sample
     (tot_dim basis JVPs through pp — one-time per batch; the training
     step then never backprops through the preprocessing layer)."""
-    from ..config import matmul_precision
+    from ..config import matmul_precision, numerics_key
 
     key = (tuple(state_shape), int(tot_dim), matmul_precision())
     fn = _GRAM_FN_CACHE.get(key)
@@ -91,9 +91,9 @@ def _feat_fn(state_shape: tuple):
 
 
 def _multi_epoch_fn(length: int, static: tuple):
-    from ..config import matmul_precision
+    from ..config import matmul_precision, numerics_key
 
-    key = (length, matmul_precision()) + static
+    key = (length, numerics_key()) + static
     cached = _EPOCH_FN_CACHE.get(key)
     if cached is not None:
         return cached[0]
@@ -266,10 +266,10 @@ def _multi_epoch_fn(length: int, static: tuple):
 
 def _multi_epoch_impl(length: int, static: tuple):
     """Un-jitted multi-epoch program (for the replica-ensemble vmap)."""
-    from ..config import matmul_precision
+    from ..config import matmul_precision, numerics_key
 
     _multi_epoch_fn(length, static)  # populate the cache
-    key = (length, matmul_precision()) + static
+    key = (length, numerics_key()) + static
     return _EPOCH_FN_CACHE[key][1]
 
 

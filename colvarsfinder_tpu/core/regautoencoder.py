@@ -154,10 +154,10 @@ def _zero_encoder_grads(grads):
 
 
 def _multi_epoch_fn(length: int, static: tuple):
-    from ..config import matmul_precision
+    from ..config import matmul_precision, numerics_key
     from .task import TrainingTask
 
-    key = (length, matmul_precision()) + static
+    key = (length, numerics_key()) + static
     cached = _EPOCH_FN_CACHE.get(key)
     if cached is not None:
         return cached[0]
@@ -297,10 +297,10 @@ def _multi_epoch_fn(length: int, static: tuple):
 
 def _multi_epoch_impl(length: int, static: tuple):
     """Un-jitted multi-epoch program (for the replica-ensemble vmap)."""
-    from ..config import matmul_precision
+    from ..config import matmul_precision, numerics_key
 
     _multi_epoch_fn(length, static)  # populate the cache
-    key = (length, matmul_precision()) + static
+    key = (length, numerics_key()) + static
     return _EPOCH_FN_CACHE[key][1]
 
 

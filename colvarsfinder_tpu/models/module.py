@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import default_dtype, matmul_precision
+from ..config import compute_dtype, default_dtype, matmul_precision
 
 __all__ = [
     "ACTIVATIONS",
@@ -132,18 +132,27 @@ def mlp_init(
 
 
 def mlp_apply(params: Sequence[dict], x: jnp.ndarray, activation: str) -> jnp.ndarray:
-    """Apply an MLP: activation between layers, none after the last layer."""
+    """Apply an MLP: activation between layers, none after the last layer.
+
+    When ``config.set_compute_dtype('bfloat16')`` is active (and the input
+    is float32), layers run in mixed precision: inputs/weights cast to
+    bfloat16 per layer, activations stored bfloat16, output cast back to
+    the input dtype. See config.set_compute_dtype for the rationale
+    (HBM-bandwidth-bound steps at this model scale).
+    """
     act = ACTIVATIONS[activation]
     n = len(params)
-    h = x
+    cdt = compute_dtype()
+    mixed = cdt != jnp.float32 and x.dtype == jnp.float32
+    h = x.astype(cdt) if mixed else x
     for i, layer in enumerate(params):
-        h = (
-            jnp.matmul(h, layer["weight"].T, precision=matmul_precision())
-            + layer["bias"]
-        )
+        W, b = layer["weight"], layer["bias"]
+        if mixed:
+            W, b = W.astype(cdt), b.astype(cdt)
+        h = jnp.matmul(h, W.T, precision=matmul_precision()) + b
         if i < n - 1:
             h = act(h)
-    return h
+    return h.astype(x.dtype) if mixed else h
 
 
 # ---------------------------------------------------------------------------
@@ -195,25 +204,36 @@ def stacked_mlp_apply(
     squeeze = x.ndim == 1  # single state, like torch.nn.Linear on a vector
     if squeeze:
         x = x[None]
+    cdt = compute_dtype()
+    mixed = cdt != jnp.float32 and x.dtype == jnp.float32
+    if mixed:
+        x_c = x.astype(cdt)
+    else:
+        x_c = x
     # broadcast the batch across the ensemble axis: h [k, batch, d]
-    h = jnp.broadcast_to(x[None], (k,) + x.shape)
+    h = jnp.broadcast_to(x_c[None], (k,) + x_c.shape)
     for i, layer in enumerate(params):
+        W, b = layer["weight"], layer["bias"]
+        if mixed:
+            W, b = W.astype(cdt), b.astype(cdt)
         # [k,b,i] x [k,o,i] -> [k,b,o]: one batched contraction on the MXU
         h = (
             jax.lax.dot_general(
                 h,
-                layer["weight"],
+                W,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=h.dtype,
                 precision=matmul_precision(),
             )
-            + layer["bias"][:, None, :]
+            + b[:, None, :]
         )
         if i < n - 1:
             h = act(h)
     # [k, b, d_out] -> [b, k * d_out] with per-head blocks contiguous
     h = jnp.transpose(h, (1, 0, 2))
     h = h.reshape(h.shape[0], -1)
+    if mixed:
+        h = h.astype(x.dtype)
     return h[0] if squeeze else h
 
 

@@ -200,7 +200,9 @@ def _finalize(task, plan: _Plan, train_ms, test_ms, per_epoch_time):
     task.epoch_times = [per_epoch_time] * epochs
 
 
-def train_replica_ensemble(tasks: Sequence, mesh=None) -> None:
+def train_replica_ensemble(
+    tasks: Sequence, mesh=None, compute_dtype: str | None = None
+) -> None:
     """Train R same-shaped task replicas in one vmapped program.
 
     Supports all three task families (:class:`EigenFunctionTask`,
@@ -226,8 +228,22 @@ def train_replica_ensemble(tasks: Sequence, mesh=None) -> None:
             not themselves shard over a mesh (one lever at a time —
             combine ensembles with data sharding deliberately via
             per-task ``mesh=`` instead).
+        compute_dtype: optional activation dtype for this run
+            ('bfloat16' | 'float32'); temporarily overrides
+            ``config.set_compute_dtype`` (see
+            :func:`train_hyperparameter_sweep`).
     """
-    from ..config import matmul_precision
+    if compute_dtype is not None:
+        from ..config import compute_dtype_name, set_compute_dtype
+
+        prev = compute_dtype_name()
+        set_compute_dtype(compute_dtype)
+        try:
+            return train_replica_ensemble(tasks, mesh=mesh)
+        finally:
+            set_compute_dtype(prev)
+
+    from ..config import numerics_key
 
     assert len(tasks) >= 1
     t0_task = tasks[0]
@@ -282,7 +298,7 @@ def train_replica_ensemble(tasks: Sequence, mesh=None) -> None:
 
     epochs = t0_task.num_epochs
     key = (
-        "replica", type(t0_task).__name__, epochs, matmul_precision(),
+        "replica", type(t0_task).__name__, epochs, numerics_key(),
         static,
     )
     ens_fn = _ensemble_fn(plans[0].impl, key)
@@ -364,7 +380,8 @@ def adopt_sweep_result(task, result: SweepResult):
 
 
 def train_hyperparameter_sweep(
-    task, grid: dict, models=None, chunk_size: int | None = None, mesh=None
+    task, grid: dict, models=None, chunk_size: int | None = None, mesh=None,
+    compute_dtype: str | None = None,
 ) -> list:
     """Train R hyperparameter variants of one task as a single vmapped
     program, sharing the task's device-placed batch data across all
@@ -408,12 +425,32 @@ def train_hyperparameter_sweep(
             batch data is replicated to every device. R (or chunk_size)
             must divide by the mesh size. The task must not itself shard
             its data over a mesh.
+        compute_dtype: optional activation dtype for this sweep
+            ('bfloat16' | 'float32'); temporarily overrides
+            ``config.set_compute_dtype``. Sweeps at dipeptide scale are
+            HBM-bandwidth-bound on activation traffic, and 'bfloat16'
+            mixed precision (f32 master weights, bf16 activations)
+            measured ~2x the device throughput with ~1e-2 relative loss
+            noise — ample for ranking grid points; fine-tune the adopted
+            winner at float32 (benchmarks/RESULTS.md round 3).
 
     Returns:
         list of R :class:`SweepResult`, in grid order. The task itself is
         NOT mutated.
     """
-    from ..config import matmul_precision
+    if compute_dtype is not None:
+        from ..config import compute_dtype_name, set_compute_dtype
+
+        prev = compute_dtype_name()
+        set_compute_dtype(compute_dtype)
+        try:
+            return train_hyperparameter_sweep(
+                task, grid, models=models, chunk_size=chunk_size, mesh=mesh
+            )
+        finally:
+            set_compute_dtype(prev)
+
+    from ..config import numerics_key
     from ..core.regautoencoder import RegAutoEncoderTask, _EPS
     from ..core.task import TrainingTask
 
@@ -510,7 +547,7 @@ def train_hyperparameter_sweep(
     model_e = _stack_trees(models)
     lrs_arr = jnp.asarray([float(v) for v in lrs])
     init_key = (
-        "sweep_init", type(task).__name__, matmul_precision(),
+        "sweep_init", type(task).__name__, numerics_key(),
         task._static_config(),
     )
     init_fn = _ENSEMBLE_FN_CACHE.get(init_key)
@@ -554,7 +591,7 @@ def train_hyperparameter_sweep(
 
     epochs = task.num_epochs
     key = (
-        "sweep", type(task).__name__, epochs, matmul_precision(),
+        "sweep", type(task).__name__, epochs, numerics_key(),
         task._static_config(),
     )
     ens_fn = _ensemble_fn(plan.impl, key, in_axes=in_axes)
