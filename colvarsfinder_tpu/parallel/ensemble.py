@@ -73,8 +73,82 @@ def _ensemble_fn(impl, cache_key, in_axes=0):
     return fn
 
 
+#: per stacked leaf: stack on host below this, on device above (a host
+#: round-trip of per-replica trajectory data would dwarf dispatch savings)
+_HOST_STACK_LIMIT_BYTES = 4 << 20
+
+
+def _leaf_nbytes(x) -> int:
+    shape = np.shape(x)
+    dtype = getattr(x, "dtype", None) or np.asarray(x).dtype
+    return int(np.prod(shape, dtype=np.int64)) * np.dtype(dtype).itemsize
+
+
 def _stack_trees(trees):
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+    """Stack R same-structure pytrees along a new leading axis.
+
+    ``jnp.stack`` over R device arrays issues R expand_dims dispatches
+    per leaf — ~0.3 ms each through the TPU tunnel, so stacking 64
+    replicas' model+optimizer leaves costs ~0.5 s of pure dispatch
+    (measured, benchmarks/sweep_profile.py). Small leaves are instead
+    fetched in ONE bulk device_get, stacked in numpy on the host, and
+    re-placed in one transfer per leaf; large leaves (per-replica
+    trajectory data in train_replica_ensemble) keep the on-device path.
+    """
+    R = len(trees)
+    if R == 1:
+        return jax.tree_util.tree_map(lambda x: jnp.stack([x]), trees[0])
+    leaves0, treedef = jax.tree_util.tree_flatten(trees[0])
+    all_leaves = [leaves0] + [
+        jax.tree_util.tree_flatten(t)[0] for t in trees[1:]
+    ]
+    n = len(leaves0)
+    small = [
+        i for i in range(n)
+        if _leaf_nbytes(leaves0[i]) * R <= _HOST_STACK_LIMIT_BYTES
+    ]
+    small_set = set(small)
+    host = (
+        jax.device_get([[lv[i] for i in small] for lv in all_leaves])
+        if small else []
+    )
+    out = [None] * n
+    for j, i in enumerate(small):
+        out[i] = jnp.asarray(np.stack([host[r][j] for r in range(R)]))
+    for i in range(n):
+        if i not in small_set:
+            out[i] = jnp.stack([lv[i] for lv in all_leaves])
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _bulk_get(tree):
+    """``jax.device_get`` with one transfer per dtype instead of one per
+    leaf: each small-array fetch costs ~17 ms of tunnel latency (33
+    leaves ≈ 0.6 s per sweep, benchmarks/sweep_profile.py). Leaves are
+    raveled and concatenated on device by dtype group, fetched, and
+    split/reshaped in numpy on the host."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if len(leaves) <= 2:
+        return jax.device_get(tree)
+    groups: dict = {}
+    for i, leaf in enumerate(leaves):
+        groups.setdefault(np.dtype(leaf.dtype).name, []).append(i)
+    out = [None] * len(leaves)
+    for idxs in groups.values():
+        packed = jax.device_get(
+            _pack_leaves([leaves[i] for i in idxs])
+        )
+        off = 0
+        for i in idxs:
+            size = int(np.prod(np.shape(leaves[i]), dtype=np.int64))
+            out[i] = packed[off:off + size].reshape(np.shape(leaves[i]))
+            off += size
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+@jax.jit
+def _pack_leaves(xs):
+    return jnp.concatenate([x.ravel() for x in xs])
 
 
 def _index_tree(tree, r):
@@ -312,7 +386,7 @@ def train_replica_ensemble(
     # one bulk fetch; per-replica trees are then sliced on the host (the
     # tasks' model/opt_state leaves become numpy arrays — re-placed on
     # device automatically at next use)
-    model_e, opt_e, test_ms = jax.device_get((model_e, opt_e, test_ms))
+    model_e, opt_e, test_ms = _bulk_get((model_e, opt_e, test_ms))
 
     for r, (t, p) in enumerate(zip(tasks, plans)):
         t.model = _index_tree(model_e, r)
@@ -605,7 +679,7 @@ def train_hyperparameter_sweep(
     # device indexing costs R x n_leaves tiny dispatches through the
     # tunnel (~4 s at R=64), dwarfing the training itself. Result leaves
     # are host numpy arrays (documented in SweepResult).
-    model_e, opt_e, test_ms = jax.device_get((model_e, opt_e, test_ms))
+    model_e, opt_e, test_ms = _bulk_get((model_e, opt_e, test_ms))
 
     results = []
     n_metrics = len(plan.loss_names)

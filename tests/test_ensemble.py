@@ -484,3 +484,60 @@ def test_replica_ensemble_mesh_sharded(tmp_path):
     train_replica_ensemble(sharded, mesh=make_data_mesh())
     for a, b in zip(plain, sharded):
         _assert_match(a, b)
+
+
+def test_stack_trees_host_and_device_paths():
+    """_stack_trees must produce identical results for small leaves
+    (host-stacked: one bulk fetch + numpy stack) and large leaves
+    (device jnp.stack), including mixed trees."""
+    import jax.numpy as jnp
+
+    from colvarsfinder_tpu.parallel import ensemble as ens
+
+    rng = np.random.default_rng(0)
+    big_n = ens._HOST_STACK_LIMIT_BYTES // 4 + 16  # f32 count above limit
+    trees = [
+        {
+            "small": jnp.asarray(rng.standard_normal(7).astype(np.float32)),
+            "scalar": float(r),
+            "int": jnp.arange(3) + r,
+            "big": jnp.full((big_n,), float(r), jnp.float32),
+        }
+        for r in range(3)
+    ]
+    stacked = ens._stack_trees(trees)
+    assert stacked["small"].shape == (3, 7)
+    assert stacked["big"].shape == (3, big_n)
+    for r in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(stacked["small"][r]), np.asarray(trees[r]["small"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(stacked["int"][r]), np.asarray(trees[r]["int"])
+        )
+        assert float(stacked["scalar"][r]) == float(r)
+        assert float(stacked["big"][r, 0]) == float(r)
+
+
+def test_bulk_get_matches_device_get():
+    """_bulk_get (one packed transfer per dtype) must equal per-leaf
+    jax.device_get for mixed-dtype, mixed-shape pytrees."""
+    import jax
+    import jax.numpy as jnp
+
+    from colvarsfinder_tpu.parallel.ensemble import _bulk_get
+
+    rng = np.random.default_rng(1)
+    tree = {
+        "a": jnp.asarray(rng.standard_normal((4, 5)).astype(np.float32)),
+        "b": (jnp.arange(6, dtype=jnp.int32).reshape(2, 3),
+              jnp.asarray(rng.standard_normal(3).astype(np.float32))),
+        "c": jnp.asarray(2.5, jnp.float32),
+    }
+    got = _bulk_get(tree)
+    want = jax.device_get(tree)
+    for g, w in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        assert isinstance(g, np.ndarray)
+        assert g.dtype == w.dtype
+        np.testing.assert_array_equal(g, w)
