@@ -165,7 +165,9 @@ def test_precision_change_recompiles_epoch_fns(tmp_path):
         fn_default = task._get_multi_epoch_fn(1, True)
         # different precision -> different compiled program
         assert fn_highest is not fn_default
-        precisions = {k[1] for k in ae_mod._EPOCH_FN_CACHE if k[0] == 1}
+        # cache keys carry the full numerics fingerprint
+        # (precision, compute_dtype) — see config.numerics_key()
+        precisions = {k[1][0] for k in ae_mod._EPOCH_FN_CACHE if k[0] == 1}
         assert {jax.lax.Precision.HIGHEST,
                 jax.lax.Precision.DEFAULT} <= precisions
     finally:
