@@ -203,8 +203,35 @@ def bench_reference(ref, traj_np, weights_np):
     return sps
 
 
+def _backend_watchdog(delay_s=300):
+    """Print a diagnostic if backend init stalls (a killed TPU-tunnel
+    client can wedge the chip grant; see CLAUDE.md 'ONE TPU process at
+    a time'). Purely informational — cancelled once jax.devices()
+    returns."""
+    import threading
+
+    cancel = threading.Event()
+
+    def warn():
+        if not cancel.wait(delay_s):
+            log(
+                f"bench: still waiting for the accelerator backend after "
+                f"{delay_s}s — the TPU tunnel may be wedged or down "
+                f"(stale chip grant / dead relay); this is an "
+                f"environment condition, not a framework hang."
+            )
+
+    threading.Thread(target=warn, daemon=True).start()
+    return cancel
+
+
 def main():
     ref, traj, weights = make_data()
+    watchdog = _backend_watchdog()
+    import jax
+
+    jax.devices()  # force backend init under the watchdog
+    watchdog.set()
     jax_sps = bench_jax(ref, traj, weights)
     baseline_file = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json"
