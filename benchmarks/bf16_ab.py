@@ -122,7 +122,7 @@ def main():
         log(f"{mode}: compiled + warm run in {time.perf_counter()-t0:.1f}s")
         runs[mode] = [train_run, model, opt_state, None, float("inf")]
 
-    final_losses = {}
+    last_losses = {}
     for rep in range(bench.MEASURE_REPS):
         for mode, st in runs.items():
             train_run, model, opt_state, _, best = st
@@ -134,7 +134,7 @@ def main():
             dt = time.perf_counter() - t0
             st[1], st[2] = model, opt_state
             st[4] = min(best, dt)
-            final_losses[mode] = float(losses[-1])
+            last_losses[mode] = losses
             steps = n_epochs * nb
             log(f"rep{rep} {mode:9s} {dt/steps*1e3:7.4f} ms/step "
                 f"({steps*bench.BATCH/dt/1e6:6.1f}M sps, "
@@ -143,8 +143,10 @@ def main():
     steps = n_epochs * nb
     f32 = runs["float32"][4] / steps
     b16 = runs["bfloat16"][4] / steps
-    rel = abs(final_losses["bfloat16"] - final_losses["float32"]) / abs(
-        final_losses["float32"]
+    # the two modes train INDEPENDENT models, so compare the whole
+    # per-epoch loss trajectory of the last rep, not one noisy endpoint
+    traj = np.abs(last_losses["bfloat16"] - last_losses["float32"]) / (
+        np.abs(last_losses["float32"]) + 1e-12
     )
     print(f'{{"metric": "single-task transfer-op step, bf16 vs f32", '
           f'"f32_ms_per_step": {f32*1e3:.4f}, '
@@ -152,7 +154,8 @@ def main():
           f'"speedup": {f32/b16:.3f}, '
           f'"f32_sps": {bench.BATCH/f32:.0f}, '
           f'"bf16_sps": {bench.BATCH/b16:.0f}, '
-          f'"final_loss_rel_diff": {rel:.2e}}}')
+          f'"loss_traj_rel_diff_median": {float(np.median(traj)):.2e}, '
+          f'"loss_traj_rel_diff_max": {float(np.max(traj)):.2e}}}')
 
 
 if __name__ == "__main__":
