@@ -46,7 +46,12 @@ import numpy as np
 
 from ..logging_utils import losses_to_dataframe
 
-__all__ = ["train_replica_ensemble", "train_hyperparameter_sweep"]
+__all__ = [
+    "train_replica_ensemble",
+    "train_hyperparameter_sweep",
+    "SweepResult",
+    "adopt_sweep_result",
+]
 
 # vmapped+jitted ensemble programs, shared across calls (same task family
 # + static config -> same compiled program; jax.jit handles new
