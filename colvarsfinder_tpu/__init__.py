@@ -22,7 +22,7 @@ Layer map (mirrors SURVEY.md §1, rebuilt TPU-first):
 
 __version__ = "0.1.0"
 
-from . import config, core, models, ops, parallel, utils
+from . import config, core, models, ops, parallel, tune, utils
 from .checkpoint import load_torch_state_dict, save_torch_state_dict
 from .core import (
     AutoEncoderTask,
@@ -52,6 +52,7 @@ __all__ = [
     "models",
     "ops",
     "parallel",
+    "tune",
     "utils",
     "ColvarModel",
     "export_colvar",

@@ -326,7 +326,10 @@ class TrainingTask(ABC):
     def _print_train_banner(self, train_b: np.ndarray, test_b: np.ndarray):
         """Print the pre-training summary shared by all tasks (the reference
         printed an equivalent block at the top of each train(); this is the
-        framework's own wording)."""
+        framework's own wording). Suppressed when ``verbose=False`` so
+        repeated train() calls (autotuning, sweeps) stay quiet."""
+        if not self.verbose:
+            return
         nb_tr, bs_tr = train_b.shape
         nb_te, bs_te = test_b.shape
         print(
