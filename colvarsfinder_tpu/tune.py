@@ -124,12 +124,23 @@ def autotune(
 
     entries = []  # (overrides, cfg, ctor, task, best_s, last_loss)
     try:
-        for ov in variants:
+        for i, ov in enumerate(variants):
             cfg, ctor = _split(ov)
             _apply_config(cfg)
-            task = task_factory(**ctor)
-            t0 = time.perf_counter()
-            task.train()  # compile + warmup (excluded from timing)
+            try:
+                task = task_factory(**ctor)
+                t0 = time.perf_counter()
+                task.train()  # compile + warmup (excluded from timing)
+            except Exception as e:  # noqa: BLE001 — a variant may be
+                # unsupported for this workload (e.g. fused_step's shape
+                # caps); skip it rather than losing the whole tune. The
+                # baseline variant must work: it defines the speedup
+                # reference and a broken baseline means the factory
+                # itself is broken.
+                if i == 0:
+                    raise
+                _log(f"{ov}: SKIPPED ({type(e).__name__}: {e})")
+                continue
             _log(f"{ov or '{baseline}'}: compiled+warm "
                  f"in {time.perf_counter() - t0:.1f}s")
             entries.append([ov, cfg, ctor, task, float("inf"), float("nan")])

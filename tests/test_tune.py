@@ -93,3 +93,28 @@ def test_autotune_apply_config(tmp_path):
 def test_default_variants_shape():
     assert DEFAULT_VARIANTS[0] == {}
     assert all(isinstance(v, dict) for v in DEFAULT_VARIANTS)
+
+
+def test_autotune_skips_failing_variant(tmp_path):
+    base_factory = _factory(tmp_path)
+
+    def factory(**overrides):
+        if overrides.get("boom"):
+            raise RuntimeError("unsupported variant")
+        overrides.pop("boom", None)
+        return base_factory(**overrides)
+
+    results = autotune(
+        factory, [{}, {"boom": True}, {"matmul_precision": "default"}],
+        reps=1, verbose=False,
+    )
+    assert len(results) == 2
+    assert all(not r.overrides.get("boom") for r in results)
+
+
+def test_autotune_failing_baseline_raises(tmp_path):
+    def factory(**overrides):
+        raise RuntimeError("factory broken")
+
+    with pytest.raises(RuntimeError, match="factory broken"):
+        autotune(factory, [{}], reps=1, verbose=False)
