@@ -11,7 +11,14 @@ Workload: the headline dipeptide transfer-op config (bench.py) — 120k
 frames, d_r=30 features after Kabsch+position preprocessing, k=2 heads
 [30,20,20,20,1], batch 20k, 12 epochs (60 steps) per replica.
 
-Usage: python benchmarks/sweep_bench.py [R] [--gen] [--bf16]
+Usage: python benchmarks/sweep_bench.py [R] [--gen] [--bf16] [--style=S]
+
+``--style=acc32|w32|pure`` selects the bf16 arithmetic style (with
+--bf16; default pure). acc32 keeps bf16 activation traffic but
+accumulates matmuls in f32 (config.set_bf16_style); this flag exists to
+measure whether tighter per-pass arithmetic buys sweep-window parity
+worth its throughput cost (single-task data: benchmarks/bf16_modes_ab.py
+— pure 2.23x/acc32 1.17x per step).
 
 ``--gen`` sweeps the GENERATOR loss instead of the transfer-op loss —
 the per-replica step then runs the Gram path (losses pp_gram; the
@@ -28,9 +35,12 @@ sys.path.insert(0, ".")  # repo root (bench.py)
 
 import bench  # noqa: E402  (dipeptide-scale data + constants)
 
-argv = [a for a in sys.argv[1:] if a not in ("--gen", "--bf16")]
+argv = [a for a in sys.argv[1:]
+        if a not in ("--gen", "--bf16") and not a.startswith("--style=")]
 GEN = "--gen" in sys.argv[1:]
 BF16 = "--bf16" in sys.argv[1:]  # bfloat16 mixed-precision sweep mode
+STYLE = next((a.split("=", 1)[1] for a in sys.argv[1:]
+              if a.startswith("--style=")), "pure")
 R = int(argv[0]) if argv else 64
 EPOCHS = 12  # 60 steps/replica, matching bench.py's measure window
 
@@ -101,14 +111,16 @@ def main():
     t0 = time.perf_counter()
     results = train_hyperparameter_sweep(
         task, grid, models=models,
-        compute_dtype="bfloat16" if BF16 else None)
+        compute_dtype="bfloat16" if BF16 else None,
+        bf16_style=STYLE if BF16 else None)
     _ = np.asarray(results[-1].train_loss_df.to_numpy())
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     results = train_hyperparameter_sweep(
         task, grid, models=models,
-        compute_dtype="bfloat16" if BF16 else None)
+        compute_dtype="bfloat16" if BF16 else None,
+        bf16_style=STYLE if BF16 else None)
     finals = [float(r.train_loss_df["loss"].iloc[-1]) for r in results]
     sweep_s = time.perf_counter() - t0
     sweep_sps = R * samples_per_replica / sweep_s
@@ -154,8 +166,9 @@ def main():
     tflops = sweep_sps * flops_per_sample / 1e12
     kind = "generator (gram path)" if GEN else "transfer-op"
     if BF16:
-        kind += " bf16"  # parity vs the f32 sequential sweep is then
-        # the mixed-precision error (~1e-2), not a bug
+        kind += f" bf16/{STYLE}"  # parity vs the f32 sequential sweep is
+        # then the mixed-precision trajectory drift, not a bug (measured
+        # pure ~1e-0 over the 60-step window)
 
     print(
         f'{{"metric": "{R}-replica {kind} lr x alpha sweep aggregate '

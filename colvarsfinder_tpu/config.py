@@ -137,6 +137,55 @@ def compute_dtype():
     return jnp.bfloat16 if _COMPUTE_DTYPE == "bfloat16" else jnp.float32
 
 
+_BF16_STYLE = "pure"
+
+_BF16_STYLES = ("pure", "acc32", "w32")
+
+
+def set_bf16_style(style: str) -> None:
+    """Select the arithmetic style of the bfloat16 compute mode.
+
+    Only meaningful while ``set_compute_dtype('bfloat16')`` is active;
+    activations are stored bfloat16 in every style (that is where the
+    HBM-traffic saving lives — [batch, width] tensors), the styles differ
+    in what else is rounded:
+
+    - ``'pure'``: weights cast to bf16, matmuls accumulate in bf16.
+      Fastest, noisiest (the original bf16 mode).
+    - ``'acc32'``: weights cast to bf16, matmuls accumulate in float32
+      (the MXU's native bf16xbf16->f32 path) and the activation function
+      is evaluated in float32 before re-quantizing. Removes the
+      accumulation error from each forward/backward pass.
+    - ``'w32'``: weights stay float32 (master weights are tiny — [30,20]
+      — so their traffic is negligible) and activations are upcast at the
+      contraction, which runs at the configured matmul precision. Only
+      remaining rounding is the bf16 activation storage itself.
+
+    Measured tradeoff (benchmarks/bf16_modes_ab.py, headline transfer-op
+    step on TPU): per-step speedup vs float32 is ``pure`` 2.23x,
+    ``acc32`` 1.17x, ``w32`` 1.11x — the f32 accumulation/activation
+    path gives back most of pure's win. acc32/w32 tighten *per-pass*
+    numerics (strictly smaller forward error than pure,
+    tests/test_compute_dtype.py), but over long training windows every
+    bf16 style's loss trajectory drifts from f32 comparably (median
+    ~18-33% at 3000 steps — trajectory divergence is chaotic
+    sensitivity, not per-step error). Default therefore stays 'pure':
+    if you pay the bf16 noise at all, take the full 2.2x; fine-tune
+    winners at float32 either way (docs/performance.md).
+    """
+    global _BF16_STYLE
+    if style not in _BF16_STYLES:
+        raise ValueError(
+            f"unknown bf16 style {style!r}; expected one of {_BF16_STYLES}"
+        )
+    _BF16_STYLE = style
+
+
+def bf16_style() -> str:
+    """Current bfloat16-mode arithmetic style ('pure' | 'acc32' | 'w32')."""
+    return _BF16_STYLE
+
+
 def compute_dtype_name() -> str:
     """Current activation compute dtype as its string name."""
     return _COMPUTE_DTYPE
@@ -144,5 +193,6 @@ def compute_dtype_name() -> str:
 
 def numerics_key() -> tuple:
     """Hashable fingerprint of the numerics configuration, for compiled-
-    program cache keys (contraction precision + activation dtype)."""
-    return (_PRECISION, _COMPUTE_DTYPE)
+    program cache keys (contraction precision + activation dtype + bf16
+    style)."""
+    return (_PRECISION, _COMPUTE_DTYPE, _BF16_STYLE)

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import compute_dtype, default_dtype, matmul_precision
+from ..config import bf16_style, compute_dtype, default_dtype, matmul_precision
 
 __all__ = [
     "ACTIVATIONS",
@@ -144,14 +144,34 @@ def mlp_apply(params: Sequence[dict], x: jnp.ndarray, activation: str) -> jnp.nd
     n = len(params)
     cdt = compute_dtype()
     mixed = cdt != jnp.float32 and x.dtype == jnp.float32
+    style = bf16_style() if mixed else "pure"
     h = x.astype(cdt) if mixed else x
     for i, layer in enumerate(params):
         W, b = layer["weight"], layer["bias"]
         if mixed:
-            W, b = W.astype(cdt), b.astype(cdt)
-        h = jnp.matmul(h, W.T, precision=matmul_precision()) + b
+            if style == "w32":
+                # f32 master weights enter the dot unrounded; the stored
+                # bf16 activation upcasts exactly, so the contraction runs
+                # at full matmul precision and only the activation storage
+                # is quantized
+                h = h.astype(x.dtype)
+            else:
+                # bf16 operands; 'acc32' accumulates in f32 (MXU-native
+                # bf16xbf16->f32) and keeps the bias-add + activation f32
+                W = W.astype(cdt)
+                b = b if style == "acc32" else b.astype(cdt)
+        pref = cdt if (mixed and style == "pure") else x.dtype
+        h = (
+            jnp.matmul(
+                h, W.T, precision=matmul_precision(),
+                preferred_element_type=pref,
+            )
+            + b
+        )
         if i < n - 1:
             h = act(h)
+            if mixed and style != "pure":
+                h = h.astype(cdt)  # re-quantize for the next layer's read
     return h.astype(x.dtype) if mixed else h
 
 
@@ -206,6 +226,7 @@ def stacked_mlp_apply(
         x = x[None]
     cdt = compute_dtype()
     mixed = cdt != jnp.float32 and x.dtype == jnp.float32
+    style = bf16_style() if mixed else "pure"
     if mixed:
         x_c = x.astype(cdt)
     else:
@@ -215,20 +236,32 @@ def stacked_mlp_apply(
     for i, layer in enumerate(params):
         W, b = layer["weight"], layer["bias"]
         if mixed:
-            W, b = W.astype(cdt), b.astype(cdt)
+            if style == "w32":
+                # f32 master weights, exact bf16->f32 activation upcast:
+                # contraction at full matmul precision, only the activation
+                # storage is quantized (see config.set_bf16_style)
+                h = h.astype(x.dtype)
+            else:
+                # bf16 operands; 'acc32' accumulates in f32 (MXU-native
+                # bf16xbf16->f32) and keeps the bias-add + activation f32
+                W = W.astype(cdt)
+                b = b if style == "acc32" else b.astype(cdt)
+        pref = cdt if (mixed and style == "pure") else x.dtype
         # [k,b,i] x [k,o,i] -> [k,b,o]: one batched contraction on the MXU
         h = (
             jax.lax.dot_general(
                 h,
                 W,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=h.dtype,
+                preferred_element_type=pref,
                 precision=matmul_precision(),
             )
             + b[:, None, :]
         )
         if i < n - 1:
             h = act(h)
+            if mixed and style != "pure":
+                h = h.astype(cdt)  # re-quantize for the next layer's read
     # [k, b, d_out] -> [b, k * d_out] with per-head blocks contiguous
     h = jnp.transpose(h, (1, 0, 2))
     h = h.reshape(h.shape[0], -1)

@@ -280,7 +280,8 @@ def _finalize(task, plan: _Plan, train_ms, test_ms, per_epoch_time):
 
 
 def train_replica_ensemble(
-    tasks: Sequence, mesh=None, compute_dtype: str | None = None
+    tasks: Sequence, mesh=None, compute_dtype: str | None = None,
+    bf16_style: str | None = None,
 ) -> None:
     """Train R same-shaped task replicas in one vmapped program.
 
@@ -311,16 +312,24 @@ def train_replica_ensemble(
             ('bfloat16' | 'float32'); temporarily overrides
             ``config.set_compute_dtype`` (see
             :func:`train_hyperparameter_sweep`).
+        bf16_style: optional bfloat16 arithmetic style ('pure' | 'acc32'
+            | 'w32') applied alongside ``compute_dtype='bfloat16'``; see
+            :func:`colvarsfinder_tpu.config.set_bf16_style`.
     """
-    if compute_dtype is not None:
-        from ..config import compute_dtype_name, set_compute_dtype
+    if compute_dtype is not None or bf16_style is not None:
+        from .. import config as _cfg
 
-        prev = compute_dtype_name()
-        set_compute_dtype(compute_dtype)
+        prev = _cfg.compute_dtype_name()
+        prev_style = _cfg.bf16_style()
+        if compute_dtype is not None:
+            _cfg.set_compute_dtype(compute_dtype)
+        if bf16_style is not None:
+            _cfg.set_bf16_style(bf16_style)
         try:
             return train_replica_ensemble(tasks, mesh=mesh)
         finally:
-            set_compute_dtype(prev)
+            _cfg.set_compute_dtype(prev)
+            _cfg.set_bf16_style(prev_style)
 
     from ..config import numerics_key
 
@@ -460,7 +469,7 @@ def adopt_sweep_result(task, result: SweepResult):
 
 def train_hyperparameter_sweep(
     task, grid: dict, models=None, chunk_size: int | None = None, mesh=None,
-    compute_dtype: str | None = None,
+    compute_dtype: str | None = None, bf16_style: str | None = None,
 ) -> list:
     """Train R hyperparameter variants of one task as a single vmapped
     program, sharing the task's device-placed batch data across all
@@ -512,22 +521,36 @@ def train_hyperparameter_sweep(
             measured ~2x the device throughput with ~1e-2 relative loss
             noise — ample for ranking grid points; fine-tune the adopted
             winner at float32 (benchmarks/RESULTS.md round 3).
+        bf16_style: optional bfloat16 arithmetic style ('pure' | 'acc32'
+            | 'w32') applied alongside ``compute_dtype='bfloat16'``.
+            'acc32' accumulates matmuls in float32 (the MXU's native
+            bf16xbf16->f32 path), tightening per-pass numerics at the
+            cost of most of pure's speedup (1.17x vs 2.23x per step on
+            TPU); long-window loss trajectories drift under every style,
+            so rank with 'pure' and fine-tune winners at float32 unless
+            per-step arithmetic fidelity itself matters. See
+            :func:`colvarsfinder_tpu.config.set_bf16_style`.
 
     Returns:
         list of R :class:`SweepResult`, in grid order. The task itself is
         NOT mutated.
     """
-    if compute_dtype is not None:
-        from ..config import compute_dtype_name, set_compute_dtype
+    if compute_dtype is not None or bf16_style is not None:
+        from .. import config as _cfg
 
-        prev = compute_dtype_name()
-        set_compute_dtype(compute_dtype)
+        prev = _cfg.compute_dtype_name()
+        prev_style = _cfg.bf16_style()
+        if compute_dtype is not None:
+            _cfg.set_compute_dtype(compute_dtype)
+        if bf16_style is not None:
+            _cfg.set_bf16_style(bf16_style)
         try:
             return train_hyperparameter_sweep(
                 task, grid, models=models, chunk_size=chunk_size, mesh=mesh
             )
         finally:
-            set_compute_dtype(prev)
+            _cfg.set_compute_dtype(prev)
+            _cfg.set_bf16_style(prev_style)
 
     from ..config import numerics_key
     from ..core.regautoencoder import RegAutoEncoderTask, _EPS

@@ -46,7 +46,7 @@ from . import config
 __all__ = ["autotune", "TuneResult", "DEFAULT_VARIANTS"]
 
 #: config-level override keys (everything else goes to the factory)
-_CONFIG_KEYS = ("matmul_precision", "compute_dtype")
+_CONFIG_KEYS = ("matmul_precision", "compute_dtype", "bf16_style")
 
 #: the standard knob grid: baseline, fast matmuls, bf16 activations,
 #: and both combined. Constructor-level knobs (prebatch, gram_pp,
@@ -86,6 +86,8 @@ def _apply_config(cfg: dict) -> None:
         config.set_matmul_precision(cfg["matmul_precision"])
     if "compute_dtype" in cfg:
         config.set_compute_dtype(cfg["compute_dtype"])
+    if "bf16_style" in cfg:
+        config.set_bf16_style(cfg["bf16_style"])
 
 
 def autotune(
@@ -117,6 +119,7 @@ def autotune(
     variants = [dict(v) for v in variants]
     prev_precision = config.matmul_precision()
     prev_cdt = config.compute_dtype_name()
+    prev_style = config.bf16_style()
 
     def _log(*a):
         if verbose:
@@ -161,6 +164,7 @@ def autotune(
     finally:
         config.set_matmul_precision(prev_precision)
         config.set_compute_dtype(prev_cdt)
+        config.set_bf16_style(prev_style)
 
     base_s = entries[0][4]
     results = [

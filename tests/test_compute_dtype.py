@@ -31,6 +31,7 @@ COMMON = dict(
 def _restore_mode():
     yield
     config.set_compute_dtype("float32")
+    config.set_bf16_style("pure")
 
 
 def _traj(seed, n=256, d=2):
@@ -86,6 +87,62 @@ def test_stacked_mlp_apply_mixed_precision():
     assert y16.dtype == np.float32
     np.testing.assert_allclose(y16, y32, atol=3e-2, rtol=3e-2)
     assert np.any(y16 != y32)
+
+
+def test_bf16_style_validation():
+    with pytest.raises(ValueError):
+        config.set_bf16_style("fp8")
+    config.set_bf16_style("acc32")
+    assert config.bf16_style() == "acc32"
+    assert config.numerics_key()[2] == "acc32"
+
+
+@pytest.mark.parametrize("apply_stacked", [False, True])
+def test_bf16_styles_tighten_numerics(apply_stacked):
+    """'acc32' (f32 accumulation) and 'w32' (f32 weights too) must land
+    strictly closer to the f32 forward pass than 'pure' — that per-pass
+    ordering is what the styles guarantee. (Long training trajectories
+    still drift under every style — chaotic sensitivity, measured in
+    benchmarks/bf16_modes_ab.py — which is why 'pure' stays the
+    default.)"""
+    if apply_stacked:
+        model = EigenFunctions([6, 16, 16, 1], k=2, seed=5)
+        f = lambda x: np.asarray(stacked_mlp_apply(model.params, x, "tanh"))
+    else:
+        net = create_sequential_nn([6, 16, 16, 3], seed=5)
+        f = lambda x: np.asarray(net(x))
+    x = np.random.default_rng(7).standard_normal((512, 6)).astype(np.float32)
+    y32 = f(x)
+    errs = {}
+    config.set_compute_dtype("bfloat16")
+    for style in ("pure", "acc32", "w32"):
+        config.set_bf16_style(style)
+        y = f(x)
+        assert y.dtype == np.float32
+        errs[style] = float(np.abs(y - y32).max())
+        assert errs[style] > 0  # the mode engaged
+    assert errs["acc32"] < errs["pure"]
+    assert errs["w32"] < errs["pure"]
+
+
+def test_bf16_style_task_cache_isolated(tmp_path):
+    """Flipping the style between train() calls must retrace (numerics_key
+    carries the style), and every style must train finitely and close to
+    the f32 trajectory."""
+    t32 = _task(tmp_path, "sf32")
+    t32.train()
+    l32 = t32.train_loss_df["loss"].to_numpy()
+    config.set_compute_dtype("bfloat16")
+    losses = {}
+    for style in ("pure", "acc32"):
+        config.set_bf16_style(style)
+        t = _task(tmp_path, f"s_{style}")
+        t.train()
+        losses[style] = t.train_loss_df["loss"].to_numpy()
+        assert np.all(np.isfinite(losses[style]))
+        np.testing.assert_allclose(losses[style], l32, rtol=0.1, atol=0.05)
+    # the two styles are genuinely different programs
+    assert not np.array_equal(losses["pure"], losses["acc32"])
 
 
 def test_gradients_stay_float32():
