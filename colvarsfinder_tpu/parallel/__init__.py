@@ -2,6 +2,8 @@
 
 from .ensemble import (
     adopt_sweep_result,
+    explore_then_finetune,
+    train_architecture_ensemble,
     train_hyperparameter_sweep,
     train_replica_ensemble,
 )
@@ -9,6 +11,8 @@ from .mesh import make_data_mesh, replicate, shard_batches, shard_frames
 
 __all__ = [
     "adopt_sweep_result",
+    "explore_then_finetune",
+    "train_architecture_ensemble",
     "make_data_mesh",
     "replicate",
     "shard_batches",

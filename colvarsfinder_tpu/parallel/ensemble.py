@@ -51,6 +51,9 @@ __all__ = [
     "train_hyperparameter_sweep",
     "SweepResult",
     "adopt_sweep_result",
+    "ExploreResult",
+    "explore_then_finetune",
+    "train_architecture_ensemble",
 ]
 
 # vmapped+jitted ensemble programs, shared across calls (same task family
@@ -742,3 +745,202 @@ def train_hyperparameter_sweep(
             )
         )
     return results
+
+
+# ---------------------------------------------------------------------------
+# explore (bf16 sweep) -> adopt winner -> fine-tune (f32): one call
+# ---------------------------------------------------------------------------
+
+
+class ExploreResult(NamedTuple):
+    """Outcome of :func:`explore_then_finetune`.
+
+    ``results`` is the full sweep (grid order, as from
+    :func:`train_hyperparameter_sweep`); ``best_index`` indexes the
+    replica that was adopted and fine-tuned; ``best_hyperparams`` is its
+    grid point. After the call the *task itself* holds the fine-tuned
+    model — its ``train_loss_df`` / ``colvar_model()`` / ``save_model()``
+    surface reflects the float32 fine-tune run.
+    """
+
+    results: list
+    best_index: int
+    best_hyperparams: dict
+
+
+def explore_then_finetune(
+    task, grid: dict, *, models=None, metric: str = "train",
+    finetune_epochs: int | None = None, compute_dtype: str = "bfloat16",
+    bf16_style: str | None = None, chunk_size: int | None = None,
+    mesh=None,
+) -> ExploreResult:
+    """The documented explore→adopt→fine-tune workflow as one call.
+
+    bfloat16 compute is an exploration mode on TPU: ~2x sweep throughput
+    with a loss-trajectory noise band that is fine for *ranking* grid
+    points but not for the final model (benchmarks/RESULTS.md, bf16
+    characterization). This helper packages the recommended usage
+    (docs/performance.md): sweep ``grid`` under ``compute_dtype``
+    (default bfloat16), pick the replica with the lowest final loss,
+    :func:`adopt_sweep_result` it into ``task``, and continue training
+    the winner at float32 — so the returned model's numerics are
+    full-precision while the grid search ran at exploration speed.
+
+    The reference package has no sweep surface at all (its loop is
+    re-running ``train()``, reference core.py:459); this is the
+    TPU-native replacement for that outer loop.
+
+    Args:
+        task: the task to sweep and fine-tune (any of the three
+            families). Mutated: after the call it holds the fine-tuned
+            winner (model, optimizer state, hyperparameter attributes,
+            loss dataframes).
+        grid: hyperparameter grid, as for
+            :func:`train_hyperparameter_sweep`.
+        models: optional per-replica initial models (as for the sweep).
+        metric: ``'train'`` (default) or ``'test'`` — which final loss
+            ranks the replicas. Falls back to the train loss when the
+            task has no test split.
+        finetune_epochs: epochs for the float32 fine-tune; defaults to
+            the task's own ``num_epochs``.
+        compute_dtype: dtype for the exploration sweep (default
+            ``'bfloat16'``; pass ``'float32'`` for a full-precision
+            sweep when the grid is small enough that speed is moot).
+        bf16_style: optional bf16 arithmetic style for the sweep
+            (:func:`colvarsfinder_tpu.config.set_bf16_style`).
+        chunk_size / mesh: forwarded to the sweep.
+
+    Returns:
+        :class:`ExploreResult`.
+    """
+    results = train_hyperparameter_sweep(
+        task, grid, models=models, chunk_size=chunk_size, mesh=mesh,
+        compute_dtype=compute_dtype, bf16_style=bf16_style,
+    )
+    finals = []
+    for r in results:
+        df = r.test_loss_df if metric == "test" else r.train_loss_df
+        if df is None or len(df) == 0:  # no test split on this task
+            df = r.train_loss_df
+        finals.append(float(df["loss"].iloc[-1]))
+    best = int(np.argmin(finals))
+    adopt_sweep_result(task, results[best])
+
+    from .. import config as _cfg
+
+    prev_dtype = _cfg.compute_dtype_name()
+    prev_epochs = task.num_epochs
+    _cfg.set_compute_dtype("float32")
+    if finetune_epochs is not None:
+        task.num_epochs = int(finetune_epochs)
+    try:
+        task.train()  # continues from the adopted model/opt_state
+    finally:
+        task.num_epochs = prev_epochs
+        _cfg.set_compute_dtype(prev_dtype)
+    return ExploreResult(results, best, dict(results[best].hyperparams))
+
+
+# ---------------------------------------------------------------------------
+# architecture sweep: group vmappable replicas, ensemble each group
+# ---------------------------------------------------------------------------
+
+
+def _arch_group_key(task):
+    """Cheap grouping key for :func:`train_architecture_ensemble`: tasks
+    with equal keys are *candidates* for one vmapped ensemble (the
+    ensemble's own asserts are the authority — a group that still fails
+    them falls back to solo training)."""
+    leaves, treedef = jax.tree_util.tree_flatten(task.model)
+    return (
+        type(task).__name__,
+        task._static_config(),
+        task.num_epochs,
+        task.batch_size,
+        task.test_ratio,
+        treedef,
+        tuple(np.shape(leaf) for leaf in leaves),
+    )
+
+
+def train_architecture_ensemble(
+    tasks: Sequence, *, mesh=None, compute_dtype: str | None = None,
+    bf16_style: str | None = None, verbose: bool = False,
+) -> list:
+    """Train tasks of VARYING architectures, vmapping wherever possible.
+
+    :func:`train_replica_ensemble` requires identical shapes across
+    replicas, so an architecture search (different widths/depths/k)
+    cannot run as one vmapped program. This helper is the architecture-
+    sweep front end: it groups the tasks by vmap compatibility (family,
+    static config, model pytree structure + leaf shapes), trains each
+    multi-task group as one vmapped ensemble, and trains singletons (or
+    groups the ensemble rejects, e.g. for differing data shapes) solo.
+    Every task ends populated exactly as if ``task.train()`` had run —
+    rank architectures by ``task.train_loss_df`` / ``test_loss_df``.
+
+    Seeds are the cheap replica axis: N architectures x S seeds groups
+    into N vmapped programs of S replicas each, since same-architecture
+    tasks differ only in (traced) parameters.
+
+    Args:
+        tasks: the task variants (any mix of the three families and any
+            architectures; same-architecture tasks may differ in model
+            init, data, splits, and traced hyperparameters).
+        mesh: optional ensemble-parallel mesh, applied to groups whose
+            replica count divides the mesh size (others run unsharded —
+            the mesh constraint is per-program).
+        compute_dtype / bf16_style: optional numerics override for the
+            whole sweep (exploration mode; see
+            :func:`train_hyperparameter_sweep`).
+        verbose: print one line per trained group.
+
+    Returns:
+        the ``tasks`` list (trained in place), for chaining.
+    """
+    if compute_dtype is not None or bf16_style is not None:
+        from .. import config as _cfg
+
+        prev = _cfg.compute_dtype_name()
+        prev_style = _cfg.bf16_style()
+        if compute_dtype is not None:
+            _cfg.set_compute_dtype(compute_dtype)
+        if bf16_style is not None:
+            _cfg.set_bf16_style(bf16_style)
+        try:
+            return train_architecture_ensemble(
+                tasks, mesh=mesh, verbose=verbose
+            )
+        finally:
+            _cfg.set_compute_dtype(prev)
+            _cfg.set_bf16_style(prev_style)
+
+    groups: dict = {}
+    for i, t in enumerate(tasks):
+        groups.setdefault(_arch_group_key(t), []).append(i)
+
+    for key, idxs in groups.items():
+        group = [tasks[i] for i in idxs]
+        label = f"{key[0]} group of {len(group)}"
+        if len(group) == 1:
+            if verbose:
+                print(f"[arch-sweep] {label}: solo train()")
+            group[0].train()
+            continue
+        gmesh = (
+            mesh
+            if mesh is not None and len(group) % mesh.devices.size == 0
+            else None
+        )
+        try:
+            train_replica_ensemble(group, mesh=gmesh)
+            if verbose:
+                print(f"[arch-sweep] {label}: one vmapped ensemble")
+        except AssertionError as e:
+            # shapes agreed but traced args didn't (e.g. different
+            # trajectory lengths) — train each solo instead
+            if verbose:
+                print(f"[arch-sweep] {label}: fell back to solo ({e})")
+            for t in group:
+                t.train()
+    return list(tasks)

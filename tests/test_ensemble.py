@@ -541,3 +541,77 @@ def test_bulk_get_matches_device_get():
         assert isinstance(g, np.ndarray)
         assert g.dtype == w.dtype
         np.testing.assert_array_equal(g, w)
+
+
+def test_explore_then_finetune(tmp_path):
+    """explore_then_finetune sweeps the grid (bfloat16 by default), adopts
+    the replica with the lowest final loss, and fine-tunes it at float32:
+    the task ends holding the winner's hyperparameters and a fresh
+    float32 training dataframe, with the global config restored."""
+    from colvarsfinder_tpu import config
+    from colvarsfinder_tpu.parallel import explore_then_finetune
+
+    traj = _traj(11)
+    model = EigenFunctions([2, 10, 1], k=2, seed=0)
+    task = EigenFunctionTask(
+        traj, None, model, str(tmp_path / "etf"),
+        alpha=10.0, eig_weights=[1.0, 0.5], lag_tau=0.2, k=2,
+        learning_rate=0.01, seed=0, **COMMON,
+    )
+    lrs = [0.005, 0.02]
+    res = explore_then_finetune(
+        task, {"learning_rate": lrs, "alpha": [5.0, 40.0]},
+        finetune_epochs=2,
+    )
+    assert len(res.results) == 2
+    finals = [
+        float(r.train_loss_df["loss"].iloc[-1]) for r in res.results
+    ]
+    assert res.best_index == int(np.argmin(finals))
+    assert res.best_hyperparams["learning_rate"] == lrs[res.best_index]
+    # the winner's hyperparameters were adopted into the task
+    assert task.learning_rate == lrs[res.best_index]
+    # the fine-tune ran for the requested epochs and restored num_epochs
+    assert len(task.train_loss_df) == 2
+    assert task.num_epochs == COMMON["num_epochs"]
+    # fine-tune numerics were float32 and the ambient config is restored
+    assert config.compute_dtype_name() == "float32"
+    losses = task.train_loss_df["loss"].to_numpy()
+    assert np.all(np.isfinite(losses))
+    # the fine-tuned model differs from the raw sweep winner (training
+    # continued) but its CV surface still works
+    cv = task.colvar_model()
+    x = np.asarray(traj.trajectory[:4], dtype=np.float32)
+    assert np.asarray(cv(x)).shape == (4, 2)
+
+
+def test_architecture_ensemble(tmp_path):
+    """train_architecture_ensemble groups vmap-compatible tasks and
+    trains each group as one ensemble (singletons solo); every task must
+    come out exactly as if it had been trained individually."""
+    from colvarsfinder_tpu.parallel import train_architecture_ensemble
+
+    def make(tag, sizes, seed, lag=0.2):
+        model = EigenFunctions(sizes, k=2, seed=seed)
+        return EigenFunctionTask(
+            _traj(seed), None, model, str(tmp_path / tag),
+            alpha=10.0, eig_weights=[1.0, 0.5], lag_tau=lag, k=2,
+            learning_rate=0.01, seed=seed, **COMMON,
+        )
+
+    # two [2,10,1] seeds (one group), one [2,16,1] (singleton), and one
+    # [2,10,1] with a different lag (static config differs -> own group)
+    specs = [
+        ("a0", [2, 10, 1], 0, 0.2),
+        ("a1", [2, 10, 1], 1, 0.2),
+        ("b0", [2, 16, 1], 2, 0.2),
+        ("c0", [2, 10, 1], 3, 0.4),
+    ]
+    tasks = [make(*s) for s in specs]
+    solo = [make(*s) for s in specs]
+
+    out = train_architecture_ensemble(tasks, verbose=True)
+    assert out == list(tasks)
+    for t, s in zip(tasks, solo):
+        s.train()
+        _assert_match(s, t)
