@@ -1,0 +1,191 @@
+"""Post-training analysis of learned collective variables.
+
+Host-side (numpy-only) tools for the questions users ask once a CV is
+trained — none of which the reference package answers in code (its
+examples eyeball scatter plots, e.g. dipeptide main.ipynb cell 21):
+
+* :func:`implied_timescales` — convert the eigenfunction tasks' trained
+  eigenvalue estimates (relaxation *rates*) into physical timescales.
+* :func:`free_energy_profile` — reweighted free-energy surface along
+  one or two learned CVs.
+* :func:`cv_consistency` — do independently-trained models (different
+  seeds / architectures) learn the same CV subspace? The
+  identifiability check for an ensemble out of
+  :func:`~colvarsfinder_tpu.parallel.train_architecture_ensemble` or
+  :func:`~colvarsfinder_tpu.parallel.train_replica_ensemble`.
+
+All three accept plain numpy inputs and the framework's CV callables
+(:class:`~colvarsfinder_tpu.export.ColvarModel`, deployed numpy CVs, or
+any ``[n, dim] -> [n, k]`` function).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+__all__ = [
+    "cv_consistency",
+    "free_energy_profile",
+    "implied_timescales",
+]
+
+
+def implied_timescales(
+    eig_vals, lag_time: Optional[float] = None, method: str = "rate"
+) -> np.ndarray:
+    """Physical timescales implied by trained eigenvalue estimates.
+
+    Both eigenfunction objectives report eigenvalue estimates as
+    relaxation RATES :math:`\\lambda_i` (units 1/time) — the generator
+    loss as Dirichlet-form Rayleigh quotients, the transfer-operator
+    loss as lagged mean-square differences normalized by the lag
+    (``core/losses.py`` ``eigen_loss``; the per-epoch ``eig_i`` columns
+    of ``train_loss_df``).
+
+    Args:
+        eig_vals: rate estimates, e.g.
+            ``task.train_loss_df[["eig_1", "eig_2"]].iloc[-1]``.
+        lag_time: the physical lag :math:`\\tau` used in training
+            (``traj_dt * lag_idx``); required for ``method='log'``.
+        method:
+            - ``'rate'`` (default): :math:`t_i = 1/\\lambda_i` — exact
+              for generator eigenvalues, first order in
+              :math:`\\lambda\\tau` for transfer-operator estimates.
+            - ``'log'``: :math:`t_i = -\\tau / \\ln(1 - \\lambda_i\\tau)`
+              — the standard Markov-state-model formula, undoing the
+              finite-lag first-order bias of the transfer-operator
+              estimate (its quotient approximates
+              :math:`(1 - \\rho_i)/\\tau` where :math:`\\rho_i` is the
+              lagged autocorrelation).
+
+    Returns:
+        timescales, same shape as ``eig_vals``. Non-decaying estimates
+        (:math:`\\lambda \\le 0`, or :math:`\\lambda\\tau \\ge 1` under
+        ``'log'``) map to ``inf`` / ``nan`` respectively rather than
+        raising.
+    """
+    lam = np.asarray(eig_vals, dtype=np.float64)
+    if method == "rate":
+        with np.errstate(divide="ignore"):
+            return np.where(lam > 0, 1.0 / np.where(lam > 0, lam, 1.0), np.inf)
+    if method != "log":
+        raise ValueError(f"unknown method {method!r}; expected 'rate' or 'log'")
+    if lag_time is None:
+        raise ValueError("method='log' requires lag_time (traj_dt * lag_idx)")
+    rho = 1.0 - lam * float(lag_time)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = -float(lag_time) / np.log(rho)
+    t = np.where(lam <= 0, np.inf, t)
+    return np.where(rho <= 0, np.nan, t)
+
+
+def free_energy_profile(
+    cv_values,
+    weights=None,
+    beta: float = 1.0,
+    bins: int = 50,
+    value_range=None,
+):
+    """Free-energy surface along one or two learned CVs.
+
+    :math:`F(s) = -\\beta^{-1} \\ln p(s)`, with :math:`p` the
+    (Boltzmann-reweighted) histogram of the CV values — the standard
+    product of a CV-discovery run, shifted so :math:`\\min F = 0`.
+
+    Args:
+        cv_values: ``[n]`` or ``[n, 1]`` for a 1-D profile, ``[n, 2]``
+            for a 2-D surface (e.g. the first two columns of
+            ``colvar_model()(trajectory)``).
+        weights: optional per-frame statistical weights (e.g.
+            ``WeightedTrajectory.weights``); uniform if omitted.
+        beta: inverse temperature of the TARGET ensemble (must match
+            the beta the weights reweight to).
+        bins: histogram bins per dimension.
+        value_range: optional histogram range, as for numpy.
+
+    Returns:
+        ``(centers, F)``: for 1-D, ``centers`` is ``[bins]`` and ``F``
+        is ``[bins]``; for 2-D, ``centers`` is a ``(x_centers,
+        y_centers)`` tuple and ``F`` is ``[bins, bins]`` indexed
+        ``F[ix, iy]``. Empty bins hold ``inf``.
+    """
+    s = np.asarray(cv_values, dtype=np.float64)
+    if s.ndim == 2 and s.shape[1] == 1:
+        s = s[:, 0]
+    w = None if weights is None else np.asarray(weights, dtype=np.float64)
+    if s.ndim == 1:
+        hist, edges = np.histogram(
+            s, bins=bins, range=value_range, weights=w, density=True
+        )
+        centers = 0.5 * (edges[:-1] + edges[1:])
+    elif s.ndim == 2 and s.shape[1] == 2:
+        hist, ex, ey = np.histogram2d(
+            s[:, 0], s[:, 1], bins=bins, range=value_range, weights=w,
+            density=True,
+        )
+        centers = (0.5 * (ex[:-1] + ex[1:]), 0.5 * (ey[:-1] + ey[1:]))
+    else:
+        raise ValueError(
+            f"cv_values must be [n], [n,1] or [n,2]; got shape {s.shape}"
+        )
+    with np.errstate(divide="ignore"):
+        F = -np.log(hist) / float(beta)
+    F -= F.min()
+    return centers, F
+
+
+def cv_consistency(
+    cvs: Sequence[Callable], X, center: bool = True
+) -> np.ndarray:
+    """Pairwise subspace agreement of independently-trained CV maps.
+
+    Learned CVs are identified only up to invertible linear mixing
+    (head order/sign for eigenfunctions, any basis for encoders), so
+    raw outputs of two seeds never match — but their *spans* should.
+    For each pair this computes the mean canonical correlation between
+    the two CV output subspaces evaluated on ``X`` (the singular values
+    of :math:`Q_i^T Q_j` with :math:`Q` an orthonormal basis of the
+    centered outputs): 1.0 = identical learned subspace, ~0 = unrelated.
+
+    The convergence/identifiability check for a seed ensemble
+    (:func:`~colvarsfinder_tpu.parallel.train_architecture_ensemble`
+    with one architecture and S seeds): a low off-diagonal mean says
+    the CV is not determined by the data/objective at this
+    architecture, regardless of how good the losses look.
+
+    Args:
+        cvs: CV callables ``[n, dim] -> [n, k]`` (ColvarModel, deployed
+            numpy CVs, ...). ``k`` may differ per model; the canonical
+            correlations are over the smaller head count of each pair.
+        X: evaluation frames ``[n, dim]`` (use held-out frames).
+        center: subtract each output column's mean first (default; set
+            False to compare affine spans including the constant).
+
+    Returns:
+        ``[R, R]`` symmetric matrix, unit diagonal.
+    """
+    X = np.asarray(X)
+    Qs = []
+    for cv in cvs:
+        y = np.asarray(cv(X), dtype=np.float64)
+        if y.ndim == 1:
+            y = y[:, None]
+        if center:
+            y = y - y.mean(axis=0)
+        q, r = np.linalg.qr(y)
+        # drop numerically-dead directions (constant/zero heads)
+        keep = np.abs(np.diag(r)) > 1e-10 * max(1.0, np.abs(r).max())
+        Qs.append(q[:, keep])
+    R = len(Qs)
+    M = np.eye(R)
+    for i in range(R):
+        for j in range(i + 1, R):
+            k = min(Qs[i].shape[1], Qs[j].shape[1])
+            if k == 0:
+                M[i, j] = M[j, i] = 0.0
+                continue
+            s = np.linalg.svd(Qs[i].T @ Qs[j], compute_uv=False)
+            M[i, j] = M[j, i] = float(np.clip(s[:k].mean(), 0.0, 1.0))
+    return M

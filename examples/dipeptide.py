@@ -260,6 +260,25 @@ def main():
     if corr < 0.6:
         print("WARNING: leading CV does not track the torsional mode")
 
+    # physical read-out: timescales implied by the trained eigenvalue
+    # estimates, and the free-energy profile along the leading CV
+    from colvarsfinder_tpu.analysis import (
+        free_energy_profile, implied_timescales,
+    )
+
+    eig_cols = [c for c in task.train_loss_df.columns if c.startswith("eig_")]
+    rates = task.train_loss_df[eig_cols].iloc[-1].to_numpy()
+    ts = implied_timescales(rates, lag_time=0.01, method="log")
+    print("implied timescales (ps):", np.round(ts, 3))
+    centers, fes = free_energy_profile(
+        cv_vals[:, 0], weights=traj_obj.weights, beta=1.0, bins=40
+    )
+    n_wells = int(
+        np.sum((fes[1:-1] < fes[:-2]) & (fes[1:-1] < fes[2:]))
+    )
+    print(f"free-energy profile along CV_1: {n_wells} local minima, "
+          f"barrier {np.nanmax(fes[np.isfinite(fes)]):.2f} kT")
+
     from colvarsfinder_tpu.export import export_colvar
 
     export_colvar(cv, raw[:1], os.path.join(args.outdir, "cv_artifact"))

@@ -1,0 +1,171 @@
+"""Post-training analysis helpers (colvarsfinder_tpu.analysis):
+implied timescales, free-energy profiles, CV-subspace consistency."""
+
+import numpy as np
+import pytest
+
+from colvarsfinder_tpu.analysis import (
+    cv_consistency,
+    free_energy_profile,
+    implied_timescales,
+)
+
+
+# ---------------------------------------------------------------- timescales
+def test_implied_timescales_rate():
+    t = implied_timescales([2.0, 0.5, 0.0, -1.0])
+    np.testing.assert_allclose(t[:2], [0.5, 2.0])
+    assert np.isinf(t[2]) and np.isinf(t[3])
+
+
+def test_implied_timescales_log_undoes_finite_lag_bias():
+    # a process with true timescale T sampled at lag tau has
+    # autocorrelation rho = exp(-tau/T); the transfer-op estimate is
+    # lambda = (1 - rho)/tau. 'log' must recover T exactly; 'rate' only
+    # to first order.
+    T, tau = 5.0, 1.0
+    lam = (1.0 - np.exp(-tau / T)) / tau
+    t_log = implied_timescales([lam], lag_time=tau, method="log")
+    np.testing.assert_allclose(t_log, [T], rtol=1e-12)
+    t_rate = implied_timescales([lam])
+    assert abs(t_rate[0] - T) > 0.3  # visibly biased at this lag
+
+    # non-decaying / overshooting estimates degrade gracefully
+    t = implied_timescales([0.0, 1.5], lag_time=tau, method="log")
+    assert np.isinf(t[0]) and np.isnan(t[1])
+
+
+def test_implied_timescales_validation():
+    with pytest.raises(ValueError):
+        implied_timescales([1.0], method="banana")
+    with pytest.raises(ValueError):
+        implied_timescales([1.0], method="log")  # lag_time required
+
+
+# ------------------------------------------------------------- free energy
+def test_free_energy_profile_1d_double_well():
+    # Boltzmann-distributed samples from F(s) = (s^2 - 1)^2 at beta=3,
+    # drawn by rejection; the recovered profile must match F up to the
+    # additive constant within sampling noise.
+    rng = np.random.default_rng(0)
+    beta = 3.0
+    F = lambda s: (s**2 - 1.0) ** 2
+    s = rng.uniform(-2, 2, 400_000)
+    keep = rng.uniform(0, 1, s.size) < np.exp(-beta * F(s))
+    s = s[keep]
+    centers, prof = free_energy_profile(
+        s, beta=beta, bins=40, value_range=(-1.6, 1.6)
+    )
+    ref = F(centers) - F(centers).min()
+    ok = np.isfinite(prof)
+    assert ok.sum() > 30
+    np.testing.assert_allclose(prof[ok], ref[ok], atol=0.12)
+    assert prof.min() == 0.0
+
+
+def test_free_energy_profile_weights_reweight():
+    # uniform samples + Boltzmann weights must reproduce the same
+    # profile as Boltzmann-distributed samples
+    rng = np.random.default_rng(1)
+    beta = 2.0
+    F = lambda s: 0.5 * s**2
+    s = rng.uniform(-3, 3, 300_000)
+    w = np.exp(-beta * F(s))
+    centers, prof = free_energy_profile(
+        s, weights=w, beta=beta, bins=30, value_range=(-2.4, 2.4)
+    )
+    ref = F(centers) - F(centers).min()
+    np.testing.assert_allclose(prof, ref, atol=0.08)
+
+
+def test_free_energy_profile_2d_shape_and_norm():
+    rng = np.random.default_rng(2)
+    xy = rng.standard_normal((100_000, 2))
+    (cx, cy), F2 = free_energy_profile(xy, beta=1.0, bins=24)
+    assert cx.shape == (24,) and cy.shape == (24,) and F2.shape == (24, 24)
+    assert F2.min() == 0.0
+    # Gaussian: isotropic quadratic well; compare a center slice
+    ix = np.argmin(np.abs(cx))
+    ref = 0.5 * cy**2
+    ok = np.isfinite(F2[ix]) & (np.abs(cy) < 1.5)
+    np.testing.assert_allclose(
+        F2[ix][ok] - F2[ix][ok].min(), ref[ok] - ref[ok].min(), atol=0.15
+    )
+
+
+def test_free_energy_profile_rejects_bad_shape():
+    with pytest.raises(ValueError):
+        free_energy_profile(np.zeros((10, 3)))
+
+
+# ------------------------------------------------------------- consistency
+def test_cv_consistency_mixing_invariance():
+    # the same 2-D subspace under different invertible mixings (incl.
+    # head swap + sign flip) must score 1; an unrelated subspace ~0
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((2000, 6))
+    W = rng.standard_normal((6, 2))
+    base = lambda x: x @ W
+    mixed = lambda x: (x @ W) @ np.array([[0.0, -2.0], [1.5, 0.3]]) + 7.0
+    other = lambda x: x @ rng.standard_normal((6, 2))
+    M = cv_consistency([base, mixed, other], X)
+    assert M.shape == (3, 3)
+    np.testing.assert_allclose(np.diag(M), 1.0)
+    np.testing.assert_allclose(M, M.T)
+    assert M[0, 1] > 0.999
+    assert M[0, 2] < 0.8
+
+
+def test_cv_consistency_mixed_head_counts_and_dead_heads():
+    rng = np.random.default_rng(4)
+    X = rng.standard_normal((1000, 4))
+    W = rng.standard_normal((4, 2))
+    two = lambda x: x @ W
+    one = lambda x: (x @ W[:, :1])[:, 0]  # 1-D output, ndim-1 shape
+    dead = lambda x: np.concatenate(
+        [x @ W, np.ones((x.shape[0], 1))], axis=1
+    )  # constant third head must be dropped, not pollute
+    M = cv_consistency([two, one, dead], X)
+    assert M[0, 1] > 0.999  # the shared head's span agrees
+    assert M[0, 2] > 0.999  # dead head ignored
+
+
+def test_cv_consistency_on_trained_seed_pair(tmp_path):
+    """End-to-end: two seeds of the same eigen task on the same data
+    must learn a more consistent CV subspace than a third model trained
+    on unrelated data."""
+    from colvarsfinder_tpu.core import EigenFunctionTask
+    from colvarsfinder_tpu.models import EigenFunctions
+    from colvarsfinder_tpu.utils import WeightedTrajectory
+
+    rng = np.random.default_rng(5)
+    # plant a slow direction: strong variance along a fixed axis
+    z = rng.standard_normal((600, 1)) * 3.0
+    noise = rng.standard_normal((600, 3)) * 0.3
+    data = np.concatenate([z, noise], axis=1).astype(np.float32)
+    traj = WeightedTrajectory(
+        trajectory=data, weights=np.ones(600), dt=0.1, verbose=False
+    )
+    unrel = WeightedTrajectory(
+        trajectory=rng.standard_normal((600, 4)).astype(np.float32),
+        weights=np.ones(600), dt=0.1, verbose=False,
+    )
+
+    def train(t, seed, tag):
+        m = EigenFunctions([4, 12, 1], k=1, seed=seed)
+        task = EigenFunctionTask(
+            t, None, m, str(tmp_path / tag),
+            alpha=10.0, eig_weights=[1.0], lag_tau=0.2, k=1,
+            learning_rate=0.02, seed=seed, batch_size=128, num_epochs=25,
+            test_ratio=0.25, save_model_every_step=0, verbose=False,
+            tensorboard=False, debug_mode=False,
+        )
+        task.train()
+        return task.colvar_model()
+
+    cvs = [train(traj, 0, "s0"), train(traj, 1, "s1"),
+           train(unrel, 2, "u")]
+    X = data[:400]
+    M = cv_consistency(cvs, X)
+    assert M[0, 1] > 0.9, M
+    assert M[0, 1] > M[0, 2], M
