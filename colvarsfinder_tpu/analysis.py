@@ -13,6 +13,11 @@ examples eyeball scatter plots, e.g. dipeptide main.ipynb cell 21):
   identifiability check for an ensemble out of
   :func:`~colvarsfinder_tpu.parallel.train_architecture_ensemble` or
   :func:`~colvarsfinder_tpu.parallel.train_replica_ensemble`.
+* :func:`autocorrelation` / :func:`ck_test` /
+  :func:`timescales_vs_lag` — the standard Markov-state-model
+  validation battery applied to the learned CV time series: is the CV
+  Markovian at the training lag (Chapman–Kolmogorov), and have its
+  implied timescales converged in the lag time?
 
 All three accept plain numpy inputs and the framework's CV callables
 (:class:`~colvarsfinder_tpu.export.ColvarModel`, deployed numpy CVs, or
@@ -26,9 +31,13 @@ from typing import Callable, Optional, Sequence
 import numpy as np
 
 __all__ = [
+    "CKResult",
+    "autocorrelation",
+    "ck_test",
     "cv_consistency",
     "free_energy_profile",
     "implied_timescales",
+    "timescales_vs_lag",
 ]
 
 
@@ -189,3 +198,157 @@ def cv_consistency(
             s = np.linalg.svd(Qs[i].T @ Qs[j], compute_uv=False)
             M[i, j] = M[j, i] = float(np.clip(s[:k].mean(), 0.0, 1.0))
     return M
+
+
+# ---------------------------------------------------------------------------
+# Markovianity validation of the learned CV time series
+# ---------------------------------------------------------------------------
+
+
+def _as_series(cv_values) -> np.ndarray:
+    y = np.asarray(cv_values, dtype=np.float64)
+    if y.ndim == 1:
+        y = y[:, None]
+    if y.ndim != 2:
+        raise ValueError(
+            f"cv_values must be a [n] or [n, k] time series; got {y.shape}"
+        )
+    return y
+
+
+def autocorrelation(cv_values, lags, weights=None) -> np.ndarray:
+    """Weighted autocorrelation of each CV head at the given lags.
+
+    The estimator matches the transfer-operator objective's convention
+    (``core/losses.py`` ``eigen_loss``; reference core.py:1010-1023):
+    lagged pairs ``(y_t, y_{t+L})`` are weighted by the LEADING frame's
+    statistical weight, each side is centered by its own weighted
+    windowed mean, and the correlation is normalized by the geometric
+    mean of the two windowed variances — so ``1 - rho(L)`` over
+    ``L*dt`` is exactly the quantity the training eigenvalues estimate.
+
+    Args:
+        cv_values: ``[n]`` or ``[n, k]`` CV time series over a SINGLE
+            contiguous trajectory (evaluate ``colvar_model()`` on the
+            frames IN ORDER — not on a shuffled batch).
+        lags: iterable of integer lags, in FRAMES (each < n).
+        weights: optional per-frame weights
+            (``WeightedTrajectory.weights``); uniform if omitted.
+
+    Returns:
+        ``[len(lags), k]`` array of correlations in ``[-1, 1]``.
+    """
+    y = _as_series(cv_values)
+    n = y.shape[0]
+    w = (
+        np.ones(n, dtype=np.float64)
+        if weights is None
+        else np.asarray(weights, dtype=np.float64)
+    )
+    if w.shape != (n,):
+        raise ValueError(f"weights must be [n={n}]; got {w.shape}")
+    lags = np.asarray(list(lags), dtype=np.int64)
+    if np.any(lags < 0) or np.any(lags >= n):
+        raise ValueError(f"lags must lie in [0, n={n}); got {lags}")
+    out = np.empty((lags.size, y.shape[1]))
+    for i, L in enumerate(lags):
+        a, b = y[: n - L], y[L:]
+        wp = w[: n - L]
+        wp = wp / wp.sum()
+        mu_a = wp @ a
+        mu_b = wp @ b
+        da, db = a - mu_a, b - mu_b
+        cov = np.einsum("t,tk,tk->k", wp, da, db)
+        var_a = np.einsum("t,tk,tk->k", wp, da, da)
+        var_b = np.einsum("t,tk,tk->k", wp, db, db)
+        out[i] = cov / np.sqrt(np.maximum(var_a * var_b, 1e-300))
+    return out
+
+
+class CKResult:
+    """Outcome of :func:`ck_test`.
+
+    Attributes:
+        lags: ``[m]`` the tested lags in frames (``lag * (1..m)``).
+        estimated: ``[m, k]`` directly-estimated autocorrelations
+            :math:`\\rho(i\\,\\tau)`.
+        predicted: ``[m, k]`` Chapman–Kolmogorov predictions
+            :math:`\\rho(\\tau)^i` from the base lag alone.
+        max_deviation: worst ``|estimated - predicted|`` over all
+            multiples and heads — the single-number Markovianity score
+            (well-sampled Markovian CVs sit well below ~0.05).
+    """
+
+    def __init__(self, lags, estimated, predicted):
+        self.lags = lags
+        self.estimated = estimated
+        self.predicted = predicted
+        self.max_deviation = float(np.max(np.abs(estimated - predicted)))
+
+    def __repr__(self):  # pragma: no cover - cosmetic
+        return (
+            f"CKResult(lags={self.lags.tolist()}, "
+            f"max_deviation={self.max_deviation:.4f})"
+        )
+
+
+def ck_test(cv_values, lag: int, n_multiples: int = 4, weights=None) -> CKResult:
+    """Chapman–Kolmogorov test of the learned CV at the training lag.
+
+    If the CV heads are good slow eigenfunctions, their dynamics is
+    Markovian and single-exponential, so the autocorrelation must
+    satisfy :math:`\\rho(i\\,\\tau) = \\rho(\\tau)^i`. This estimates
+    both sides from the trajectory — the standard MSM validation,
+    applied directly to the CV time series. A large
+    ``result.max_deviation`` means the training lag is too short (fast
+    non-Markovian processes leak into the CV) or the CV mixes several
+    timescales; retrain with a longer ``lag_tau`` or more heads.
+
+    Args:
+        cv_values: ``[n]`` or ``[n, k]`` CV series over one contiguous
+            trajectory, frame-ordered.
+        lag: the base lag :math:`\\tau` in FRAMES (the training
+            ``lag_idx``: ``round(lag_tau / traj_dt)``).
+        n_multiples: test at lags ``lag * 1 .. lag * n_multiples``.
+        weights: optional per-frame weights.
+
+    Returns:
+        :class:`CKResult`.
+    """
+    if lag <= 0:
+        raise ValueError(f"lag must be a positive frame count; got {lag}")
+    lags = lag * np.arange(1, int(n_multiples) + 1)
+    rho = autocorrelation(cv_values, lags, weights=weights)
+    predicted = rho[0][None, :] ** np.arange(1, int(n_multiples) + 1)[:, None]
+    return CKResult(lags, rho, predicted)
+
+
+def timescales_vs_lag(cv_values, lags, dt: float = 1.0, weights=None) -> np.ndarray:
+    """Implied timescale of each CV head as a function of the lag time.
+
+    :math:`t_i(L) = -L\\,dt / \\ln \\rho_i(L)` — the lag-convergence
+    curve. For a converged (Markovian) CV the curve plateaus: the
+    timescale stops depending on the lag. Rising-then-flat curves tell
+    you the shortest usable training ``lag_tau``; curves that never
+    flatten mean the head is not a clean slow mode. Complements
+    :func:`ck_test` (which fixes the lag and scans its multiples).
+
+    Args:
+        cv_values: ``[n]`` or ``[n, k]`` CV series, frame-ordered.
+        lags: integer lags in FRAMES to evaluate at (each >= 1).
+        dt: physical time per frame (``WeightedTrajectory.dt``).
+        weights: optional per-frame weights.
+
+    Returns:
+        ``[len(lags), k]`` timescales in physical units.
+        Non-decaying estimates (:math:`\\rho \\le 0`) map to ``nan``;
+        :math:`\\rho \\ge 1` maps to ``inf``.
+    """
+    lags = np.asarray(list(lags), dtype=np.int64)
+    if np.any(lags < 1):
+        raise ValueError(f"lags must be >= 1 frame; got {lags}")
+    rho = autocorrelation(cv_values, lags, weights=weights)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = -(lags[:, None] * float(dt)) / np.log(rho)
+    t = np.where(rho >= 1.0, np.inf, t)
+    return np.where(rho <= 0.0, np.nan, t)

@@ -5,9 +5,12 @@ import numpy as np
 import pytest
 
 from colvarsfinder_tpu.analysis import (
+    autocorrelation,
+    ck_test,
     cv_consistency,
     free_energy_profile,
     implied_timescales,
+    timescales_vs_lag,
 )
 
 
@@ -169,3 +172,86 @@ def test_cv_consistency_on_trained_seed_pair(tmp_path):
     M = cv_consistency(cvs, X)
     assert M[0, 1] > 0.9, M
     assert M[0, 1] > M[0, 2], M
+
+
+# ----------------------------------------------------------- markovianity
+def _ar1(a, n, seed, k=1):
+    """Stationary AR(1) series with exact rho(L) = a^L per head."""
+    rng = np.random.default_rng(seed)
+    y = np.empty((n, k))
+    y[0] = rng.standard_normal(k)
+    xi = rng.standard_normal((n - 1, k)) * np.sqrt(1.0 - a * a)
+    for t in range(1, n):
+        y[t] = a * y[t - 1] + xi[t - 1]
+    return y
+
+
+def test_autocorrelation_matches_ar1_analytic():
+    a, n = 0.9, 200_000
+    y = _ar1(a, n, seed=10, k=2)
+    lags = [1, 5, 10, 20]
+    rho = autocorrelation(y, lags)
+    assert rho.shape == (4, 2)
+    expected = np.broadcast_to(a ** np.asarray(lags)[:, None], (4, 2))
+    np.testing.assert_allclose(rho, expected, atol=0.02)
+    # lag 0 is exactly 1; uniform explicit weights change nothing
+    np.testing.assert_allclose(autocorrelation(y, [0]), 1.0, rtol=1e-12)
+    np.testing.assert_array_equal(
+        autocorrelation(y, lags), autocorrelation(y, lags, weights=np.full(n, 3.0))
+    )
+
+
+def test_autocorrelation_validation():
+    y = np.zeros(100)
+    with pytest.raises(ValueError):
+        autocorrelation(y, [100])  # lag >= n
+    with pytest.raises(ValueError):
+        autocorrelation(y, [-1])
+    with pytest.raises(ValueError):
+        autocorrelation(y, [1], weights=np.ones(99))
+    with pytest.raises(ValueError):
+        autocorrelation(np.zeros((10, 2, 2)), [1])
+
+
+def test_ck_test_markovian_vs_mixed():
+    # a single AR(1) head is Markovian: rho(i*tau) = rho(tau)^i holds.
+    # A sum of two AR(1) processes with well-separated timescales is
+    # not: the CK prediction from the base lag decays too fast.
+    n, tau = 200_000, 5
+    markov = _ar1(0.9, n, seed=11)
+    fast, slow = _ar1(0.5, n, seed=12), _ar1(0.985, n, seed=13)
+    mixed = fast + slow
+    r_markov = ck_test(markov, lag=tau, n_multiples=4)
+    r_mixed = ck_test(mixed, lag=tau, n_multiples=4)
+    assert r_markov.lags.tolist() == [5, 10, 15, 20]
+    assert r_markov.estimated.shape == (4, 1)
+    np.testing.assert_allclose(
+        r_markov.predicted[:, 0], r_markov.estimated[0, 0] ** np.arange(1, 5)
+    )
+    assert r_markov.max_deviation < 0.03
+    assert r_mixed.max_deviation > 0.08
+    assert r_mixed.max_deviation > 3 * r_markov.max_deviation
+    with pytest.raises(ValueError):
+        ck_test(markov, lag=0)
+
+
+def test_timescales_vs_lag_plateau():
+    # AR(1): implied timescale is -dt/ln(a) at EVERY lag (flat curve);
+    # the two-timescale mixture's curve must rise with the lag.
+    a, dt = 0.92, 0.1
+    y = _ar1(a, 200_000, seed=14)
+    lags = [1, 4, 8, 16]
+    t = timescales_vs_lag(y, lags, dt=dt)
+    t_true = -dt / np.log(a)
+    np.testing.assert_allclose(t[:, 0], t_true, rtol=0.12)
+    mixed = _ar1(0.5, 200_000, seed=15) + _ar1(0.985, 200_000, seed=16)
+    tm = timescales_vs_lag(mixed, lags, dt=dt)[:, 0]
+    assert tm[-1] > 1.5 * tm[0]
+    # degenerate correlations degrade gracefully
+    white = np.asarray(
+        np.random.default_rng(17).standard_normal(50_000)
+    )
+    tw = timescales_vs_lag(white, [200], dt=dt)
+    assert np.isnan(tw).all() or (tw < 1.0).all()
+    with pytest.raises(ValueError):
+        timescales_vs_lag(y, [0], dt=dt)
