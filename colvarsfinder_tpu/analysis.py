@@ -18,6 +18,11 @@ examples eyeball scatter plots, e.g. dipeptide main.ipynb cell 21):
   validation battery applied to the learned CV time series: is the CV
   Markovian at the training lag (Chapman–Kolmogorov), and have its
   implied timescales converged in the lag time?
+* :func:`vamp_score` — the VAMP-2 score of the CV at a lag: how much
+  slow kinetic variance the CV heads capture, invariant to invertible
+  linear mixing of the heads. The standard held-out model-selection
+  metric — rank :func:`~colvarsfinder_tpu.parallel.train_hyperparameter_sweep`
+  replicas by validation VAMP score instead of train loss.
 
 All three accept plain numpy inputs and the framework's CV callables
 (:class:`~colvarsfinder_tpu.export.ColvarModel`, deployed numpy CVs, or
@@ -38,6 +43,7 @@ __all__ = [
     "free_energy_profile",
     "implied_timescales",
     "timescales_vs_lag",
+    "vamp_score",
 ]
 
 
@@ -352,3 +358,90 @@ def timescales_vs_lag(cv_values, lags, dt: float = 1.0, weights=None) -> np.ndar
         t = -(lags[:, None] * float(dt)) / np.log(rho)
     t = np.where(rho >= 1.0, np.inf, t)
     return np.where(rho <= 0.0, np.nan, t)
+
+
+def _inv_sqrt(C: np.ndarray, epsilon: float) -> np.ndarray:
+    """Truncated symmetric inverse square root of an SPSD covariance.
+
+    Eigendirections below ``epsilon * max_eigenvalue`` (degenerate or
+    constant CV heads) are dropped rather than amplified, so
+    rank-deficient inputs degrade gracefully. Returns ``[k, r]`` with
+    r the retained rank.
+    """
+    vals, vecs = np.linalg.eigh((C + C.T) / 2.0)
+    floor = float(epsilon) * max(float(vals.max()), 0.0)
+    keep = vals > max(floor, 0.0)
+    if not np.any(keep):
+        return np.zeros((C.shape[0], 0))
+    return vecs[:, keep] / np.sqrt(vals[keep])
+
+
+def vamp_score(
+    cv_values,
+    lag: int,
+    weights=None,
+    method: str = "VAMP-2",
+    epsilon: float = 1e-10,
+) -> float:
+    """VAMP score of the learned CV at a lag — held-out model selection.
+
+    How much slow kinetic variance the CV heads capture: with
+    mean-free, weighted covariances :math:`C_{00}, C_{0\\tau},
+    C_{\\tau\\tau}` over the lagged pairs, the score is a norm of the
+    whitened cross-covariance
+    :math:`K = C_{00}^{-1/2} C_{0\\tau} C_{\\tau\\tau}^{-1/2}` — the
+    sum of its singular values (VAMP-1) or their squares (VAMP-2),
+    each clipped to 1. For a single AR(1)-like head the VAMP-2 score
+    is exactly :math:`\\rho(\\tau)^2`; for k independent slow heads the
+    contributions add, up to a maximum of k.
+
+    Unlike the training loss, the score is invariant under any
+    invertible linear mixing of the heads, so it compares CVs across
+    architectures, seeds and hyperparameters on equal footing — the
+    right ranking metric for
+    :func:`~colvarsfinder_tpu.parallel.train_hyperparameter_sweep`
+    winners, evaluated on HELD-OUT frames. (Convention: heads are
+    centered, so the trivial constant singular function is excluded;
+    some references report this score +1.)
+
+    Args:
+        cv_values: ``[n]`` or ``[n, k]`` CV series over one contiguous
+            trajectory, frame-ordered (evaluate the CV on held-out
+            frames IN ORDER).
+        lag: the lag :math:`\\tau` in FRAMES (1 <= lag < n).
+        weights: optional per-frame weights
+            (``WeightedTrajectory.weights``); lagged pairs are weighted
+            by the leading frame, matching :func:`autocorrelation`.
+        method: ``'VAMP-1'`` (nuclear norm) or ``'VAMP-2'``
+            (squared Frobenius, default).
+        epsilon: relative eigenvalue floor below which degenerate CV
+            directions are dropped from the whitening.
+
+    Returns:
+        The score, a float in ``[0, k]``.
+    """
+    if method not in ("VAMP-1", "VAMP-2"):
+        raise ValueError(f"method must be 'VAMP-1' or 'VAMP-2'; got {method!r}")
+    y = _as_series(cv_values)
+    n = y.shape[0]
+    lag = int(lag)
+    if not 1 <= lag < n:
+        raise ValueError(f"lag must lie in [1, n={n}); got {lag}")
+    w = (
+        np.ones(n, dtype=np.float64)
+        if weights is None
+        else np.asarray(weights, dtype=np.float64)
+    )
+    if w.shape != (n,):
+        raise ValueError(f"weights must be [n={n}]; got {w.shape}")
+    a, b = y[: n - lag], y[lag:]
+    wp = w[: n - lag]
+    wp = wp / wp.sum()
+    da, db = a - wp @ a, b - wp @ b
+    wda = wp[:, None] * da
+    C00 = wda.T @ da
+    C01 = wda.T @ db
+    C11 = (wp[:, None] * db).T @ db
+    K = _inv_sqrt(C00, epsilon).T @ C01 @ _inv_sqrt(C11, epsilon)
+    s = np.clip(np.linalg.svd(K, compute_uv=False), 0.0, 1.0)
+    return float(np.sum(s if method == "VAMP-1" else s**2))

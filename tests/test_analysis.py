@@ -11,6 +11,7 @@ from colvarsfinder_tpu.analysis import (
     free_energy_profile,
     implied_timescales,
     timescales_vs_lag,
+    vamp_score,
 )
 
 
@@ -255,3 +256,57 @@ def test_timescales_vs_lag_plateau():
     assert np.isnan(tw).all() or (tw < 1.0).all()
     with pytest.raises(ValueError):
         timescales_vs_lag(y, [0], dt=dt)
+
+
+# ------------------------------------------------------------- vamp score
+def test_vamp_score_ar1_analytic():
+    # single AR(1) head: VAMP-2 = rho(L)^2 = a^(2L); VAMP-1 = a^L.
+    a, L = 0.9, 5
+    y = _ar1(a, 200_000, seed=20)
+    s2 = vamp_score(y, lag=L)
+    s1 = vamp_score(y, lag=L, method="VAMP-1")
+    np.testing.assert_allclose(s2, a ** (2 * L), atol=0.02)
+    np.testing.assert_allclose(s1, a**L, atol=0.02)
+    # two INDEPENDENT slow heads: contributions add
+    y2 = np.concatenate([y, _ar1(0.8, 200_000, seed=21)], axis=1)
+    np.testing.assert_allclose(
+        vamp_score(y2, lag=L), a ** (2 * L) + 0.8 ** (2 * L), atol=0.03
+    )
+
+
+def test_vamp_score_mixing_invariance_and_degeneracy():
+    # the defining VAMP property: invariant under invertible linear
+    # mixing of the heads (which the raw train loss is NOT).
+    y = np.concatenate(
+        [_ar1(0.9, 100_000, seed=22), _ar1(0.7, 100_000, seed=23)], axis=1
+    )
+    A = np.array([[2.0, 0.7], [-0.4, 0.1]])  # invertible
+    base = vamp_score(y, lag=4)
+    np.testing.assert_allclose(vamp_score(y @ A, lag=4), base, rtol=1e-8)
+    # adding a CONSTANT head changes nothing (truncated whitening) ...
+    y3 = np.concatenate([y, np.full((y.shape[0], 1), 3.7)], axis=1)
+    np.testing.assert_allclose(vamp_score(y3, lag=4), base, rtol=1e-6)
+    # ... and a white-noise head adds ~nothing
+    rng = np.random.default_rng(24)
+    y4 = np.concatenate([y, rng.standard_normal((y.shape[0], 1))], axis=1)
+    assert abs(vamp_score(y4, lag=4) - base) < 0.01
+    # uniform explicit weights are a no-op
+    np.testing.assert_allclose(
+        vamp_score(y, lag=4, weights=np.full(y.shape[0], 2.0)), base, rtol=1e-12
+    )
+
+
+def test_vamp_score_ranks_cv_quality():
+    # a CV that mixes the slow mode with fast noise scores lower than
+    # the clean slow mode — the model-selection use case.
+    slow = _ar1(0.95, 150_000, seed=25)
+    fast = _ar1(0.3, 150_000, seed=26)
+    clean = vamp_score(slow, lag=8)
+    noisy = vamp_score(0.5 * slow + fast, lag=8)
+    assert clean > noisy + 0.1, (clean, noisy)
+    with pytest.raises(ValueError):
+        vamp_score(slow, lag=0)
+    with pytest.raises(ValueError):
+        vamp_score(slow, lag=8, method="VAMP-3")
+    with pytest.raises(ValueError):
+        vamp_score(slow, lag=8, weights=np.ones(7))
