@@ -470,6 +470,76 @@ def adopt_sweep_result(task, result: SweepResult):
     return task
 
 
+def sweep_vamp_scores(
+    task,
+    results,
+    lag: int | None = None,
+    frames=None,
+    weights=None,
+    method: str = "VAMP-2",
+    batch_size: int = 65536,
+) -> np.ndarray:
+    """Rank sweep replicas by the VAMP score of their CV — the
+    head-mixing-invariant alternative to comparing final train losses
+    (which are NOT comparable across ``alpha``/``eig_weights``/``gamma``
+    values, since those reweight the objective itself).
+
+    Each replica's CV is evaluated frame-ordered and scored with
+    :func:`colvarsfinder_tpu.analysis.vamp_score`. The task is not
+    mutated (replicas are adopted into a shallow proxy copy); adopt the
+    argmax winner afterwards with :func:`adopt_sweep_result`.
+
+    Args:
+        task: the task the sweep was run on.
+        results: list of :class:`SweepResult` from
+            :func:`train_hyperparameter_sweep` (or a single result).
+        lag: VAMP lag in FRAMES; defaults to the task's training
+            ``lag_idx`` (transfer-operator tasks). Required for tasks
+            without a positive training lag.
+        frames: optional ``[n, ...state]`` frame-ordered states to
+            score on (e.g. a held-out continuation trajectory); defaults
+            to the task's full trajectory.
+        weights: per-frame weights matching ``frames``; defaults to the
+            task's trajectory weights when ``frames`` is omitted.
+        method: ``'VAMP-1'`` or ``'VAMP-2'`` (default).
+        batch_size: CV-evaluation chunk size (memory bound only — the
+            score itself uses the full series).
+
+    Returns:
+        ``[R]`` numpy array of scores, in ``results`` order.
+    """
+    import copy
+
+    from ..analysis import vamp_score
+
+    if lag is None:
+        lag = getattr(task, "lag_idx", 0)
+        if not lag:
+            raise ValueError(
+                "task has no positive training lag; pass lag= (in frames)"
+            )
+    if frames is None:
+        frames = task.traj_obj.trajectory
+        if weights is None:
+            weights = task.traj_obj.weights
+    frames = np.asarray(frames)
+    if isinstance(results, SweepResult):
+        results = [results]
+    proxy = copy.copy(task)
+    scores = np.empty(len(results))
+    for i, res in enumerate(results):
+        adopt_sweep_result(proxy, res)
+        cv = proxy.colvar_model()
+        y = np.concatenate(
+            [
+                np.asarray(cv(jnp.asarray(frames[s : s + batch_size])))
+                for s in range(0, frames.shape[0], batch_size)
+            ]
+        )
+        scores[i] = vamp_score(y, lag, weights=weights, method=method)
+    return scores
+
+
 def train_hyperparameter_sweep(
     task, grid: dict, models=None, chunk_size: int | None = None, mesh=None,
     compute_dtype: str | None = None, bf16_style: str | None = None,

@@ -615,3 +615,62 @@ def test_architecture_ensemble(tmp_path):
     for t, s in zip(tasks, solo):
         s.train()
         _assert_match(s, t)
+
+
+def test_sweep_vamp_scores(tmp_path):
+    """sweep_vamp_scores ranks replicas without mutating the task and
+    matches the manual adopt-then-score computation."""
+    import copy
+
+    from colvarsfinder_tpu.analysis import vamp_score
+    from colvarsfinder_tpu.parallel import adopt_sweep_result, sweep_vamp_scores
+
+    traj = _traj(11)
+    model = EigenFunctions([2, 10, 1], k=2, seed=0)
+    task = EigenFunctionTask(
+        traj, None, model, str(tmp_path / "vsw"),
+        alpha=10.0, eig_weights=[1.0, 0.5], lag_tau=0.2, k=2,
+        learning_rate=0.01, seed=0, **COMMON,
+    )
+    results = train_hyperparameter_sweep(
+        task, {"learning_rate": [0.005, 0.02], "alpha": [5.0, 40.0]}
+    )
+    before = np.asarray(task.model.params[0]["weight"]).copy()
+    scores = sweep_vamp_scores(task, results)  # lag defaults to lag_idx
+    assert scores.shape == (2,)
+    assert np.all((scores >= 0.0) & (scores <= 2.0))
+    # task untouched
+    np.testing.assert_array_equal(
+        before, np.asarray(task.model.params[0]["weight"])
+    )
+    assert task.learning_rate == 0.01 and task._alpha == 10.0
+    # manual parity for one replica (small batch_size exercises chunking)
+    proxy = adopt_sweep_result(copy.copy(task), results[1])
+    y = np.asarray(proxy.colvar_model()(
+        np.asarray(traj.trajectory, dtype=np.float32)))
+    manual = vamp_score(y, task.lag_idx, weights=traj.weights)
+    np.testing.assert_allclose(
+        sweep_vamp_scores(task, results[1], batch_size=50)[0], manual,
+        rtol=1e-6,
+    )
+    # VAMP-1 differs from VAMP-2 (sanity that method= is plumbed)
+    s1 = sweep_vamp_scores(task, results, method="VAMP-1")
+    assert np.all(s1 >= scores - 1e-12)
+
+
+def test_sweep_vamp_scores_requires_lag_without_one(tmp_path):
+    from colvarsfinder_tpu.parallel import sweep_vamp_scores
+
+    traj = _traj(12)
+    model = AutoEncoder([2, 8, 1], [1, 8, 2], seed=0)
+    task = AutoEncoderTask(
+        traj, None, model, str(tmp_path / "vsw_ae"),
+        learning_rate=0.01, seed=0, **COMMON,
+    )
+    results = train_hyperparameter_sweep(
+        task, {"learning_rate": [0.005, 0.02]}
+    )
+    with pytest.raises(ValueError):
+        sweep_vamp_scores(task, results)
+    scores = sweep_vamp_scores(task, results, lag=2)
+    assert scores.shape == (2,) and np.all(np.isfinite(scores))
