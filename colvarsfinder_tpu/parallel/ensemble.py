@@ -868,9 +868,15 @@ def explore_then_finetune(
         grid: hyperparameter grid, as for
             :func:`train_hyperparameter_sweep`.
         models: optional per-replica initial models (as for the sweep).
-        metric: ``'train'`` (default) or ``'test'`` — which final loss
-            ranks the replicas. Falls back to the train loss when the
-            task has no test split.
+        metric: ``'train'`` (default), ``'test'``, or ``'vamp'`` —
+            what ranks the replicas. ``'train'``/``'test'`` pick the
+            lowest final loss (``'test'`` falls back to the train loss
+            when the task has no test split). ``'vamp'`` picks the
+            highest :func:`sweep_vamp_scores` VAMP-2 at the task's
+            training lag — use it whenever the grid varies loss
+            constants (``alpha``/``eig_weights``/``gamma``/...), whose
+            losses are not mutually comparable. Requires a task with a
+            positive training lag.
         finetune_epochs: epochs for the float32 fine-tune; defaults to
             the task's own ``num_epochs``.
         compute_dtype: dtype for the exploration sweep (default
@@ -887,13 +893,16 @@ def explore_then_finetune(
         task, grid, models=models, chunk_size=chunk_size, mesh=mesh,
         compute_dtype=compute_dtype, bf16_style=bf16_style,
     )
-    finals = []
-    for r in results:
-        df = r.test_loss_df if metric == "test" else r.train_loss_df
-        if df is None or len(df) == 0:  # no test split on this task
-            df = r.train_loss_df
-        finals.append(float(df["loss"].iloc[-1]))
-    best = int(np.argmin(finals))
+    if metric == "vamp":
+        best = int(np.argmax(sweep_vamp_scores(task, results)))
+    else:
+        finals = []
+        for r in results:
+            df = r.test_loss_df if metric == "test" else r.train_loss_df
+            if df is None or len(df) == 0:  # no test split on this task
+                df = r.train_loss_df
+            finals.append(float(df["loss"].iloc[-1]))
+        best = int(np.argmin(finals))
     adopt_sweep_result(task, results[best])
 
     from .. import config as _cfg

@@ -674,3 +674,29 @@ def test_sweep_vamp_scores_requires_lag_without_one(tmp_path):
         sweep_vamp_scores(task, results)
     scores = sweep_vamp_scores(task, results, lag=2)
     assert scores.shape == (2,) and np.all(np.isfinite(scores))
+
+
+def test_explore_then_finetune_vamp_metric(tmp_path):
+    """metric='vamp' adopts the sweep_vamp_scores argmax — the right
+    selector when the grid varies loss constants (alpha values make the
+    final losses mutually incomparable)."""
+    from colvarsfinder_tpu.parallel import (
+        explore_then_finetune,
+        sweep_vamp_scores,
+    )
+
+    traj = _traj(13)
+    model = EigenFunctions([2, 10, 1], k=2, seed=0)
+    task = EigenFunctionTask(
+        traj, None, model, str(tmp_path / "etfv"),
+        alpha=10.0, eig_weights=[1.0, 0.5], lag_tau=0.2, k=2,
+        learning_rate=0.01, seed=0, **COMMON,
+    )
+    res = explore_then_finetune(
+        task, {"alpha": [2.0, 50.0], "learning_rate": [0.01, 0.01]},
+        metric="vamp", finetune_epochs=2, compute_dtype="float32",
+    )
+    scores = sweep_vamp_scores(task, res.results)
+    assert res.best_index == int(np.argmax(scores))
+    assert task._alpha == [2.0, 50.0][res.best_index]
+    assert np.all(np.isfinite(task.train_loss_df["loss"].to_numpy()))
