@@ -270,6 +270,17 @@ def main():
     rates = task.train_loss_df[eig_cols].iloc[-1].to_numpy()
     ts = implied_timescales(rates, lag_time=0.01, method="log")
     print("implied timescales (ps):", np.round(ts, 3))
+
+    # Markovianity / slow-content check of the CV time series itself
+    # (docs/validation.md): cv_vals is frame-ordered by construction
+    from colvarsfinder_tpu.analysis import ck_test, vamp_score
+
+    ck = ck_test(cv_vals, lag=task.lag_idx, n_multiples=4,
+                 weights=traj_obj.weights)
+    v2 = vamp_score(cv_vals, task.lag_idx, weights=traj_obj.weights)
+    print(f"CK max deviation {ck.max_deviation:.4f} "
+          f"(Markovian CVs sit well below ~0.05); "
+          f"VAMP-2 {v2:.4f} of max {task.k}")
     centers, fes = free_energy_profile(
         cv_vals[:, 0], weights=traj_obj.weights, beta=1.0, bins=40
     )
