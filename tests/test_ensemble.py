@@ -700,3 +700,33 @@ def test_explore_then_finetune_vamp_metric(tmp_path):
     assert res.best_index == int(np.argmax(scores))
     assert task._alpha == [2.0, 50.0][res.best_index]
     assert np.all(np.isfinite(task.train_loss_df["loss"].to_numpy()))
+
+
+def test_sweep_vamp_scores_heldout_frames_and_regae(tmp_path):
+    """Explicit held-out frames/weights are honored, and the RegAE
+    family's adopt+colvar path scores with its default training lag."""
+    from colvarsfinder_tpu.parallel import sweep_vamp_scores
+
+    traj = _traj(14)
+    model = RegAutoEncoder([2, 12, 1], [1, 12, 2], [1, 8, 1], K=2, seed=0)
+    task = RegAutoEncoderTask(
+        traj, None, model, str(tmp_path / "vswrg"),
+        eig_weights=[1.0, 0.5], alpha=1.0, gamma=(0.5, 0.25),
+        eta=(0.1, 0.1, 0.1), lag_tau_reg=0.2, learning_rate=0.01,
+        seed=0, **COMMON,
+    )
+    assert task.lag_idx > 0
+    results = train_hyperparameter_sweep(
+        task, {"learning_rate": [0.005, 0.02]}
+    )
+    default_scores = sweep_vamp_scores(task, results)
+    assert default_scores.shape == (2,) and np.all(np.isfinite(default_scores))
+    # a different held-out series gives a different (but finite) score
+    rng = np.random.default_rng(15)
+    held = rng.standard_normal((300, 2)).astype(np.float32)
+    held_w = rng.uniform(0.5, 1.5, 300)
+    held_scores = sweep_vamp_scores(
+        task, results, frames=held, weights=held_w, lag=2
+    )
+    assert held_scores.shape == (2,) and np.all(np.isfinite(held_scores))
+    assert not np.allclose(held_scores, default_scores)
