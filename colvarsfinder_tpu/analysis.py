@@ -222,6 +222,23 @@ def _as_series(cv_values) -> np.ndarray:
     return y
 
 
+def _as_frame_lags(lags) -> np.ndarray:
+    """Lags as an int64 array, REJECTING non-integral values.
+
+    A float like ``lag_tau / dt`` = 6.999999999999999 must not silently
+    floor to 6 — that would skew every lag-based comparison (CK
+    multiples, implied timescales) without any error.
+    """
+    arr = np.asarray(list(np.atleast_1d(lags)))
+    rounded = np.round(arr.astype(np.float64))
+    if not np.allclose(arr.astype(np.float64), rounded, rtol=0, atol=1e-9):
+        raise ValueError(
+            f"lags must be integer frame counts; got {arr} "
+            "(use round(lag_tau / dt))"
+        )
+    return rounded.astype(np.int64)
+
+
 def autocorrelation(cv_values, lags, weights=None) -> np.ndarray:
     """Weighted autocorrelation of each CV head at the given lags.
 
@@ -253,7 +270,7 @@ def autocorrelation(cv_values, lags, weights=None) -> np.ndarray:
     )
     if w.shape != (n,):
         raise ValueError(f"weights must be [n={n}]; got {w.shape}")
-    lags = np.asarray(list(lags), dtype=np.int64)
+    lags = _as_frame_lags(lags)
     if np.any(lags < 0) or np.any(lags >= n):
         raise ValueError(f"lags must lie in [0, n={n}); got {lags}")
     out = np.empty((lags.size, y.shape[1]))
@@ -321,6 +338,7 @@ def ck_test(cv_values, lag: int, n_multiples: int = 4, weights=None) -> CKResult
     Returns:
         :class:`CKResult`.
     """
+    lag = int(_as_frame_lags(lag)[0])
     if lag <= 0:
         raise ValueError(f"lag must be a positive frame count; got {lag}")
     lags = lag * np.arange(1, int(n_multiples) + 1)
@@ -350,7 +368,7 @@ def timescales_vs_lag(cv_values, lags, dt: float = 1.0, weights=None) -> np.ndar
         Non-decaying estimates (:math:`\\rho \\le 0`) map to ``nan``;
         :math:`\\rho \\ge 1` maps to ``inf``.
     """
-    lags = np.asarray(list(lags), dtype=np.int64)
+    lags = _as_frame_lags(lags)
     if np.any(lags < 1):
         raise ValueError(f"lags must be >= 1 frame; got {lags}")
     rho = autocorrelation(cv_values, lags, weights=weights)
@@ -424,7 +442,7 @@ def vamp_score(
         raise ValueError(f"method must be 'VAMP-1' or 'VAMP-2'; got {method!r}")
     y = _as_series(cv_values)
     n = y.shape[0]
-    lag = int(lag)
+    lag = int(_as_frame_lags(lag)[0])
     if not 1 <= lag < n:
         raise ValueError(f"lag must lie in [1, n={n}); got {lag}")
     w = (

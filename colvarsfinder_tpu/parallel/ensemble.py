@@ -51,6 +51,7 @@ __all__ = [
     "train_hyperparameter_sweep",
     "SweepResult",
     "adopt_sweep_result",
+    "sweep_vamp_scores",
     "ExploreResult",
     "explore_then_finetune",
     "train_architecture_ensemble",
@@ -526,16 +527,17 @@ def sweep_vamp_scores(
     if isinstance(results, SweepResult):
         results = [results]
     proxy = copy.copy(task)
+    # place each frame chunk on device ONCE; replicas only differ in
+    # their (tiny) model parameters, not the (large) frame data
+    dev_chunks = [
+        jnp.asarray(frames[s : s + batch_size])
+        for s in range(0, frames.shape[0], batch_size)
+    ]
     scores = np.empty(len(results))
     for i, res in enumerate(results):
         adopt_sweep_result(proxy, res)
         cv = proxy.colvar_model()
-        y = np.concatenate(
-            [
-                np.asarray(cv(jnp.asarray(frames[s : s + batch_size])))
-                for s in range(0, frames.shape[0], batch_size)
-            ]
-        )
+        y = np.concatenate([np.asarray(cv(c)) for c in dev_chunks])
         scores[i] = vamp_score(y, lag, weights=weights, method=method)
     return scores
 
@@ -893,6 +895,10 @@ def explore_then_finetune(
         task, grid, models=models, chunk_size=chunk_size, mesh=mesh,
         compute_dtype=compute_dtype, bf16_style=bf16_style,
     )
+    if metric not in ("train", "test", "vamp"):
+        raise ValueError(
+            f"metric must be 'train', 'test', or 'vamp'; got {metric!r}"
+        )
     if metric == "vamp":
         best = int(np.argmax(sweep_vamp_scores(task, results)))
     else:

@@ -135,7 +135,7 @@ def main():
 
     cv_top = task.colvar_model()
     y = np.asarray(cv_top(jnp.asarray(traj.trajectory, jnp.float32)))
-    lag_frames = max(1, round(0.2 / traj.dt))
+    lag_frames = task.lag_idx
     ck = ck_test(y, lag=lag_frames, n_multiples=4, weights=traj.weights)
     ts = timescales_vs_lag(
         y, [lag_frames, 2 * lag_frames, 4 * lag_frames], dt=traj.dt,

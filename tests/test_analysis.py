@@ -253,7 +253,10 @@ def test_timescales_vs_lag_plateau():
         np.random.default_rng(17).standard_normal(50_000)
     )
     tw = timescales_vs_lag(white, [200], dt=dt)
-    assert np.isnan(tw).all() or (tw < 1.0).all()
+    # rho is ~N(0, 1/sqrt(n-L)) ≈ ±0.005: either the nan branch
+    # (rho <= 0) or a short spurious timescale -20/ln(rho) << 20
+    # (tw < 20 would require rho > 1/e, ~70 sigma away)
+    assert np.isnan(tw).all() or (tw < 20.0).all()
     with pytest.raises(ValueError):
         timescales_vs_lag(y, [0], dt=dt)
 
@@ -310,3 +313,28 @@ def test_vamp_score_ranks_cv_quality():
         vamp_score(slow, lag=8, method="VAMP-3")
     with pytest.raises(ValueError):
         vamp_score(slow, lag=8, weights=np.ones(7))
+
+
+def test_lag_integrality_validation():
+    """Float lags from lag_tau/dt arithmetic are accepted when they are
+    integral up to fp error (6.999999999999999 -> 7) and REJECTED when
+    genuinely fractional — never silently floored."""
+    y = _ar1(0.9, 5_000, seed=30)
+    near7 = 0.7 / 0.1  # 6.999999999999999
+    np.testing.assert_array_equal(
+        autocorrelation(y, [near7]), autocorrelation(y, [7])
+    )
+    r = ck_test(y, lag=near7, n_multiples=2)
+    assert r.lags.tolist() == [7, 14]
+    np.testing.assert_array_equal(
+        timescales_vs_lag(y, [near7], dt=0.1), timescales_vs_lag(y, [7], dt=0.1)
+    )
+    assert vamp_score(y, near7) == vamp_score(y, 7)
+    for fn in (
+        lambda: autocorrelation(y, [6.5]),
+        lambda: ck_test(y, lag=6.5),
+        lambda: timescales_vs_lag(y, [6.5], dt=0.1),
+        lambda: vamp_score(y, 6.5),
+    ):
+        with pytest.raises(ValueError):
+            fn()
