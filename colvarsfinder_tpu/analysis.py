@@ -23,6 +23,9 @@ examples eyeball scatter plots, e.g. dipeptide main.ipynb cell 21):
   linear mixing of the heads. The standard held-out model-selection
   metric — rank :func:`~colvarsfinder_tpu.parallel.train_hyperparameter_sweep`
   replicas by validation VAMP score instead of train loss.
+* :func:`validate_cv` — the whole battery in one call, with the
+  pass/fail rules of ``docs/validation.md`` applied
+  (:class:`CVValidation` report).
 
 All three accept plain numpy inputs and the framework's CV callables
 (:class:`~colvarsfinder_tpu.export.ColvarModel`, deployed numpy CVs, or
@@ -37,12 +40,14 @@ import numpy as np
 
 __all__ = [
     "CKResult",
+    "CVValidation",
     "autocorrelation",
     "ck_test",
     "cv_consistency",
     "free_energy_profile",
     "implied_timescales",
     "timescales_vs_lag",
+    "validate_cv",
     "vamp_score",
 ]
 
@@ -463,3 +468,92 @@ def vamp_score(
     K = _inv_sqrt(C00, epsilon).T @ C01 @ _inv_sqrt(C11, epsilon)
     s = np.clip(np.linalg.svd(K, compute_uv=False), 0.0, 1.0)
     return float(np.sum(s if method == "VAMP-1" else s**2))
+
+
+class CVValidation:
+    """Outcome of :func:`validate_cv` — the battery's numbers plus the
+    decision rules of ``docs/validation.md`` as booleans.
+
+    Attributes:
+        ck: the :class:`CKResult` at the training lag.
+        timescales: ``[4, k]`` implied timescales at lags
+            ``lag * (1, 2, 4, 8)`` (``nan``/``inf`` where degenerate).
+        vamp2: VAMP-2 score, in ``[0, k]``.
+        markovian: ``ck.max_deviation < ck_tol`` — the CV relaxes
+            single-exponentially at the training lag.
+        converged: every head's finite timescale varies less than
+            ``plateau_tol`` (relative) across the lag scan — the
+            implied timescale no longer depends on the lag.
+        passed: ``markovian and converged``.
+    """
+
+    def __init__(self, ck, timescales, vamp2, ck_tol, plateau_tol):
+        self.ck = ck
+        self.timescales = timescales
+        self.vamp2 = float(vamp2)
+        self.markovian = bool(ck.max_deviation < ck_tol)
+        finite = np.isfinite(timescales)
+        heads_ok = []
+        for j in range(timescales.shape[1]):
+            t = timescales[finite[:, j], j]
+            heads_ok.append(
+                t.size >= 2 and float(t.max() - t.min()) < plateau_tol * float(t.max())
+            )
+        self.converged = bool(heads_ok and all(heads_ok))
+        self.passed = self.markovian and self.converged
+
+    def __repr__(self):
+        def mark(ok):
+            return "pass" if ok else "FAIL"
+
+        lines = [
+            f"CK max deviation {self.ck.max_deviation:.4f} "
+            f"[{mark(self.markovian)}]",
+            "implied timescales (rows = lag x1/x2/x4/x8):\n"
+            + np.array2string(self.timescales, precision=3)
+            + f" [{mark(self.converged)}]",
+            f"VAMP-2 {self.vamp2:.4f} of max {self.timescales.shape[1]}",
+        ]
+        return "CVValidation(\n  " + "\n  ".join(lines) + "\n)"
+
+
+def validate_cv(
+    cv_values,
+    lag: int,
+    dt: float = 1.0,
+    weights=None,
+    ck_tol: float = 0.05,
+    plateau_tol: float = 0.25,
+) -> CVValidation:
+    """Run the full validation battery of ``docs/validation.md`` on a
+    frame-ordered CV time series in one call.
+
+    Bundles :func:`ck_test` (Markovianity at the training lag),
+    :func:`timescales_vs_lag` at ``lag * (1, 2, 4, 8)`` (lag
+    convergence), and :func:`vamp_score` (slow content), and applies
+    the documented pass thresholds. The thresholds are heuristics —
+    inspect the numbers (and the guide) when a verdict is borderline.
+
+    Args:
+        cv_values: ``[n]`` or ``[n, k]`` CV series over one contiguous
+            trajectory, frame-ordered.
+        lag: the training lag in FRAMES (``task.lag_idx``).
+        dt: physical time per frame (``WeightedTrajectory.dt``).
+        weights: optional per-frame weights.
+        ck_tol: ``markovian`` iff CK max deviation is below this.
+        plateau_tol: ``converged`` iff each head's finite timescale
+            spread across the lag scan is below this fraction of its
+            maximum.
+
+    Returns:
+        :class:`CVValidation` (its ``repr`` is the printable report).
+    """
+    lag = int(_as_frame_lags(lag)[0])
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1 frame; got {lag}")
+    ck = ck_test(cv_values, lag=lag, n_multiples=4, weights=weights)
+    ts = timescales_vs_lag(
+        cv_values, [lag, 2 * lag, 4 * lag, 8 * lag], dt=dt, weights=weights
+    )
+    v2 = vamp_score(cv_values, lag, weights=weights)
+    return CVValidation(ck, ts, v2, ck_tol, plateau_tol)

@@ -338,3 +338,27 @@ def test_lag_integrality_validation():
     ):
         with pytest.raises(ValueError):
             fn()
+
+
+def test_validate_cv_pass_and_fail():
+    """validate_cv applies the docs/validation.md rules: an AR(1) head
+    passes (Markovian, flat timescale curve); a two-timescale mixture
+    fails both Markovianity and lag convergence."""
+    from colvarsfinder_tpu.analysis import validate_cv
+
+    good = _ar1(0.92, 200_000, seed=31)
+    r = validate_cv(good, lag=5, dt=0.1)
+    assert r.markovian and r.converged and r.passed
+    assert r.timescales.shape == (4, 1)
+    assert 0.0 < r.vamp2 <= 1.0
+    assert "pass" in repr(r) and "FAIL" not in repr(r)
+
+    mixed = _ar1(0.5, 200_000, seed=32) + _ar1(0.985, 200_000, seed=33)
+    rm = validate_cv(mixed, lag=5, dt=0.1)
+    assert not rm.markovian and not rm.converged and not rm.passed
+    assert "FAIL" in repr(rm)
+
+    with pytest.raises(ValueError):
+        validate_cv(good, lag=0, dt=0.1)
+    with pytest.raises(ValueError):
+        validate_cv(good, lag=5.5, dt=0.1)
