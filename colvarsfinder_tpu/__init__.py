@@ -31,6 +31,7 @@ from .core import (
     TrainingTask,
 )
 from .deploy import load_numpy_cv, save_numpy_cv
+from .deploy_torch import export_torchscript_cv, torchscript_from_numpy_cv
 from .export import ColvarModel, export_colvar, load_colvar
 from .models import (
     AutoEncoder,
@@ -60,6 +61,8 @@ __all__ = [
     "load_colvar",
     "load_numpy_cv",
     "save_numpy_cv",
+    "export_torchscript_cv",
+    "torchscript_from_numpy_cv",
     "load_torch_state_dict",
     "save_torch_state_dict",
     "TrainingTask",

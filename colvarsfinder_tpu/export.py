@@ -138,6 +138,21 @@ def export_colvar(
     except UnsupportedLayerError:
         pass
 
+    # reference-format TorchScript artifact (scripted_cv_cpu.pt, reference
+    # core.py:212-227) — written only when torch is ALREADY loaded in this
+    # process, so non-torch users never pay the import; call
+    # deploy_torch.export_torchscript_cv (or torchscript_from_numpy_cv on a
+    # saved artifact) to write it explicitly.
+    import sys
+
+    if "torch" in sys.modules:
+        from .deploy_torch import export_torchscript_cv
+
+        try:
+            export_torchscript_cv(cv_model, out_dir)
+        except UnsupportedLayerError:
+            pass
+
     if not write_stablehlo:
         return
 
