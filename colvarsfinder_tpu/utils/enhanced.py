@@ -139,6 +139,123 @@ class MetadynamicsResult:
         )
         return -scale * self.bias(s)
 
+    # ------------------------------------------------------------------
+    def _cv_grid(self, grid_points: int) -> np.ndarray:
+        """Default CV grid covering the visited region (+4 sigma margin)."""
+        dim = self.hill_centers.shape[-1]
+        if dim > 2:
+            raise ValueError(
+                f"no default grid for a {dim}-dimensional CV — pass "
+                "grid=[n_points, cv_dim] explicitly"
+            )
+        axes = [
+            np.linspace(
+                self.hill_centers[:, d].min() - 4 * self.hill_width,
+                self.hill_centers[:, d].max() + 4 * self.hill_width,
+                grid_points,
+            )
+            for d in range(dim)
+        ]
+        mesh = np.meshgrid(*axes, indexing="ij")
+        return np.stack([m.ravel() for m in mesh], axis=-1)
+
+    def frame_weights(
+        self,
+        method: str = "final-bias",
+        grid: Optional[np.ndarray] = None,
+        grid_points: int = 129,
+    ) -> np.ndarray:
+        """Unbiased-ensemble weights for the deposition-time frames.
+
+        Turns a biased run into :class:`~colvarsfinder_tpu.utils.trajectory
+        .WeightedTrajectory` input (weights mean-normalized to 1, the
+        package convention) so the CV can be *retrained* on data that
+        crossed the barriers — the iterate-the-CV workflow the reference
+        ecosystem runs through a PLUMED reweight plus ``calc_weights``
+        (reference utils.py:220-223, :354-417).
+
+        Args:
+            method: ``'final-bias'`` — the quasi-static estimator
+                ``w_i ∝ exp(beta * V_b(s_i))`` with ``V_b`` the final
+                accumulated bias (the stationary distribution of
+                well-tempered metadynamics is ``∝ exp(-beta (F + V_b))``).
+                ``'tiwary'`` — the time-dependent estimator of Tiwary &
+                Parrinello (J. Phys. Chem. B 119, 2015):
+                ``w_i ∝ exp(beta * (V(s_i, t_i) - c(t_i)))`` where
+                ``V(·, t_i)`` is the bias when frame ``i`` was recorded and
+                ``c(t) = (1/beta) ln(∫ e^{beta*gamma*V/(gamma-1)} ds /
+                ∫ e^{beta*V/(gamma-1)} ds)`` on a CV grid (for standard
+                metadynamics the ``gamma -> inf`` limit is used).
+            grid: optional explicit CV grid [n_points, cv_dim] for the
+                ``c(t)`` integrals (``'tiwary'`` only).
+            grid_points: per-dimension size of the default grid.
+
+        Returns:
+            weights [n_hills] with mean 1, aligned with ``self.frames``.
+        """
+        if self.hill_centers.ndim == 3:
+            raise ValueError(
+                "multi-walker result: use .select_walker(c).frame_weights()"
+            )
+        if method == "final-bias":
+            expo = self.beta * self.bias(self.cv_values).astype(np.float64)
+        elif method == "tiwary":
+            expo = self._tiwary_exponent(grid, grid_points)
+        else:
+            raise ValueError(
+                f"unknown reweighting method '{method}' "
+                "(use 'final-bias' or 'tiwary')"
+            )
+        w = np.exp(expo - expo.max())  # max-shift, like calc_weights
+        return w / w.mean()
+
+    def _tiwary_exponent(
+        self, grid: Optional[np.ndarray], grid_points: int
+    ) -> np.ndarray:
+        beta = self.beta
+        if grid is None:
+            grid = self._cv_grid(grid_points)
+        grid = np.asarray(grid, dtype=np.float64)
+        n_h = self.hill_centers.shape[0]
+        inv = 1.0 / (2.0 * self.hill_width**2)
+        heights = self.hill_heights.astype(np.float64)
+        centers = self.hill_centers.astype(np.float64)
+        # exponent coefficients of the two c(t) integrals: with F estimated
+        # as -gamma/(gamma-1) V(s,t), exp(-beta F) = exp(a1 V) and
+        # exp(-beta (F+V)) = exp(a2 V)
+        if self.bias_factor is None:  # standard metadynamics: gamma -> inf
+            a1, a2 = beta, 0.0
+        else:
+            g = self.bias_factor
+            a1, a2 = beta * g / (g - 1.0), beta / (g - 1.0)
+
+        # c(t_i) via grid integrals of the PARTIAL bias (hills j < i),
+        # chunked over grid points so memory stays [n_h, chunk]
+        log_i1 = np.full(n_h, -np.inf)
+        log_i2 = np.full(n_h, -np.inf)
+        chunk = max(1, int(2e7) // max(n_h, 1))
+        for lo in range(0, grid.shape[0], chunk):
+            gpts = grid[lo : lo + chunk]
+            d2 = ((gpts[None, :, :] - centers[:, None, :]) ** 2).sum(-1)
+            hill_mat = heights[:, None] * np.exp(-d2 * inv)  # [n_h, g]
+            vpart = np.cumsum(hill_mat, axis=0) - hill_mat  # bias BEFORE hill i
+            for log_acc, a in ((log_i1, a1), (log_i2, a2)):
+                m = (a * vpart).max(axis=1)
+                s = np.log(np.exp(a * vpart - m[:, None]).sum(axis=1)) + m
+                # log-sum-exp accumulate across chunks
+                hi = np.maximum(log_acc, s)
+                log_acc[:] = hi + np.log(
+                    np.exp(log_acc - hi) + np.exp(s - hi)
+                )
+        c_t = (log_i1 - log_i2) / beta
+
+        # V(s_i, t_i): partial bias at each frame's own CV value
+        d2f = ((self.cv_values[:, None, :].astype(np.float64)
+                - centers[None, :, :]) ** 2).sum(-1)
+        mask = np.tril(np.ones((n_h, n_h)), k=-1)  # hills j < i
+        v_own = (mask * heights[None, :] * np.exp(-d2f * inv)).sum(axis=1)
+        return beta * (v_own - c_t)
+
 
 def _metad_scan(
     grad_total, cv_fn, bias_e, x0, key, step_size, beta, hill_height,

@@ -154,6 +154,28 @@ def main():
     print("OK: learned-CV metadynamics visited all three wells "
           f"(unbiased run saw {len(wells_unbiased)})")
 
+    # --- 5. close the loop: reweight the biased frames and RETRAIN ----
+    # (the reference ecosystem's PLUMED-reweight + calc_weights step);
+    # the retrained CV now sees barrier-crossing data from all wells
+    w = res.frame_weights(method="tiwary")
+    traj2 = WeightedTrajectory(
+        trajectory=res.frames.astype(np.float32), weights=w,
+        dt=0.001 * 100, verbose=False,
+    )
+    task2 = EigenFunctionTask(
+        traj2, None, EigenFunctions([2, 20, 20, 1], 2, seed=1),
+        os.path.join(args.outdir, "cv2"), alpha=10.0,
+        eig_weights=[1.0, 0.7], lag_tau=0.001 * 100, k=2,
+        learning_rate=0.01, batch_size=500, num_epochs=40, test_ratio=0.2,
+        save_model_every_step=0, verbose=False, tensorboard=False, seed=1,
+    )
+    t0 = time.time()
+    task2.train()
+    print(f"retrained CV on reweighted metadynamics frames "
+          f"({time.time() - t0:.1f}s): {len(w)} frames, "
+          f"effective sample size {w.sum() ** 2 / (w ** 2).sum():.0f}, "
+          f"final loss {task2.train_loss_df['loss'].iloc[-1]:.4f}")
+
 
 if __name__ == "__main__":
     main()
