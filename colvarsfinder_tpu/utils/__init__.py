@@ -14,9 +14,11 @@ from .io import (
 )
 from .enhanced import (
     BiasedPotential,
+    MBARResult,
     MetadynamicsResult,
     harmonic_restraint,
     integrate_sde_metadynamics,
+    mbar_weights,
 )
 from .sampling import integrate_md_langevin, integrate_sde_overdamped
 from .trajectory import WeightedTrajectory, calc_weights
@@ -28,9 +30,11 @@ __all__ = [
     "integrate_md_langevin",
     "integrate_sde_overdamped",
     "BiasedPotential",
+    "MBARResult",
     "MetadynamicsResult",
     "harmonic_restraint",
     "integrate_sde_metadynamics",
+    "mbar_weights",
     "Topology",
     "Universe",
     "parse_gro",
