@@ -597,9 +597,12 @@ def mbar_weights(
     f = np.zeros(K)
     converged = False
     it = 0
+    delta = np.inf
     scf_warmup = 10
+    log_d_next = None  # carried from an accepted Newton step
     for it in range(1, max_iter + 1):
-        log_d = _log_denom(f)
+        log_d = _log_denom(f) if log_d_next is None else log_d_next
+        log_d_next = None
         if it <= scf_warmup or K == 1:
             f_new = _scf_step(f, log_d)
         else:
@@ -621,6 +624,7 @@ def mbar_weights(
                 grad_try = (n_k[:, None] * W_t).sum(axis=1) - n_k
                 if np.abs(grad_try).max() < np.abs(grad).max():
                     f_new = f_try
+                    log_d_next = log_d_try  # reuse next iteration
                 else:
                     f_new = _scf_step(f, log_d)
             except np.linalg.LinAlgError:

@@ -104,6 +104,16 @@ def test_bias_fns_path_matches_u_kn_path():
     )
 
 
+def test_max_iter_zero_returns_unconverged():
+    rng = np.random.default_rng(0)
+    cvs = [rng.standard_normal(20), rng.standard_normal(20)]
+    u = np.abs(rng.standard_normal((2, 40)))
+    with pytest.warns(UserWarning, match="did not converge"):
+        res = mbar_weights(cvs, u_kn=u, max_iter=0)
+    assert not res.converged and res.n_iter == 0
+    assert np.isfinite(np.concatenate(res.weights)).all()
+
+
 def test_input_validation():
     rng = np.random.default_rng(0)
     cvs = [rng.standard_normal(10)]
