@@ -26,6 +26,11 @@ examples eyeball scatter plots, e.g. dipeptide main.ipynb cell 21):
 * :func:`validate_cv` — the whole battery in one call, with the
   pass/fail rules of ``docs/validation.md`` applied
   (:class:`CVValidation` report).
+* :func:`tica` / :func:`pca` — the classical LINEAR baselines.
+  Every CV-discovery run should be compared against them: a trained
+  eigenfunction head that scores no better than TICA on the same
+  features (compare :func:`vamp_score`, or the subspaces via
+  :func:`cv_consistency`) did not need a neural network.
 
 All three accept plain numpy inputs and the framework's CV callables
 (:class:`~colvarsfinder_tpu.export.ColvarModel`, deployed numpy CVs, or
@@ -41,11 +46,14 @@ import numpy as np
 __all__ = [
     "CKResult",
     "CVValidation",
+    "LinearCV",
     "autocorrelation",
     "ck_test",
     "cv_consistency",
     "free_energy_profile",
     "implied_timescales",
+    "pca",
+    "tica",
     "timescales_vs_lag",
     "validate_cv",
     "vamp_score",
@@ -468,6 +476,200 @@ def vamp_score(
     K = _inv_sqrt(C00, epsilon).T @ C01 @ _inv_sqrt(C11, epsilon)
     s = np.clip(np.linalg.svd(K, compute_uv=False), 0.0, 1.0)
     return float(np.sum(s if method == "VAMP-1" else s**2))
+
+
+# ---------------------------------------------------------------------------
+# Linear baselines: TICA and PCA
+# ---------------------------------------------------------------------------
+
+
+class LinearCV:
+    """A fitted linear CV map ``x -> (x - mean) @ components``.
+
+    Returned by :func:`tica` and :func:`pca`. Callable with the same
+    ``[n, d] -> [n, k]`` contract as every other CV in the package, so
+    it plugs directly into :func:`cv_consistency`, :func:`vamp_score`,
+    :func:`free_energy_profile` and :func:`validate_cv` for
+    head-to-head comparison with a trained model.
+
+    Attributes:
+        mean: ``[d]`` weighted feature mean subtracted before projection.
+        components: ``[d, k]`` projection matrix, one column per CV;
+            scaled so each output has unit weighted variance on the
+            training data (whitened, the kinetic-map convention for
+            TICA).
+        eigenvalues: ``[k]`` — for TICA, the lagged autocorrelation of
+            each component (descending); for PCA, the fraction of total
+            weighted variance captured (descending).
+        timescales: ``[k]`` implied timescales ``-lag*dt / ln(lam)``
+            (TICA only; ``None`` for PCA).
+        lag: the lag in frames (TICA only; ``None`` for PCA).
+    """
+
+    def __init__(self, mean, components, eigenvalues, timescales=None, lag=None):
+        self.mean = mean
+        self.components = components
+        self.eigenvalues = eigenvalues
+        self.timescales = timescales
+        self.lag = lag
+
+    def __call__(self, X) -> np.ndarray:
+        X = np.asarray(X, dtype=np.float64)
+        flat = X.reshape(X.shape[0], -1)
+        if flat.shape[1] != self.mean.shape[0]:
+            raise ValueError(
+                f"expected features of dim {self.mean.shape[0]}; "
+                f"got shape {X.shape}"
+            )
+        return (flat - self.mean) @ self.components
+
+    transform = __call__
+
+    def __repr__(self):  # pragma: no cover - cosmetic
+        kind = "tica" if self.lag is not None else "pca"
+        return (
+            f"LinearCV({kind}, k={self.components.shape[1]}, "
+            f"eigenvalues={np.round(self.eigenvalues, 4).tolist()})"
+        )
+
+
+def tica(
+    X,
+    lag: int,
+    n_components: Optional[int] = None,
+    weights=None,
+    dt: float = 1.0,
+    epsilon: float = 1e-10,
+) -> LinearCV:
+    """Time-lagged independent component analysis — the linear baseline.
+
+    Solves the generalized eigenproblem :math:`C_{0\\tau} v = \\lambda
+    C_{00} v` with symmetrized (reversible) weighted covariance
+    estimates over the lagged pairs: both windows contribute to the
+    mean and to :math:`C_{00}`, and :math:`C_{0\\tau}` is averaged with
+    its transpose, so eigenvalues are real and bounded by 1 even on
+    finite data. Weighting follows the package convention (leading
+    frame's weight per pair, :func:`autocorrelation`).
+
+    TICA is exactly the best *linear* solution of the transfer-operator
+    objective the eigenfunction tasks optimize — which is what makes it
+    the mandatory baseline: run it on the same preprocessed features
+    (``task.pp_layer`` output) and compare eigenvalues/timescales and
+    :func:`vamp_score` against the trained heads. If the network does
+    not beat TICA, the extra capacity bought nothing.
+
+    Args:
+        X: ``[n, d]`` frame-ordered feature time series over one
+            contiguous trajectory (trailing dims beyond the first are
+            flattened, so raw ``[n, N, 3]`` coordinates work — though
+            aligned/featurized input is what makes physical sense).
+        lag: the lag :math:`\\tau` in FRAMES (1 <= lag < n).
+        n_components: how many components to keep (default: all
+            non-degenerate ones).
+        weights: optional per-frame statistical weights
+            (``WeightedTrajectory.weights``); uniform if omitted.
+        dt: physical time per frame, for the implied timescales.
+        epsilon: relative eigenvalue floor of :math:`C_{00}` below
+            which degenerate feature directions are dropped.
+
+    Returns:
+        :class:`LinearCV` with autocorrelation ``eigenvalues``
+        (descending) and implied ``timescales``.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    X = X.reshape(X.shape[0], -1)
+    n = X.shape[0]
+    lag = int(_as_frame_lags(lag)[0])
+    if not 1 <= lag < n:
+        raise ValueError(f"lag must lie in [1, n={n}); got {lag}")
+    w = (
+        np.ones(n, dtype=np.float64)
+        if weights is None
+        else np.asarray(weights, dtype=np.float64)
+    )
+    if w.shape != (n,):
+        raise ValueError(f"weights must be [n={n}]; got {w.shape}")
+    a, b = X[: n - lag], X[lag:]
+    wp = w[: n - lag]
+    wp = wp / wp.sum()
+    mu = 0.5 * (wp @ a + wp @ b)
+    da, db = a - mu, b - mu
+    wda, wdb = wp[:, None] * da, wp[:, None] * db
+    C00 = 0.5 * (wda.T @ da + wdb.T @ db)
+    C0t = wda.T @ db
+    C0t = 0.5 * (C0t + C0t.T)
+    W = _inv_sqrt(C00, epsilon)  # [d, r]
+    lam, V = np.linalg.eigh(W.T @ C0t @ W)
+    order = np.argsort(lam)[::-1]
+    lam, V = lam[order], V[:, order]
+    if n_components is not None:
+        k = int(n_components)
+        if not 1 <= k <= lam.size:
+            raise ValueError(
+                f"n_components must lie in [1, {lam.size}] "
+                f"(non-degenerate feature rank); got {k}"
+            )
+        lam, V = lam[:k], V[:, :k]
+    components = W @ V  # whitened: unit C00-variance per output
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ts = -(lag * float(dt)) / np.log(lam)
+    ts = np.where(lam >= 1.0, np.inf, ts)
+    ts = np.where(lam <= 0.0, np.nan, ts)
+    return LinearCV(mu, components, lam, timescales=ts, lag=lag)
+
+
+def pca(X, n_components: Optional[int] = None, weights=None) -> LinearCV:
+    """Weighted principal component analysis — the no-dynamics baseline.
+
+    Projects onto the leading eigenvectors of the weighted feature
+    covariance. Outputs are whitened (unit weighted variance), matching
+    :func:`tica`; ``eigenvalues`` holds each component's captured
+    fraction of the total weighted variance.
+
+    PCA is the best linear solution of the (unregularized) autoencoder
+    objective, so it is the natural baseline for
+    :class:`~colvarsfinder_tpu.core.AutoEncoderTask`: if the trained
+    encoder subspace matches PCA's (:func:`cv_consistency`), the data's
+    slow manifold is essentially linear.
+
+    Args:
+        X: ``[n, d]`` features (trailing dims flattened).
+        n_components: components to keep (default: all non-degenerate).
+        weights: optional per-frame weights; uniform if omitted.
+
+    Returns:
+        :class:`LinearCV` with variance-fraction ``eigenvalues``.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    X = X.reshape(X.shape[0], -1)
+    n = X.shape[0]
+    w = (
+        np.ones(n, dtype=np.float64)
+        if weights is None
+        else np.asarray(weights, dtype=np.float64)
+    )
+    if w.shape != (n,):
+        raise ValueError(f"weights must be [n={n}]; got {w.shape}")
+    wp = w / w.sum()
+    mu = wp @ X
+    d = X - mu
+    C = (wp[:, None] * d).T @ d
+    vals, vecs = np.linalg.eigh((C + C.T) / 2.0)
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order]
+    keep = vals > 1e-12 * max(float(vals.max()), 0.0)
+    vals, vecs = vals[keep], vecs[:, keep]
+    if n_components is not None:
+        k = int(n_components)
+        if not 1 <= k <= vals.size:
+            raise ValueError(
+                f"n_components must lie in [1, {vals.size}] "
+                f"(non-degenerate feature rank); got {k}"
+            )
+        vals, vecs = vals[:k], vecs[:, :k]
+    total = float(np.trace(C))
+    components = vecs / np.sqrt(vals)  # whitened outputs
+    return LinearCV(mu, components, vals / max(total, 1e-300))
 
 
 class CVValidation:

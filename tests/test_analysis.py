@@ -362,3 +362,134 @@ def test_validate_cv_pass_and_fail():
         validate_cv(good, lag=0, dt=0.1)
     with pytest.raises(ValueError):
         validate_cv(good, lag=5.5, dt=0.1)
+
+
+# ------------------------------------------------------------- TICA / PCA
+def test_tica_unmixes_ar1_modes():
+    """TICA on a linear mixture of AR(1) heads with distinct
+    autocorrelations must recover the per-mode eigenvalues a^lag and,
+    whitened, un-mix the slow mode (|corr| with the true slow series
+    ~= 1)."""
+    from colvarsfinder_tpu.analysis import tica
+
+    n, lag = 300_000, 4
+    slow = _ar1(0.95, n, seed=40)
+    fast = _ar1(0.60, n, seed=41)
+    y = np.concatenate([slow, fast], axis=1)
+    A = np.array([[1.3, -0.7], [0.4, 1.1]])  # invertible mixing
+    X = y @ A.T
+    t = tica(X, lag=lag)
+    np.testing.assert_allclose(t.eigenvalues, [0.95**lag, 0.60**lag], atol=0.02)
+    s = t(X)
+    assert s.shape == (n, 2)
+    c = np.corrcoef(s[:, 0], slow[:, 0])[0, 1]
+    assert abs(c) > 0.99
+    # whitened outputs: unit variance per component
+    np.testing.assert_allclose(s.var(axis=0), 1.0, atol=0.02)
+    # implied timescales follow -lag*dt/ln(lam)
+    np.testing.assert_allclose(
+        t.timescales, -lag * 1.0 / np.log(t.eigenvalues), rtol=1e-12
+    )
+
+
+def test_tica_agrees_with_vamp_score():
+    """VAMP-2 of the TICA projection equals the sum of squared TICA
+    eigenvalues (both estimate the same whitened cross-covariance
+    norm), up to estimator differences vanishing with n."""
+    from colvarsfinder_tpu.analysis import tica, vamp_score
+
+    n, lag = 300_000, 3
+    y = np.concatenate(
+        [_ar1(0.9, n, seed=42), _ar1(0.5, n, seed=43)], axis=1
+    )
+    X = y @ np.array([[0.9, 0.2], [-0.3, 1.4]]).T
+    t = tica(X, lag=lag)
+    v2 = vamp_score(t(X), lag)
+    np.testing.assert_allclose(v2, np.sum(t.eigenvalues**2), atol=0.02)
+
+
+def test_tica_degenerate_and_weighted():
+    from colvarsfinder_tpu.analysis import tica
+
+    n, lag = 100_000, 2
+    y = _ar1(0.9, n, seed=44, k=2)
+    # constant feature column is dropped, not amplified
+    Xc = np.concatenate([y, np.full((n, 1), 3.7)], axis=1)
+    t = tica(Xc, lag=lag)
+    assert t.components.shape == (3, 2)
+    assert np.all(np.isfinite(t.eigenvalues))
+    # weight-scale invariance
+    w = np.random.default_rng(45).uniform(0.5, 2.0, n)
+    t1 = tica(y, lag=lag, weights=w)
+    t2 = tica(y, lag=lag, weights=3.0 * w)
+    np.testing.assert_allclose(t1.eigenvalues, t2.eigenvalues, rtol=1e-12)
+    np.testing.assert_allclose(t1.components, t2.components, rtol=1e-9)
+    # n_components selects the top mode
+    tt = tica(y, lag=lag, n_components=1)
+    assert tt.components.shape == (2, 1)
+    assert tt.eigenvalues.shape == (1,)
+
+
+def test_tica_validation_errors():
+    from colvarsfinder_tpu.analysis import tica
+
+    y = _ar1(0.9, 1000, seed=46)
+    for bad in (
+        lambda: tica(y, lag=0),
+        lambda: tica(y, lag=1000),
+        lambda: tica(y, lag=2.5),
+        lambda: tica(y, lag=2, weights=np.ones(7)),
+        lambda: tica(y, lag=2, n_components=5),
+    ):
+        with pytest.raises(ValueError):
+            bad()
+
+
+def test_pca_matches_duplication_and_numpy():
+    from colvarsfinder_tpu.analysis import pca
+
+    rng = np.random.default_rng(47)
+    X = rng.standard_normal((5000, 3)) @ np.diag([3.0, 1.0, 0.2])
+    p = pca(X)
+    # eigenvalue fractions: descending, sum to ~1 for full rank
+    assert np.all(np.diff(p.eigenvalues) <= 1e-12)
+    np.testing.assert_allclose(p.eigenvalues.sum(), 1.0, rtol=1e-12)
+    # matches numpy eigh of the covariance (up to sign)
+    C = np.cov(X.T, bias=True)
+    vals, vecs = np.linalg.eigh(C)
+    lead = vecs[:, np.argmax(vals)]
+    got = p.components[:, 0] * np.sqrt(vals.max())  # undo whitening
+    assert min(
+        np.abs(got - lead).max(), np.abs(got + lead).max()
+    ) < 1e-8
+    # whitened outputs
+    np.testing.assert_allclose(p(X).var(axis=0), 1.0, rtol=1e-9)
+    # integer weights == row duplication
+    idx = rng.integers(0, 5000, 2000)
+    w = np.bincount(idx, minlength=5000).astype(float)
+    pw = pca(X, weights=w, n_components=2)
+    pd = pca(X[np.repeat(np.arange(5000), w.astype(int))], n_components=2)
+    np.testing.assert_allclose(pw.eigenvalues, pd.eigenvalues, rtol=1e-9)
+    np.testing.assert_allclose(np.abs(pw.components), np.abs(pd.components), rtol=1e-6)
+
+
+def test_linear_cv_plugs_into_battery():
+    """LinearCV satisfies the package CV contract: cv_consistency can
+    compare a TICA baseline against the true slow map, and
+    validate_cv accepts its output series."""
+    from colvarsfinder_tpu.analysis import tica, validate_cv
+
+    n, lag = 200_000, 5
+    slow = _ar1(0.95, n, seed=48)
+    fast = _ar1(0.5, n, seed=49)
+    X = np.concatenate([slow, fast], axis=1) @ np.array(
+        [[1.0, 0.5], [-0.2, 1.0]]
+    ).T
+    t = tica(X, lag=lag, n_components=1)
+    truth = lambda Z: (np.linalg.solve(
+        np.array([[1.0, 0.5], [-0.2, 1.0]]), Z.T
+    ).T)[:, :1]
+    M = cv_consistency([t, truth], X)
+    assert M[0, 1] > 0.99
+    r = validate_cv(t(X), lag=lag, dt=0.1)
+    assert r.markovian and r.passed
