@@ -31,6 +31,12 @@ examples eyeball scatter plots, e.g. dipeptide main.ipynb cell 21):
   eigenfunction head that scores no better than TICA on the same
   features (compare :func:`vamp_score`, or the subspaces via
   :func:`cv_consistency`) did not need a neural network.
+* :func:`msm` / :class:`MSMResult` — a discrete Markov state model on
+  CV bins: transition matrix, stationary distribution, spectral
+  timescales, :meth:`~MSMResult.committor` and :meth:`~MSMResult.mfpt`
+  between metastable sets. The committor along a good 1-D reaction
+  coordinate is a monotone sigmoid — the sharpest test that the
+  learned CV actually parameterizes the transition.
 
 All three accept plain numpy inputs and the framework's CV callables
 (:class:`~colvarsfinder_tpu.export.ColvarModel`, deployed numpy CVs, or
@@ -47,11 +53,14 @@ __all__ = [
     "CKResult",
     "CVValidation",
     "LinearCV",
+    "MSMResult",
     "autocorrelation",
     "ck_test",
     "cv_consistency",
     "free_energy_profile",
+    "discretize",
     "implied_timescales",
+    "msm",
     "pca",
     "tica",
     "timescales_vs_lag",
@@ -476,6 +485,272 @@ def vamp_score(
     K = _inv_sqrt(C00, epsilon).T @ C01 @ _inv_sqrt(C11, epsilon)
     s = np.clip(np.linalg.svd(K, compute_uv=False), 0.0, 1.0)
     return float(np.sum(s if method == "VAMP-1" else s**2))
+
+
+# ---------------------------------------------------------------------------
+# Markov state model on CV bins: committor / MFPT / spectral timescales
+# ---------------------------------------------------------------------------
+
+
+def discretize(cv_values, n_bins: int = 50, value_range=None):
+    """Assign each frame of a CV series to a regular-grid bin.
+
+    1-D series get ``n_bins`` equal-width bins over the data range
+    (or ``value_range``); k-D series get a ``n_bins``-per-dimension
+    grid with bin indices flattened in C order. Values outside
+    ``value_range`` are clipped into the edge bins.
+
+    Args:
+        cv_values: ``[n]`` or ``[n, k]`` CV series.
+        n_bins: bins per dimension.
+        value_range: optional ``(lo, hi)`` (1-D) or sequence of
+            ``(lo, hi)`` per dimension.
+
+    Returns:
+        ``(assignments, centers)`` — ``assignments`` is ``[n]`` int64
+        flat bin indices in ``[0, n_bins**k)``; ``centers`` is
+        ``[n_bins]`` (1-D) or a tuple of per-dimension ``[n_bins]``
+        center arrays.
+    """
+    y = _as_series(cv_values)
+    n_bins = int(n_bins)
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2; got {n_bins}")
+    k = y.shape[1]
+    if value_range is None:
+        ranges = [(y[:, j].min(), y[:, j].max()) for j in range(k)]
+    elif k == 1 and np.ndim(value_range[0]) == 0:
+        ranges = [tuple(value_range)]
+    else:
+        ranges = [tuple(r) for r in value_range]
+        if len(ranges) != k:
+            raise ValueError(
+                f"value_range must give (lo, hi) per dimension (k={k})"
+            )
+    idx = np.zeros(y.shape[0], dtype=np.int64)
+    centers = []
+    for j, (lo, hi) in enumerate(ranges):
+        lo, hi = float(lo), float(hi)
+        if not hi > lo:
+            raise ValueError(f"degenerate range {(lo, hi)} in dimension {j}")
+        edges = np.linspace(lo, hi, n_bins + 1)
+        centers.append(0.5 * (edges[:-1] + edges[1:]))
+        ij = np.clip(
+            np.searchsorted(edges, y[:, j], side="right") - 1, 0, n_bins - 1
+        )
+        idx = idx * n_bins + ij
+    return idx, (centers[0] if k == 1 else tuple(centers))
+
+
+class MSMResult:
+    """A discrete Markov state model estimated by :func:`msm`.
+
+    States are the bins of :func:`discretize` (or user-provided
+    assignments). Only ACTIVE states — visited as a pair leading frame
+    — carry estimates; methods report ``nan`` for inactive states.
+
+    Attributes:
+        transition_matrix: ``[m, m]`` row-stochastic matrix over ALL
+            states; inactive rows hold a self-loop.
+        counts: ``[m, m]`` weighted (symmetrized, if reversible) pair
+            counts.
+        stationary: ``[m]`` stationary distribution (zero on inactive
+            states).
+        active: ``[m]`` boolean mask of active states.
+        lag: the estimation lag in frames.
+        n_states: m.
+    """
+
+    def __init__(self, transition_matrix, counts, lag):
+        self.transition_matrix = transition_matrix
+        self.counts = counts
+        self.lag = int(lag)
+        self.n_states = transition_matrix.shape[0]
+        self.active = counts.sum(axis=1) > 0
+        self.stationary = self._stationary()
+
+    def _stationary(self) -> np.ndarray:
+        a = np.flatnonzero(self.active)
+        if a.size == 0:
+            return np.zeros(self.n_states)
+        T = self.transition_matrix[np.ix_(a, a)]
+        vals, vecs = np.linalg.eig(T.T)
+        i = int(np.argmin(np.abs(vals - 1.0)))
+        pi = np.abs(np.real(vecs[:, i]))
+        pi = pi / pi.sum()
+        out = np.zeros(self.n_states)
+        out[a] = pi
+        return out
+
+    def timescales(self, dt: float = 1.0, k: Optional[int] = None) -> np.ndarray:
+        """Spectral implied timescales ``-lag*dt / ln |lambda_i|`` of the
+        non-stationary eigenvalues, descending (``k`` largest if given)."""
+        a = np.flatnonzero(self.active)
+        T = self.transition_matrix[np.ix_(a, a)]
+        vals = np.sort(np.abs(np.linalg.eigvals(T)))[::-1][1:]
+        if k is not None:
+            vals = vals[: int(k)]
+        with np.errstate(divide="ignore"):
+            t = -(self.lag * float(dt)) / np.log(
+                np.clip(vals, 1e-300, None)
+            )
+        return np.where(vals >= 1.0, np.inf, t)
+
+    def _sets(self, A, B):
+        A = np.atleast_1d(np.asarray(A, dtype=np.int64))
+        B = np.atleast_1d(np.asarray(B, dtype=np.int64))
+        for name, S in (("A", A), ("B", B)):
+            if S.size == 0:
+                raise ValueError(f"set {name} is empty")
+            if np.any((S < 0) | (S >= self.n_states)):
+                raise ValueError(
+                    f"set {name} contains states outside [0, {self.n_states})"
+                )
+        if np.intersect1d(A, B).size:
+            raise ValueError("A and B must be disjoint")
+        return A, B
+
+    def committor(self, A, B) -> np.ndarray:
+        """Forward committor ``q[i] = P(reach B before A | start in i)``.
+
+        Solves the discrete boundary-value problem ``q=0`` on A, ``q=1``
+        on B, ``(I - T) q = 0`` elsewhere, restricted to active states
+        that can reach ``A ∪ B`` (unreachable or inactive states get
+        ``nan``). Along a good 1-D reaction-coordinate CV the committor
+        of the CV bins is a monotone sigmoid crossing 1/2 at the
+        transition state.
+
+        Args:
+            A, B: disjoint iterables of state (bin) indices — e.g. the
+                bins of the two free-energy minima from
+                :func:`free_energy_profile` + :func:`discretize`.
+
+        Returns:
+            ``[n_states]`` committor values in ``[0, 1]`` (``nan`` where
+            undefined).
+        """
+        A, B = self._sets(A, B)
+        q = np.full(self.n_states, np.nan)
+        q[A], q[B] = 0.0, 1.0
+        # states that can reach A ∪ B (on the active chain)
+        adj = self.counts > 0
+        reach = np.zeros(self.n_states, dtype=bool)
+        reach[A] = reach[B] = True
+        while True:
+            new = reach | (adj @ reach)
+            if np.array_equal(new, reach):
+                break
+            reach = new
+        free = self.active & reach
+        free[A] = free[B] = False
+        f = np.flatnonzero(free)
+        if f.size:
+            T = self.transition_matrix
+            M = np.eye(f.size) - T[np.ix_(f, f)]
+            rhs = T[np.ix_(f, np.atleast_1d(B))].sum(axis=1)
+            # boundary values: contributions from transitions into A are 0
+            q[f] = np.clip(np.linalg.solve(M, rhs), 0.0, 1.0)
+        return q
+
+    def mfpt(self, B, dt: float = 1.0) -> np.ndarray:
+        """Mean first-passage time to the set ``B`` from every state.
+
+        Solves ``m = lag*dt + T m`` off B, ``m = 0`` on B, on the
+        active states that can reach B (``nan`` elsewhere).
+        """
+        B = np.atleast_1d(np.asarray(B, dtype=np.int64))
+        if B.size == 0:
+            raise ValueError("set B is empty")
+        if np.any((B < 0) | (B >= self.n_states)):
+            raise ValueError(f"B contains states outside [0, {self.n_states})")
+        m = np.full(self.n_states, np.nan)
+        m[B] = 0.0
+        adj = self.counts > 0
+        reach = np.zeros(self.n_states, dtype=bool)
+        reach[B] = True
+        while True:
+            new = reach | (adj @ reach)
+            if np.array_equal(new, reach):
+                break
+            reach = new
+        free = self.active & reach
+        free[B] = False
+        f = np.flatnonzero(free)
+        if f.size:
+            T = self.transition_matrix
+            M = np.eye(f.size) - T[np.ix_(f, f)]
+            m[f] = np.linalg.solve(M, np.full(f.size, self.lag * float(dt)))
+        return m
+
+    def __repr__(self):  # pragma: no cover - cosmetic
+        return (
+            f"MSMResult(n_states={self.n_states}, "
+            f"active={int(self.active.sum())}, lag={self.lag})"
+        )
+
+
+def msm(
+    assignments,
+    lag: int,
+    n_states: Optional[int] = None,
+    weights=None,
+    reversible: bool = True,
+) -> MSMResult:
+    """Estimate a discrete Markov state model from a state time series.
+
+    Counts lagged pairs ``(s_t, s_{t+lag})`` over one contiguous
+    trajectory, each weighted by the leading frame's statistical weight
+    (the package convention, :func:`autocorrelation`), then
+    row-normalizes into a transition matrix. With ``reversible=True``
+    (default) the count matrix is symmetrized first — the standard
+    fixed-pi-free reversible estimator, guaranteeing real eigenvalues
+    and detailed balance w.r.t. the estimated stationary distribution.
+
+    Args:
+        assignments: ``[n]`` integer state indices, frame-ordered — the
+            output of :func:`discretize` on a CV series.
+        lag: estimation lag in FRAMES (1 <= lag < n).
+        n_states: total number of states (default:
+            ``assignments.max() + 1``); pass ``n_bins**k`` to keep grid
+            geometry when edge bins are unvisited.
+        weights: optional per-frame weights; uniform if omitted.
+        reversible: symmetrize counts before normalizing.
+
+    Returns:
+        :class:`MSMResult`.
+    """
+    s = np.asarray(assignments)
+    if s.ndim != 1 or not np.issubdtype(s.dtype, np.integer):
+        raise ValueError(
+            "assignments must be a 1-D integer series (use discretize())"
+        )
+    n = s.shape[0]
+    lag = int(_as_frame_lags(lag)[0])
+    if not 1 <= lag < n:
+        raise ValueError(f"lag must lie in [1, n={n}); got {lag}")
+    if np.any(s < 0):
+        raise ValueError("assignments must be non-negative")
+    m = int(s.max()) + 1 if n_states is None else int(n_states)
+    if m <= int(s.max()):
+        raise ValueError(
+            f"n_states={m} but assignments reach state {int(s.max())}"
+        )
+    w = (
+        np.ones(n, dtype=np.float64)
+        if weights is None
+        else np.asarray(weights, dtype=np.float64)
+    )
+    if w.shape != (n,):
+        raise ValueError(f"weights must be [n={n}]; got {w.shape}")
+    C = np.zeros((m, m))
+    np.add.at(C, (s[: n - lag], s[lag:]), w[: n - lag])
+    if reversible:
+        C = 0.5 * (C + C.T)
+    rows = C.sum(axis=1)
+    T = np.eye(m)
+    nz = rows > 0
+    T[nz] = C[nz] / rows[nz, None]
+    return MSMResult(T, C, lag)
 
 
 # ---------------------------------------------------------------------------

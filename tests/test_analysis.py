@@ -493,3 +493,160 @@ def test_linear_cv_plugs_into_battery():
     assert M[0, 1] > 0.99
     r = validate_cv(t(X), lag=lag, dt=0.1)
     assert r.markovian and r.passed
+
+
+# --------------------------------------------------------------------- MSM
+def _sample_chain(T, n, seed, pi0=None):
+    """Sample a trajectory from an exact discrete chain."""
+    rng = np.random.default_rng(seed)
+    m = T.shape[0]
+    s = np.empty(n, dtype=np.int64)
+    s[0] = rng.integers(m) if pi0 is None else rng.choice(m, p=pi0)
+    cdf = np.cumsum(T, axis=1)
+    u = rng.uniform(size=n - 1)
+    for t in range(1, n):
+        s[t] = np.searchsorted(cdf[s[t - 1]], u[t - 1])
+    return s
+
+
+def _exact_committor(T, A, B):
+    m = T.shape[0]
+    q = np.zeros(m)
+    q[list(B)] = 1.0
+    free = [i for i in range(m) if i not in set(A) | set(B)]
+    M = np.eye(len(free)) - T[np.ix_(free, free)]
+    q[free] = np.linalg.solve(M, T[np.ix_(free, list(B))].sum(axis=1))
+    return q
+
+
+def test_msm_recovers_exact_chain():
+    """Estimated transition matrix, stationary distribution, committor
+    and MFPT all converge to the exact values of a known birth-death
+    chain."""
+    from colvarsfinder_tpu.analysis import msm
+
+    # 5-state birth-death chain (reversible by construction)
+    p, q = 0.08, 0.12
+    T = np.zeros((5, 5))
+    for i in range(5):
+        if i < 4:
+            T[i, i + 1] = p
+        if i > 0:
+            T[i, i - 1] = q
+        T[i, i] = 1.0 - T[i].sum()
+    s = _sample_chain(T, 400_000, seed=50)
+    r = msm(s, lag=1)
+    assert r.active.all()
+    np.testing.assert_allclose(r.transition_matrix, T, atol=0.01)
+    # analytic stationary: pi_i ~ (p/q)^i
+    pi = (p / q) ** np.arange(5)
+    pi /= pi.sum()
+    np.testing.assert_allclose(r.stationary, pi, atol=0.01)
+    # committor between the two end states vs exact solve on true T
+    np.testing.assert_allclose(
+        r.committor([0], [4]), _exact_committor(T, [0], [4]), atol=0.03
+    )
+    assert r.committor([0], [4])[0] == 0.0
+    assert r.committor([0], [4])[4] == 1.0
+    # MFPT to state 4 from 3: exact solve on true T
+    m_true = np.zeros(5)
+    free = [0, 1, 2, 3]
+    m_true[free] = np.linalg.solve(
+        np.eye(4) - T[np.ix_(free, free)], np.ones(4)
+    )
+    np.testing.assert_allclose(r.mfpt([4])[free], m_true[free], rtol=0.1)
+    # spectral timescale of the slowest mode matches the true chain's
+    lam_true = np.sort(np.abs(np.linalg.eigvals(T)))[-2]
+    np.testing.assert_allclose(
+        r.timescales(k=1)[0], -1.0 / np.log(lam_true), rtol=0.1
+    )
+
+
+def test_msm_lag_and_weights_and_validation():
+    from colvarsfinder_tpu.analysis import msm
+
+    # hand-checked counts at lag 2: pairs (s_t, s_{t+2})
+    s = np.array([0, 1, 0, 1, 2, 2, 0])
+    r = msm(s, lag=2, reversible=False)
+    C = np.zeros((3, 3))
+    for t in range(5):
+        C[s[t], s[t + 2]] += 1
+    np.testing.assert_allclose(r.counts, C)
+    rows = C.sum(1)
+    np.testing.assert_allclose(
+        r.transition_matrix[rows > 0], C[rows > 0] / rows[rows > 0, None]
+    )
+    # weight-scale invariance
+    w = np.linspace(1, 2, s.size)
+    r1 = msm(s, lag=1, weights=w)
+    r2 = msm(s, lag=1, weights=5 * w)
+    np.testing.assert_allclose(r1.transition_matrix, r2.transition_matrix)
+    # n_states pads inactive self-loop states
+    r3 = msm(s, lag=1, n_states=5)
+    assert r3.n_states == 5 and not r3.active[4]
+    assert np.isnan(r3.committor([0], [2])[4])
+    # validation errors
+    for bad in (
+        lambda: msm(s.astype(float), lag=1),
+        lambda: msm(s, lag=0),
+        lambda: msm(s, lag=7),
+        lambda: msm(s, lag=1, n_states=2),
+        lambda: msm(s, lag=1, weights=np.ones(3)),
+    ):
+        with pytest.raises(ValueError):
+            bad()
+    r4 = msm(s, lag=1)
+    with pytest.raises(ValueError):
+        r4.committor([0], [0])  # not disjoint
+    with pytest.raises(ValueError):
+        r4.committor([], [1])
+    with pytest.raises(ValueError):
+        r4.mfpt([9])
+
+
+def test_discretize_and_committor_sigmoid_on_double_well():
+    """End-to-end reaction-coordinate check: the committor along the
+    slow AR(1)-like coordinate of a double-well-ish process is a
+    monotone sigmoid crossing ~1/2 between the basins."""
+    from colvarsfinder_tpu.analysis import discretize, msm
+
+    # overdamped Langevin in V(x) = (x^2-1)^2 at beta=5: bistable,
+    # basins at +-1, transition state at 0
+    rng = np.random.default_rng(51)
+    n, h, beta = 400_000, 0.02, 5.0
+    x = np.empty(n)
+    x[0] = -1.0
+    xi = rng.standard_normal(n - 1) * np.sqrt(2 * h / beta)
+    for t in range(1, n):
+        x[t] = x[t - 1] - h * 4 * x[t - 1] * (x[t - 1] ** 2 - 1) + xi[t - 1]
+    idx, centers = discretize(x, n_bins=30, value_range=(-1.8, 1.8))
+    assert idx.min() >= 0 and idx.max() < 30 and centers.shape == (30,)
+    r = msm(idx, lag=2, n_states=30)
+    A = np.flatnonzero(centers < -0.9)
+    B = np.flatnonzero(centers > 0.9)
+    q = r.committor(A, B)
+    mid = np.flatnonzero((centers >= -0.9) & (centers <= 0.9))
+    qm = q[mid]
+    assert np.all(np.isfinite(qm))
+    assert np.all(np.diff(qm) > -0.02)  # monotone up to noise
+    # sigmoid: pinned near the basins, crossing 1/2 at the barrier top
+    assert qm[0] < 0.2 and qm[-1] > 0.8
+    j = int(np.argmin(np.abs(qm - 0.5)))
+    assert abs(centers[mid][j]) < 0.35
+
+
+def test_discretize_2d_grid():
+    from colvarsfinder_tpu.analysis import discretize
+
+    y = np.array([[-1.0, -1.0], [1.0, 1.0], [-1.0, 1.0], [0.0, 0.0]])
+    idx, (cx, cy) = discretize(y, n_bins=2, value_range=[(-1, 1), (-1, 1)])
+    # interior-edge values go right (numpy digitize convention):
+    # (0,0) lands in the upper-right cell
+    np.testing.assert_array_equal(idx, [0, 3, 1, 3])
+    assert cx.shape == (2,) and cy.shape == (2,)
+    with pytest.raises(ValueError):
+        discretize(y, n_bins=1)
+    with pytest.raises(ValueError):
+        discretize(y, n_bins=2, value_range=[(-1, 1)])
+    with pytest.raises(ValueError):
+        discretize(y[:, 0], n_bins=2, value_range=(1, 1))
