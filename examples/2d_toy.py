@@ -145,6 +145,17 @@ def main():
           f"(Markovian CVs sit well below ~0.05); implied timescale vs lag: "
           + np.array2string(ts[:, 0], precision=3))
 
+    # --- 3c''. beat the linear baseline? TICA on the same input ---
+    from colvarsfinder_tpu.analysis import tica, vamp_score
+
+    base = tica(traj.trajectory, lag=lag_frames, weights=traj.weights,
+                n_components=k, dt=traj.dt)
+    v_nn = vamp_score(y, lag_frames, weights=traj.weights)
+    v_lin = vamp_score(base(traj.trajectory), lag_frames, weights=traj.weights)
+    print(f"[EigenTOp] VAMP-2 trained {v_nn:.4f} vs TICA baseline {v_lin:.4f} "
+          f"(TICA timescale {base.timescales[0]:.3f}; the slow mode here is "
+          f"the circle angle — nonlinear — so the network should win)")
+
     # --- 3d. regularized autoencoder ---
     model = RegAutoEncoder([2, 20, 20, 20, 1], [1, 20, 20, 2],
                            [1, 20, 20, 1], K=1, seed=30)
