@@ -261,7 +261,28 @@ def _as_frame_lags(lags) -> np.ndarray:
     return rounded.astype(np.int64)
 
 
-def autocorrelation(cv_values, lags, weights=None) -> np.ndarray:
+def _pair_starts(n: int, lag: int, segment_starts) -> np.ndarray:
+    """Start frames of valid lagged pairs: all of ``range(n - lag)`` for
+    one contiguous trajectory; segment-interior starts when
+    ``segment_starts`` marks concatenated sources
+    (``WeightedTrajectory.segment_starts``). Raises if no segment is
+    longer than ``lag`` frames."""
+    if segment_starts is None:
+        return np.arange(n - lag, dtype=np.int64)
+    bounds = np.append(np.asarray(segment_starts, dtype=np.int64), n)
+    parts = [
+        np.arange(bounds[s], bounds[s + 1] - lag, dtype=np.int64)
+        for s in range(bounds.size - 1)
+        if bounds[s + 1] - bounds[s] > lag
+    ]
+    if not parts:
+        raise ValueError(
+            f"no trajectory segment is longer than lag={lag} frames"
+        )
+    return np.concatenate(parts)
+
+
+def autocorrelation(cv_values, lags, weights=None, segment_starts=None) -> np.ndarray:
     """Weighted autocorrelation of each CV head at the given lags.
 
     The estimator matches the transfer-operator objective's convention
@@ -279,6 +300,11 @@ def autocorrelation(cv_values, lags, weights=None) -> np.ndarray:
         lags: iterable of integer lags, in FRAMES (each < n).
         weights: optional per-frame weights
             (``WeightedTrajectory.weights``); uniform if omitted.
+        segment_starts: for a CV series over a CONCATENATED
+            multi-trajectory dataset
+            (:func:`~colvarsfinder_tpu.utils.concatenate_trajectories`),
+            the source offsets (``traj.segment_starts``); lagged pairs
+            then never straddle two source trajectories.
 
     Returns:
         ``[len(lags), k]`` array of correlations in ``[-1, 1]``.
@@ -297,8 +323,9 @@ def autocorrelation(cv_values, lags, weights=None) -> np.ndarray:
         raise ValueError(f"lags must lie in [0, n={n}); got {lags}")
     out = np.empty((lags.size, y.shape[1]))
     for i, L in enumerate(lags):
-        a, b = y[: n - L], y[L:]
-        wp = w[: n - L]
+        s = _pair_starts(n, int(L), segment_starts)
+        a, b = y[s], y[s + L]
+        wp = w[s]
         wp = wp / wp.sum()
         mu_a = wp @ a
         mu_b = wp @ b
@@ -337,7 +364,9 @@ class CKResult:
         )
 
 
-def ck_test(cv_values, lag: int, n_multiples: int = 4, weights=None) -> CKResult:
+def ck_test(
+    cv_values, lag: int, n_multiples: int = 4, weights=None, segment_starts=None
+) -> CKResult:
     """Chapman–Kolmogorov test of the learned CV at the training lag.
 
     If the CV heads are good slow eigenfunctions, their dynamics is
@@ -364,12 +393,16 @@ def ck_test(cv_values, lag: int, n_multiples: int = 4, weights=None) -> CKResult
     if lag <= 0:
         raise ValueError(f"lag must be a positive frame count; got {lag}")
     lags = lag * np.arange(1, int(n_multiples) + 1)
-    rho = autocorrelation(cv_values, lags, weights=weights)
+    rho = autocorrelation(
+        cv_values, lags, weights=weights, segment_starts=segment_starts
+    )
     predicted = rho[0][None, :] ** np.arange(1, int(n_multiples) + 1)[:, None]
     return CKResult(lags, rho, predicted)
 
 
-def timescales_vs_lag(cv_values, lags, dt: float = 1.0, weights=None) -> np.ndarray:
+def timescales_vs_lag(
+    cv_values, lags, dt: float = 1.0, weights=None, segment_starts=None
+) -> np.ndarray:
     """Implied timescale of each CV head as a function of the lag time.
 
     :math:`t_i(L) = -L\\,dt / \\ln \\rho_i(L)` — the lag-convergence
@@ -393,7 +426,9 @@ def timescales_vs_lag(cv_values, lags, dt: float = 1.0, weights=None) -> np.ndar
     lags = _as_frame_lags(lags)
     if np.any(lags < 1):
         raise ValueError(f"lags must be >= 1 frame; got {lags}")
-    rho = autocorrelation(cv_values, lags, weights=weights)
+    rho = autocorrelation(
+        cv_values, lags, weights=weights, segment_starts=segment_starts
+    )
     with np.errstate(divide="ignore", invalid="ignore"):
         t = -(lags[:, None] * float(dt)) / np.log(rho)
     t = np.where(rho >= 1.0, np.inf, t)
@@ -422,6 +457,7 @@ def vamp_score(
     weights=None,
     method: str = "VAMP-2",
     epsilon: float = 1e-10,
+    segment_starts=None,
 ) -> float:
     """VAMP score of the learned CV at a lag — held-out model selection.
 
@@ -474,8 +510,9 @@ def vamp_score(
     )
     if w.shape != (n,):
         raise ValueError(f"weights must be [n={n}]; got {w.shape}")
-    a, b = y[: n - lag], y[lag:]
-    wp = w[: n - lag]
+    s = _pair_starts(n, lag, segment_starts)
+    a, b = y[s], y[s + lag]
+    wp = w[s]
     wp = wp / wp.sum()
     da, db = a - wp @ a, b - wp @ b
     wda = wp[:, None] * da
@@ -695,6 +732,7 @@ def msm(
     n_states: Optional[int] = None,
     weights=None,
     reversible: bool = True,
+    segment_starts=None,
 ) -> MSMResult:
     """Estimate a discrete Markov state model from a state time series.
 
@@ -743,7 +781,8 @@ def msm(
     if w.shape != (n,):
         raise ValueError(f"weights must be [n={n}]; got {w.shape}")
     C = np.zeros((m, m))
-    np.add.at(C, (s[: n - lag], s[lag:]), w[: n - lag])
+    starts = _pair_starts(n, lag, segment_starts)
+    np.add.at(C, (s[starts], s[starts + lag]), w[starts])
     if reversible:
         C = 0.5 * (C + C.T)
     rows = C.sum(axis=1)
@@ -815,6 +854,7 @@ def tica(
     weights=None,
     dt: float = 1.0,
     epsilon: float = 1e-10,
+    segment_starts=None,
 ) -> LinearCV:
     """Time-lagged independent component analysis — the linear baseline.
 
@@ -864,8 +904,9 @@ def tica(
     )
     if w.shape != (n,):
         raise ValueError(f"weights must be [n={n}]; got {w.shape}")
-    a, b = X[: n - lag], X[lag:]
-    wp = w[: n - lag]
+    starts = _pair_starts(n, lag, segment_starts)
+    a, b = X[starts], X[starts + lag]
+    wp = w[starts]
     wp = wp / wp.sum()
     mu = 0.5 * (wp @ a + wp @ b)
     da, db = a - mu, b - mu
@@ -1001,6 +1042,7 @@ def validate_cv(
     weights=None,
     ck_tol: float = 0.05,
     plateau_tol: float = 0.25,
+    segment_starts=None,
 ) -> CVValidation:
     """Run the full validation battery of ``docs/validation.md`` on a
     frame-ordered CV time series in one call.
@@ -1028,9 +1070,13 @@ def validate_cv(
     lag = int(_as_frame_lags(lag)[0])
     if lag < 1:
         raise ValueError(f"lag must be >= 1 frame; got {lag}")
-    ck = ck_test(cv_values, lag=lag, n_multiples=4, weights=weights)
-    ts = timescales_vs_lag(
-        cv_values, [lag, 2 * lag, 4 * lag, 8 * lag], dt=dt, weights=weights
+    ck = ck_test(
+        cv_values, lag=lag, n_multiples=4, weights=weights,
+        segment_starts=segment_starts,
     )
-    v2 = vamp_score(cv_values, lag, weights=weights)
+    ts = timescales_vs_lag(
+        cv_values, [lag, 2 * lag, 4 * lag, 8 * lag], dt=dt, weights=weights,
+        segment_starts=segment_starts,
+    )
+    v2 = vamp_score(cv_values, lag, weights=weights, segment_starts=segment_starts)
     return CVValidation(ck, ts, v2, ck_tol, plateau_tol)

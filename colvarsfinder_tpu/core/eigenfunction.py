@@ -356,7 +356,7 @@ class EigenFunctionTask(TrainingTask):
 
         self.traj_dt = float(traj_obj.dt)
         lag_idx = lag_tau / self.traj_dt
-        assert abs(lag_idx - int(lag_idx)) < 1e-6, (
+        assert abs(lag_idx - round(lag_idx)) < 1e-6, (
             f"lag-time ({lag_tau}) not divisable by the timestep "
             f"{self.traj_dt} of the trajectory"
         )
@@ -589,9 +589,7 @@ class EigenFunctionTask(TrainingTask):
         cached = getattr(self, "_prepared_data_cache", None)
         if cached is not None:
             return cached
-        n = self._traj_np.shape[0]
-        ll = n - self.lag_idx
-        train_idx, test_idx = self._make_split(ll)
+        train_idx, test_idx = self._lagged_split(self.lag_idx)
         train_b = self._make_batches(train_idx, self.batch_size)
         test_b = self._make_batches(test_idx, self.batch_size)
 

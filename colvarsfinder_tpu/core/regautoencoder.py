@@ -386,8 +386,8 @@ class RegAutoEncoderTask(TrainingTask):
         lag_ae_idx = lag_tau_ae / self.traj_dt
         lag_idx = lag_tau_reg / self.traj_dt
         assert (
-            abs(lag_ae_idx - int(lag_ae_idx)) < 1e-6
-            and abs(lag_idx - int(lag_idx)) < 1e-6
+            abs(lag_ae_idx - round(lag_ae_idx)) < 1e-6
+            and abs(lag_idx - round(lag_idx)) < 1e-6
         ), (
             f"lag-times ({lag_tau_ae}, {lag_tau_reg}) not divisable by the "
             f"timestep {self.traj_dt} of the trajectory"
@@ -627,9 +627,9 @@ class RegAutoEncoderTask(TrainingTask):
         cached = getattr(self, "_prepared_data_cache", None)
         if cached is not None:
             return cached
-        n = self._traj_np.shape[0]
-        ll = n - max(self.lag_idx, self.lag_ae_idx)
-        train_idx, test_idx = self._make_split(ll)
+        train_idx, test_idx = self._lagged_split(
+            max(self.lag_idx, self.lag_ae_idx)
+        )
 
         train_b = self._make_batches(train_idx, self.batch_size)
         test_b = self._make_batches(test_idx, self.batch_size)

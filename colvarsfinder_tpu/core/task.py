@@ -303,7 +303,7 @@ class TrainingTask(ABC):
         return opt_state._replace(hyperparams=hp)
 
     # ------------------------------------------------------------------
-    def _make_split(self, n: int):
+    def _make_split(self, n: int, candidates=None):
         """Train/test split of range(n) (reference core.py:465-468, :672).
 
         Uses sklearn's ``train_test_split`` on index arrays so the reference
@@ -311,17 +311,39 @@ class TrainingTask(ABC):
         order) are preserved; ``split_indices`` overrides for parity runs.
         The reference's duplicated-split quirk (core.py:465-468) is
         deliberately not reproduced.
+
+        ``candidates`` restricts the sampled index pool (multi-trajectory
+        datasets: only lagged-pair start frames that stay within one
+        source segment, ``WeightedTrajectory.valid_lagged_starts``).
         """
         if self.split_indices is not None:
             train_idx, test_idx = self.split_indices
             return np.asarray(train_idx), np.asarray(test_idx)
         from sklearn.model_selection import train_test_split
 
-        idx = np.arange(n)
+        idx = np.arange(n) if candidates is None else np.asarray(candidates)
+        if idx.size < 2:
+            raise ValueError(
+                "not enough lagged-pair start frames to split "
+                f"({idx.size}); segments shorter than lag_idx+1 frames "
+                "contribute no pairs"
+            )
         train_idx, test_idx = train_test_split(
             idx, test_size=self.test_ratio, random_state=self.seed
         )
         return train_idx, test_idx
+
+    def _lagged_split(self, lag_idx: int):
+        """Split over valid lagged-pair start frames: all of
+        ``range(n - lag)`` for a contiguous trajectory, segment-interior
+        starts for a concatenated multi-trajectory dataset."""
+        n = self._traj_np.shape[0]
+        segs = getattr(self.traj_obj, "segment_starts", None)
+        if segs is None:
+            return self._make_split(n - lag_idx)
+        return self._make_split(
+            n - lag_idx, candidates=self.traj_obj.valid_lagged_starts(lag_idx)
+        )
 
     def _print_train_banner(self, train_b: np.ndarray, test_b: np.ndarray):
         """Print the pre-training summary shared by all tasks (the reference

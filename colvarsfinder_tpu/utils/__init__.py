@@ -21,12 +21,13 @@ from .enhanced import (
     mbar_weights,
 )
 from .sampling import integrate_md_langevin, integrate_sde_overdamped
-from .trajectory import WeightedTrajectory, calc_weights
+from .trajectory import WeightedTrajectory, calc_weights, concatenate_trajectories
 from .xtc import read_xtc, write_xtc
 
 __all__ = [
     "WeightedTrajectory",
     "calc_weights",
+    "concatenate_trajectories",
     "integrate_md_langevin",
     "integrate_sde_overdamped",
     "BiasedPotential",

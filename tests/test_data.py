@@ -184,3 +184,85 @@ def test_integrate_sde_numpy_fallback(tmp_path):
             seed=1, verbose=False,
         )
     assert frames.shape == (5, 1)
+
+
+# ------------------------------------------------- multi-trajectory datasets
+def test_concatenate_trajectories_segments_and_weights():
+    from colvarsfinder_tpu.utils import WeightedTrajectory, concatenate_trajectories
+
+    rng = np.random.default_rng(0)
+    t1 = WeightedTrajectory(
+        trajectory=rng.standard_normal((10, 2)),
+        weights=rng.uniform(0.5, 2.0, 10), dt=0.1, verbose=False,
+    )
+    t2 = WeightedTrajectory(
+        trajectory=rng.standard_normal((4, 2)),
+        weights=rng.uniform(0.5, 2.0, 4), dt=0.1, verbose=False,
+    )
+    t3 = WeightedTrajectory(
+        trajectory=rng.standard_normal((7, 2)), dt=0.1, verbose=False,
+    )
+    cat = concatenate_trajectories([t1, t2, t3])
+    assert cat.n_frames == 21
+    np.testing.assert_array_equal(cat.segment_starts, [0, 10, 14])
+    np.testing.assert_allclose(cat.weights.mean(), 1.0, rtol=1e-12)
+    np.testing.assert_array_equal(cat.trajectory[10:14], t2.trajectory)
+    assert cat.dt == 0.1
+
+    # nested concatenation keeps inner boundaries
+    t4 = WeightedTrajectory(
+        trajectory=rng.standard_normal((3, 2)), dt=0.1, verbose=False,
+    )
+    nested = concatenate_trajectories([cat, t4])
+    np.testing.assert_array_equal(nested.segment_starts, [0, 10, 14, 21])
+
+    # renormalize=False keeps weights untouched (e.g. MBAR output)
+    raw = concatenate_trajectories([t1, t2], renormalize=False)
+    np.testing.assert_array_equal(
+        raw.weights, np.concatenate([t1.weights, t2.weights])
+    )
+
+    # validation
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        concatenate_trajectories([])
+    bad_dt = WeightedTrajectory(
+        trajectory=rng.standard_normal((5, 2)), dt=0.2, verbose=False,
+    )
+    with _pytest.raises(ValueError):
+        concatenate_trajectories([t1, bad_dt])
+    bad_shape = WeightedTrajectory(
+        trajectory=rng.standard_normal((5, 3)), dt=0.1, verbose=False,
+    )
+    with _pytest.raises(ValueError):
+        concatenate_trajectories([t1, bad_shape])
+
+
+def test_valid_lagged_starts():
+    from colvarsfinder_tpu.utils import WeightedTrajectory, concatenate_trajectories
+
+    rng = np.random.default_rng(1)
+    single = WeightedTrajectory(
+        trajectory=rng.standard_normal((8, 1)), dt=0.1, verbose=False,
+    )
+    np.testing.assert_array_equal(single.valid_lagged_starts(3), np.arange(5))
+    np.testing.assert_array_equal(single.valid_lagged_starts(0), np.arange(8))
+
+    parts = [
+        WeightedTrajectory(
+            trajectory=rng.standard_normal((m, 1)), dt=0.1, verbose=False
+        )
+        for m in (6, 2, 5)
+    ]
+    cat = concatenate_trajectories(parts)
+    # lag 3: starts 0..2 (segment 0), none (segment 1, too short), 8..9
+    np.testing.assert_array_equal(
+        cat.valid_lagged_starts(3), [0, 1, 2, 8, 9]
+    )
+    # lag 0: every frame
+    np.testing.assert_array_equal(cat.valid_lagged_starts(0), np.arange(13))
+    # lag longer than every segment: empty
+    assert cat.valid_lagged_starts(6).size == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cat.valid_lagged_starts(-1)

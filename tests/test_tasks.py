@@ -456,3 +456,61 @@ def test_exported_cv_roundtrip(traj, tmp_path):
     v1, j1 = loaded_g(x[0])
     assert np.asarray(v1).shape == (1,)
     np.testing.assert_allclose(np.asarray(j1), np.asarray(oracle)[0], atol=1e-5)
+
+
+def test_tasks_on_concatenated_trajectories(tmp_path):
+    """Lagged pairs never straddle source-trajectory boundaries: on a
+    concatenated dataset the split is drawn from valid_lagged_starts,
+    and training runs to completion."""
+    from colvarsfinder_tpu.utils import concatenate_trajectories
+
+    rng = np.random.default_rng(11)
+    parts = []
+    for m in (60, 25, 40):
+        theta = rng.uniform(-np.pi, np.pi, m)
+        x = np.stack([np.cos(theta), np.sin(theta)], 1)
+        parts.append(WeightedTrajectory(trajectory=x, dt=0.1, verbose=False))
+    cat = concatenate_trajectories(parts)
+
+    model = EigenFunctions([2, 8, 1], k=1, seed=3)
+    task = EigenFunctionTask(
+        cat, None, model,
+        alpha=5.0, eig_weights=[1.0], lag_tau=0.3, k=1,  # lag_idx = 3
+        **{**_mk_task_kwargs(tmp_path, "eig_cat"), "batch_size": 16},
+    )
+    assert task.lag_idx == 3
+    train_idx, test_idx = task._lagged_split(task.lag_idx)
+    valid = set(cat.valid_lagged_starts(3).tolist())
+    used = set(train_idx.tolist()) | set(test_idx.tolist())
+    assert used <= valid
+    # boundary-crossing starts (57..59, 82..84) are never sampled
+    assert not used & {57, 58, 59, 82, 83, 84}
+    task.train()
+    assert np.isfinite(task.train_loss_df.to_numpy()).all()
+
+    # RegAE restricts by the larger of its two lags
+    from colvarsfinder_tpu.core import RegAutoEncoderTask
+    from colvarsfinder_tpu.models import RegAutoEncoder
+
+    rmodel = RegAutoEncoder([2, 8, 1], [1, 8, 2], [1, 8, 1], K=1, seed=4)
+    rtask = RegAutoEncoderTask(
+        cat, None, rmodel,
+        eig_weights=[1.0], gamma=[1.0, 5.0], eta=[0.0, 0.0, 0.0],
+        lag_tau_ae=0.2, lag_tau_reg=0.4,
+        **{**_mk_task_kwargs(tmp_path, "regae_cat"), "batch_size": 16},
+    )
+    tr, te = rtask._lagged_split(max(rtask.lag_idx, rtask.lag_ae_idx))
+    valid4 = set(cat.valid_lagged_starts(4).tolist())
+    assert (set(tr.tolist()) | set(te.tolist())) <= valid4
+    rtask.train()
+    assert np.isfinite(rtask.train_loss_df.to_numpy()).all()
+
+    # a contiguous trajectory is unchanged: candidates == arange(n - lag)
+    single = parts[0]
+    task1 = EigenFunctionTask(
+        single, None, EigenFunctions([2, 8, 1], k=1, seed=3),
+        alpha=5.0, eig_weights=[1.0], lag_tau=0.3, k=1,
+        **{**_mk_task_kwargs(tmp_path, "eig_single"), "batch_size": 16},
+    )
+    tr1, te1 = task1._lagged_split(3)
+    assert sorted(tr1.tolist() + te1.tolist()) == list(range(57))
