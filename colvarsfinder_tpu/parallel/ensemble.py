@@ -479,6 +479,7 @@ def sweep_vamp_scores(
     weights=None,
     method: str = "VAMP-2",
     batch_size: int = 65536,
+    segment_starts=None,
 ) -> np.ndarray:
     """Rank sweep replicas by the VAMP score of their CV — the
     head-mixing-invariant alternative to comparing final train losses
@@ -505,6 +506,10 @@ def sweep_vamp_scores(
         method: ``'VAMP-1'`` or ``'VAMP-2'`` (default).
         batch_size: CV-evaluation chunk size (memory bound only — the
             score itself uses the full series).
+        segment_starts: source-trajectory offsets when ``frames`` is a
+            concatenated multi-trajectory series; defaults to the
+            task's ``traj_obj.segment_starts`` when ``frames`` is
+            omitted.
 
     Returns:
         ``[R]`` numpy array of scores, in ``results`` order.
@@ -523,6 +528,8 @@ def sweep_vamp_scores(
         frames = task.traj_obj.trajectory
         if weights is None:
             weights = task.traj_obj.weights
+        if segment_starts is None:
+            segment_starts = getattr(task.traj_obj, "segment_starts", None)
     frames = np.asarray(frames)
     if isinstance(results, SweepResult):
         results = [results]
@@ -538,7 +545,10 @@ def sweep_vamp_scores(
         adopt_sweep_result(proxy, res)
         cv = proxy.colvar_model()
         y = np.concatenate([np.asarray(cv(c)) for c in dev_chunks])
-        scores[i] = vamp_score(y, lag, weights=weights, method=method)
+        scores[i] = vamp_score(
+            y, lag, weights=weights, method=method,
+            segment_starts=segment_starts,
+        )
     return scores
 
 
