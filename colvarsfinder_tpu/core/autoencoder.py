@@ -107,6 +107,38 @@ def _multi_epoch_impl(length: int, opt_name: str, unroll: bool):
     return _EPOCH_FN_CACHE[key][1]
 
 
+def _stream_fns(opt_name: str):
+    """Jitted per-batch ``(step, eval)`` pair for the STREAMING layout
+    (feature datasets larger than HBM) — same loss and optimizer update
+    as the compiled epoch programs; the step donates model/opt_state."""
+    from ..config import numerics_key
+    from .task import TrainingTask
+
+    key = ("stream", numerics_key(), opt_name)
+    cached = _EPOCH_FN_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    optimizer = TrainingTask.make_optimizer(opt_name)
+
+    def step(model, opt_state, batch):
+        X, w = batch
+        loss, grads = jax.value_and_grad(weighted_mse_loss)(model, X, w)
+        updates, opt_state = optimizer.update(grads, opt_state, model)
+        model = optax.apply_updates(model, updates)
+        return model, opt_state, loss
+
+    def eval_one(model, batch):
+        X, w = batch
+        return weighted_mse_loss(model, X, w)
+
+    fns = (jax.jit(step, donate_argnums=(0, 1)), jax.jit(eval_one))
+    while len(_EPOCH_FN_CACHE) >= TrainingTask.EPOCH_FN_CACHE_MAX:
+        _EPOCH_FN_CACHE.pop(next(iter(_EPOCH_FN_CACHE)))
+    _EPOCH_FN_CACHE[key] = fns
+    return fns
+
+
 class AutoEncoderTask(TrainingTask):
     r"""Train an autoencoder with the weighted reconstruction loss
     (reference: colvarsfinder/core.py:569-744; math:
@@ -136,6 +168,7 @@ class AutoEncoderTask(TrainingTask):
         plot_frequency: int = 0,
         verbose: bool = True,
         debug_mode: bool = True,
+        streaming: bool | None = None,
         **kwargs,
     ):
         assert isinstance(model, AutoEncoder), (
@@ -164,11 +197,36 @@ class AutoEncoderTask(TrainingTask):
         self.init_model_and_optimizer()
         self._unroll = False  # decided per data layout in _prepare_data
 
-        # eager preprocessing of the whole trajectory (reference core.py:635)
-        traj = jnp.asarray(traj_obj.trajectory, dtype=default_dtype())
-        self._feature_traj = np.asarray(
-            jax.jit(self.preprocessing_layer)(traj)
+        # STREAMING layout (feature datasets larger than HBM): resolved
+        # BEFORE the eager feature pass so that pass runs chunked. The
+        # device-resident layout holds ~one copy of the feature
+        # trajectory (pre-gathered batches), so size the decision on the
+        # feature shape from eval_shape.
+        traj_np = np.asarray(traj_obj.trajectory, dtype=default_dtype())
+        feat_struct = jax.eval_shape(
+            self.preprocessing_layer,
+            jax.ShapeDtypeStruct(
+                (1,) + traj_np.shape[1:], traj_np.dtype
+            ),
         )
+        feat_bytes = (
+            traj_np.shape[0]
+            * int(np.prod(feat_struct.shape[1:]))
+            * traj_np.itemsize
+        )
+        self._streaming = self._resolve_streaming(streaming, feat_bytes)
+
+        # eager preprocessing of the whole trajectory (reference core.py:635)
+        if self._streaming:
+            self._feature_traj = self._chunked_apply(
+                self.preprocessing_layer, traj_np
+            )
+        else:
+            self._feature_traj = np.asarray(
+                jax.jit(self.preprocessing_layer)(
+                    jnp.asarray(traj_np)
+                )
+            )
         self._weights = np.asarray(traj_obj.weights, dtype=default_dtype())
 
         if self.verbose:
@@ -231,6 +289,17 @@ class AutoEncoderTask(TrainingTask):
         train_b = self._make_batches(np.arange(len(train_idx)), self.batch_size)
         test_b = self._make_batches(np.arange(len(test_idx)), self.batch_size)
 
+        if self._streaming:
+            # STREAMING layout: features stay host-resident; batches are
+            # gathered just-in-time in train() via _stream_pack, indexed
+            # through the stored split (no gathered X_train copy either)
+            self._unroll = False
+            self._stream_split = (
+                np.asarray(train_idx), np.asarray(test_idx)
+            )
+            self._prepared_data_cache = (None, False, train_b, test_b)
+            return self._prepared_data_cache
+
         X_train = self._feature_traj[train_idx]
         w_train = self._weights[train_idx]
         X_test = self._feature_traj[test_idx]
@@ -272,6 +341,22 @@ class AutoEncoderTask(TrainingTask):
         self._prepared_data_cache = (data_args, unroll, train_b, test_b)
         return self._prepared_data_cache
 
+    def _stream_pack_train(self, rows):
+        """Host gather of one training batch (rows index positions within
+        the train split, reference loader semantics)."""
+        sel = self._stream_split[0][np.asarray(rows)]
+        return (
+            np.asarray(self._feature_traj[sel]),
+            np.asarray(self._weights[sel]),
+        )
+
+    def _stream_pack_test(self, rows):
+        sel = self._stream_split[1][np.asarray(rows)]
+        return (
+            np.asarray(self._feature_traj[sel]),
+            np.asarray(self._weights[sel]),
+        )
+
     def train(self):
         r"""Train the model (reference core.py:668-744)."""
         data_args, unroll, train_b, test_b = self._prepare_data()
@@ -295,11 +380,24 @@ class AutoEncoderTask(TrainingTask):
                 # jitted multi-epoch scan (one device dispatch)
                 chunk = self._next_chunk(epoch)
                 _t0 = _time.perf_counter()
-                model, opt_state, train_ms, test_ms = (
-                    self._get_multi_epoch_fn(chunk, unroll)(
-                        model, opt_state, *data_args
+                if self._streaming:
+                    step_fn, eval_fn = _stream_fns(
+                        self.optimizer_name.lower()
                     )
-                )
+                    model, opt_state, train_ms, test_ms = (
+                        self._stream_epochs(
+                            chunk, model, opt_state, (),
+                            step_fn, eval_fn,
+                            self._stream_pack_train, self._stream_pack_test,
+                            train_b, test_b,
+                        )
+                    )
+                else:
+                    model, opt_state, train_ms, test_ms = (
+                        self._get_multi_epoch_fn(chunk, unroll)(
+                            model, opt_state, *data_args
+                        )
+                    )
                 # ONE device->host fetch for both metric arrays (each
                 # fetch is a full tunnel round trip)
                 train_ms, test_ms = jax.device_get((train_ms, test_ms))

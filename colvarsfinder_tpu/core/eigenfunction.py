@@ -90,23 +90,12 @@ def _feat_fn(state_shape: tuple):
     return fn
 
 
-def _multi_epoch_fn(length: int, static: tuple):
-    from ..config import matmul_precision, numerics_key
-
-    key = (length, numerics_key()) + static
-    cached = _EPOCH_FN_CACHE.get(key)
-    if cached is not None:
-        return cached[0]
-
+def _make_loss(static: tuple):
+    """Per-batch loss core ``(model, pp, diag, hyper, X, w, X_l, w_l) ->
+    (loss, metrics)`` for a static config — shared by the compiled epoch
+    programs and the streaming per-batch step."""
     (state_shape, k, lag_idx, traj_dt,
      sort_eigvals, opt_name, prebatch, unroll, fused, gram) = static
-    from .task import TrainingTask
-
-    # lr rides in the optimizer state (inject_hyperparams), and the loss
-    # constants (alpha, eig_w, beta) arrive as the traced ``hyper`` tuple:
-    # a hyperparameter sweep shares ONE compiled program, and the replica
-    # ensemble vmaps per-replica values
-    optimizer = TrainingTask.make_optimizer(opt_name)
 
     if fused:
         # Pallas fused step (transfer-op only): the whole loss forward and
@@ -156,44 +145,81 @@ def _multi_epoch_fn(length: int, static: tuple):
             )
             return loss, metrics
 
+    return _loss
+
+
+def _make_batch_loss(static: tuple):
+    """Per-batch loss over PREBATCH-format batches — ``(Xf, w)`` /
+    ``(Xf, Xlf, w, w_l)`` / gram ``(H, M, w)`` tuples of pre-gathered
+    arrays — shared by the prebatched epoch programs and the streaming
+    per-batch step (which host-gathers the same tuples)."""
+    (state_shape, k, lag_idx, traj_dt,
+     sort_eigvals, opt_name, prebatch, unroll, fused, gram) = static
+    _loss = _make_loss(static)
+
+    def batch_loss(model, pp_layer, diag_coeff, hyper, batch):
+        if lag_idx > 0:
+            Xf, Xlf, w, w_l = batch
+            X_l = Xlf.reshape((-1,) + state_shape)
+        elif gram:
+            # Gram path: the batch carries (H, M, w) — features and
+            # the precomputed pp-jacobian Gram matrix (see
+            # _prepare_data); diag_coeff is folded into M
+            H, M, w = batch
+            alpha, eig_w, beta = hyper
+            loss, aux = eigen_loss(
+                model, None, H, w, None, None,
+                k=k, alpha=alpha, eig_w=eig_w, beta=beta,
+                diag_coeff=None, lag_idx=0, traj_dt=traj_dt,
+                sort_eigvals=sort_eigvals, pp_gram=M,
+            )
+            metrics = jnp.concatenate(
+                [
+                    jnp.stack([loss, aux.non_penalty_loss, aux.penalty]),
+                    aux.eig_vals,
+                    aux.cvec.astype(loss.dtype),
+                ]
+            )
+            return loss, metrics
+        else:
+            Xf, w = batch
+            X_l = w_l = None
+        X = Xf.reshape((-1,) + state_shape)
+        return _loss(model, pp_layer, diag_coeff, hyper, X, w, X_l, w_l)
+
+    return batch_loss
+
+
+def _multi_epoch_fn(length: int, static: tuple):
+    from ..config import matmul_precision, numerics_key
+
+    key = (length, numerics_key()) + static
+    cached = _EPOCH_FN_CACHE.get(key)
+    if cached is not None:
+        return cached[0]
+
+    (state_shape, k, lag_idx, traj_dt,
+     sort_eigvals, opt_name, prebatch, unroll, fused, gram) = static
+    from .task import TrainingTask
+
+    # lr rides in the optimizer state (inject_hyperparams), and the loss
+    # constants (alpha, eig_w, beta) arrive as the traced ``hyper`` tuple:
+    # a hyperparameter sweep shares ONE compiled program, and the replica
+    # ensemble vmaps per-replica values
+    optimizer = TrainingTask.make_optimizer(opt_name)
+
     if prebatch:
         # batches were gathered ONCE before training (the schedule is
         # static, shuffle=False semantics): the scan streams pre-shaped
         # [nb, B, ...] arrays — measured ~15% faster than per-step
         # gathers at dipeptide scale (benchmarks/RESULTS.md)
-        def batch_loss(model, pp_layer, diag_coeff, hyper, batch):
-            if lag_idx > 0:
-                Xf, Xlf, w, w_l = batch
-                X_l = Xlf.reshape((-1,) + state_shape)
-            elif gram:
-                # Gram path: the batch carries (H, M, w) — features and
-                # the precomputed pp-jacobian Gram matrix (see
-                # _prepare_data); diag_coeff is folded into M
-                H, M, w = batch
-                alpha, eig_w, beta = hyper
-                loss, aux = eigen_loss(
-                    model, None, H, w, None, None,
-                    k=k, alpha=alpha, eig_w=eig_w, beta=beta,
-                    diag_coeff=None, lag_idx=0, traj_dt=traj_dt,
-                    sort_eigvals=sort_eigvals, pp_gram=M,
-                )
-                metrics = jnp.concatenate(
-                    [
-                        jnp.stack([loss, aux.non_penalty_loss, aux.penalty]),
-                        aux.eig_vals,
-                        aux.cvec.astype(loss.dtype),
-                    ]
-                )
-                return loss, metrics
-            else:
-                Xf, w = batch
-                X_l = w_l = None
-            X = Xf.reshape((-1,) + state_shape)
-            return _loss(model, pp_layer, diag_coeff, hyper, X, w, X_l, w_l)
+        batch_loss = _make_batch_loss(static)
     else:
         # trajectory stays whole on device (required for frame-axis
         # sharding); flat 2-D gathers per scan step (3-5x faster than
         # N-D gathers on TPU), reshape per batch
+        _loss = _make_loss(static)
+
         def batch_loss(model, pp_layer, diag_coeff, hyper, batch):
             traj, weights, idx = batch
             X = traj[idx].reshape((-1,) + state_shape)
@@ -273,6 +299,45 @@ def _multi_epoch_impl(length: int, static: tuple):
     return _EPOCH_FN_CACHE[key][1]
 
 
+def _stream_fns(static: tuple):
+    """Jitted per-batch ``(step, eval)`` pair for the STREAMING layout
+    (trajectories larger than HBM): batches arrive pre-gathered from the
+    HOST in the prebatch tuple format, the step donates model/opt_state
+    buffers, and the arithmetic is identical to the prebatched epoch
+    program (same :func:`_make_batch_loss`, same optimizer update)."""
+    from ..config import numerics_key
+    from .task import TrainingTask
+
+    key = ("stream", numerics_key()) + static
+    cached = _EPOCH_FN_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    (state_shape, k, lag_idx, traj_dt,
+     sort_eigvals, opt_name, prebatch, unroll, fused, gram) = static
+    batch_loss = _make_batch_loss(static)
+    optimizer = TrainingTask.make_optimizer(opt_name)
+
+    def step(model, opt_state, pp_layer, diag_coeff, hyper, batch):
+        (_, metrics), grads = jax.value_and_grad(
+            batch_loss, has_aux=True
+        )(model, pp_layer, diag_coeff, hyper, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, model)
+        model = optax.apply_updates(model, updates)
+        return model, opt_state, metrics
+
+    def eval_one(model, pp_layer, diag_coeff, hyper, batch):
+        # the reference evaluates the test loss with gradients enabled
+        # (core.py:535-551) — semantics identical here
+        return batch_loss(model, pp_layer, diag_coeff, hyper, batch)[1]
+
+    fns = (jax.jit(step, donate_argnums=(0, 1)), jax.jit(eval_one))
+    while len(_EPOCH_FN_CACHE) >= TrainingTask.EPOCH_FN_CACHE_MAX:
+        _EPOCH_FN_CACHE.pop(next(iter(_EPOCH_FN_CACHE)))
+    _EPOCH_FN_CACHE[key] = fns
+    return fns
+
+
 class EigenFunctionTask(TrainingTask):
     r"""Learn eigenfunctions of the infinitesimal generator (``lag_tau == 0``)
     or the transfer operator (``lag_tau > 0``)
@@ -332,6 +397,7 @@ class EigenFunctionTask(TrainingTask):
         prebatch: bool | None = None,
         fused_step: bool = False,
         gram_pp: bool | None = None,
+        streaming: bool | None = None,
         **kwargs,
     ):
         assert isinstance(model, EigenFunctions), (
@@ -371,6 +437,16 @@ class EigenFunctionTask(TrainingTask):
         self._weights_np = np.asarray(traj_obj.weights, dtype=default_dtype())
         self.tot_dim = int(np.prod(self._traj_np.shape[1:]))
 
+        # STREAMING layout (trajectories larger than HBM): the data stays
+        # host-resident (numpy / np.memmap) and batches are host-gathered
+        # and device_put just-in-time — see TrainingTask._stream_epochs.
+        # Resolved BEFORE eager preprocessing so the feature pass is
+        # chunked rather than one whole-trajectory device call.
+        self._streaming = self._resolve_streaming(
+            streaming,
+            (2 if self.lag_idx > 0 else 1) * self._traj_np.nbytes,
+        )
+
         # optional eager preprocessing (the AE task's pattern, reference
         # core.py:635, exposed as a pipeline option per SURVEY §7): features
         # are computed once for the whole trajectory instead of per batch.
@@ -386,17 +462,32 @@ class EigenFunctionTask(TrainingTask):
             )
             from ..ops.features import Identity
 
-            feats = jax.jit(self.preprocessing_layer)(
-                jnp.asarray(self._traj_np)
-            )
-            self._traj_np = np.asarray(feats)
+            if self._streaming:
+                self._traj_np = self._chunked_apply(
+                    self.preprocessing_layer, self._traj_np
+                )
+            else:
+                feats = jax.jit(self.preprocessing_layer)(
+                    jnp.asarray(self._traj_np)
+                )
+                self._traj_np = np.asarray(feats)
             self._pp_for_loss = Identity()
 
         # batch-data layout (docs/api.md option matrix): pre-gathered
         # batches by default (~15% faster); per-step device gathers when
         # the trajectory is frame-sharded (required), when the batched
         # copies would be too large for HBM (auto fallback), or on request
-        if prebatch is None:
+        if self._streaming:
+            # batches arrive pre-gathered (from the host) in the prebatch
+            # tuple format; the gram/unroll sub-layouts are device-side
+            # optimizations that do not apply
+            self._prebatch = True
+            assert prebatch is not False, (
+                "streaming=True gathers batches on the host (the prebatch "
+                "tuple format); prebatch=False selects the on-device "
+                "gather layout, which requires device-resident data"
+            )
+        elif prebatch is None:
             prebatched_bytes = (
                 2 if self.lag_idx > 0 else 1
             ) * self._traj_np.nbytes
@@ -593,7 +684,14 @@ class EigenFunctionTask(TrainingTask):
         train_b = self._make_batches(train_idx, self.batch_size)
         test_b = self._make_batches(test_idx, self.batch_size)
 
-        if self._prebatch:
+        if self._streaming:
+            # STREAMING layout: nothing is placed on device here — the
+            # trajectory stays host-resident (possibly memory-mapped) and
+            # _stream_pack gathers each batch just-in-time in train()
+            self._unroll = False
+            self._gram = False
+            train_data = test_data = None
+        elif self._prebatch:
             # transfer the (small) flat trajectory once and gather the
             # batch copies ON DEVICE: host-side gathering would push ~4x
             # the trajectory volume through the host->device link on every
@@ -707,6 +805,26 @@ class EigenFunctionTask(TrainingTask):
         self._prepared_data_cache = (train_data, test_data, train_b, test_b)
         return self._prepared_data_cache
 
+    def _stream_pack(self, rows):
+        """Host gather of one batch in the prebatch tuple format —
+        ``(Xf, w)`` or ``(Xf, Xlf, w, w_l)`` — from the host-resident
+        flat trajectory (works unchanged on a ``np.memmap``)."""
+        flat = self._traj_flat
+        w = self._weights_np
+        bd = np.asarray(rows, dtype=np.int64).reshape(-1)
+        shape = tuple(np.shape(rows))
+        feat_shape = flat.shape[1:]
+        Xf = np.asarray(flat[bd]).reshape(shape + feat_shape)
+        if self.lag_idx > 0:
+            bld = bd + self.lag_idx
+            Xlf = np.asarray(flat[bld]).reshape(shape + feat_shape)
+            return (
+                Xf, Xlf,
+                np.asarray(w[bd]).reshape(shape),
+                np.asarray(w[bld]).reshape(shape),
+            )
+        return (Xf, np.asarray(w[bd]).reshape(shape))
+
     def train(self):
         r"""Train the model (reference core.py:459-566)."""
         train_data, test_data, train_b, test_b = self._prepare_data()
@@ -732,13 +850,26 @@ class EigenFunctionTask(TrainingTask):
             while epoch < self.num_epochs:
                 chunk = self._next_chunk(epoch)
                 _t0 = _time.perf_counter()
-                model, opt_state, train_cm, test_cm = (
-                    self._get_multi_epoch_fn(chunk)(
-                        model, opt_state, self._pp_for_loss,
-                        self._diag_coeff, self._hyper(),
-                        train_data, test_data
+                if self._streaming:
+                    step_fn, eval_fn = _stream_fns(self._static_config())
+                    model, opt_state, train_cm, test_cm = (
+                        self._stream_epochs(
+                            chunk, model, opt_state,
+                            (self._pp_for_loss, self._diag_coeff,
+                             self._hyper()),
+                            step_fn, eval_fn,
+                            self._stream_pack, self._stream_pack,
+                            train_b, test_b,
+                        )
                     )
-                )
+                else:
+                    model, opt_state, train_cm, test_cm = (
+                        self._get_multi_epoch_fn(chunk)(
+                            model, opt_state, self._pp_for_loss,
+                            self._diag_coeff, self._hyper(),
+                            train_data, test_data
+                        )
+                    )
                 # ONE device->host fetch for both metric arrays (each
                 # fetch is a full tunnel round trip)
                 train_cm, test_cm = jax.device_get((train_cm, test_cm))

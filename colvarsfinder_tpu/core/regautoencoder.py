@@ -304,6 +304,55 @@ def _multi_epoch_impl(length: int, static: tuple):
     return _EPOCH_FN_CACHE[key][1]
 
 
+def _stream_fns(static: tuple):
+    """Jitted per-batch ``(step, eval)`` pair for the STREAMING layout
+    (trajectories larger than HBM): batches arrive pre-gathered from the
+    HOST as flat ``(Xf, Xaef, Xlf, w, w_l)`` tuples (None pieces for
+    disabled terms), arithmetic identical to the prebatched epoch
+    program; the step donates model/opt_state."""
+    from ..config import numerics_key
+    from .task import TrainingTask
+
+    key = ("stream", numerics_key()) + static
+    cached = _EPOCH_FN_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    loss_static = static[:9]
+    freeze, opt_name, prebatch, unroll, gram = static[9:]
+    state_shape = loss_static[0]
+    optimizer = TrainingTask.make_optimizer(opt_name)
+
+    def batch_loss(model, pp, diag_coeff, hyper, batch):
+        Xf, Xaef, Xlf, w, w_l = batch
+        X = Xf.reshape((-1,) + state_shape)
+        X_ae = None if Xaef is None else Xaef.reshape((-1,) + state_shape)
+        X_l = None if Xlf is None else Xlf.reshape((-1,) + state_shape)
+        return _regae_batch_loss(
+            loss_static, model, pp, diag_coeff, hyper,
+            (X, X_ae, X_l, w, w_l),
+        )
+
+    def step(model, opt_state, pp, diag_coeff, hyper, batch):
+        (_, metrics), grads = jax.value_and_grad(
+            batch_loss, has_aux=True
+        )(model, pp, diag_coeff, hyper, batch)
+        if freeze:
+            grads = _zero_encoder_grads(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, model)
+        model = optax.apply_updates(model, updates)
+        return model, opt_state, metrics
+
+    def eval_one(model, pp, diag_coeff, hyper, batch):
+        return batch_loss(model, pp, diag_coeff, hyper, batch)[1]
+
+    fns = (jax.jit(step, donate_argnums=(0, 1)), jax.jit(eval_one))
+    while len(_EPOCH_FN_CACHE) >= TrainingTask.EPOCH_FN_CACHE_MAX:
+        _EPOCH_FN_CACHE.pop(next(iter(_EPOCH_FN_CACHE)))
+    _EPOCH_FN_CACHE[key] = fns
+    return fns
+
+
 class RegAutoEncoderTask(TrainingTask):
     r"""Train a regularized autoencoder
     (reference: colvarsfinder/core.py:746-1218; math:
@@ -351,6 +400,7 @@ class RegAutoEncoderTask(TrainingTask):
         precompute_features: bool = False,
         prebatch: bool | None = None,
         gram_pp: bool | None = None,
+        streaming: bool | None = None,
         **kwargs,
     ):
         assert isinstance(model, RegAutoEncoder), (
@@ -395,6 +445,19 @@ class RegAutoEncoderTask(TrainingTask):
         self.lag_ae_idx = int(round(lag_ae_idx))
         self.lag_idx = int(round(lag_idx))
 
+        # STREAMING layout (trajectories larger than HBM): resolved BEFORE
+        # eager preprocessing so that pass runs chunked (see
+        # TrainingTask._stream_epochs). Device-resident estimate: one flat
+        # copy per active lag offset.
+        _n_copies = 1
+        if float(alpha) > _EPS and self.lag_ae_idx > 0:
+            _n_copies += 1
+        if float(gamma[0]) + float(gamma[1]) > _EPS and self.lag_idx > 0:
+            _n_copies += 1
+        self._streaming = self._resolve_streaming(
+            streaming, _n_copies * self._traj_np.nbytes
+        )
+
         # optional eager preprocessing (docs/api.md option matrix). The AE
         # and encoder-constraint terms act on features (the reference takes
         # enc gradients w.r.t. r(x), core.py:910-911), so precompute is
@@ -411,10 +474,15 @@ class RegAutoEncoderTask(TrainingTask):
             )
             from ..ops.features import Identity
 
-            feats = jax.jit(self.preprocessing_layer)(
-                jnp.asarray(self._traj_np)
-            )
-            self._traj_np = np.asarray(feats)
+            if self._streaming:
+                self._traj_np = self._chunked_apply(
+                    self.preprocessing_layer, self._traj_np
+                )
+            else:
+                feats = jax.jit(self.preprocessing_layer)(
+                    jnp.asarray(self._traj_np)
+                )
+                self._traj_np = np.asarray(feats)
             # keep self.preprocessing_layer intact for colvar_model();
             # only the in-loss preprocessing becomes the identity
             self._pp_for_loss = Identity()
@@ -471,7 +539,16 @@ class RegAutoEncoderTask(TrainingTask):
             n_copies += 1
         if self.gamma[0] + self.gamma[1] > _EPS and self.lag_idx > 0:
             n_copies += 1
-        if prebatch is None:
+        if self._streaming:
+            # batches arrive pre-gathered (from the host) in the prebatch
+            # tuple format; gram/unroll are device-side layouts
+            self._prebatch = True
+            assert prebatch is not False, (
+                "streaming=True gathers batches on the host (the prebatch "
+                "tuple format); prebatch=False selects the on-device "
+                "gather layout, which requires device-resident data"
+            )
+        elif prebatch is None:
             self._prebatch = (
                 not self.shard_trajectory
                 and n_copies * self._traj_np.nbytes
@@ -634,7 +711,14 @@ class RegAutoEncoderTask(TrainingTask):
         train_b = self._make_batches(train_idx, self.batch_size)
         test_b = self._make_batches(test_idx, self.batch_size)
 
-        if self._prebatch:
+        if self._streaming:
+            # STREAMING layout: nothing is placed on device here — the
+            # trajectory stays host-resident (possibly memory-mapped) and
+            # _stream_pack gathers each batch just-in-time in train()
+            self._unroll = False
+            self._gram = False
+            data_args = None
+        elif self._prebatch:
             self._unroll = (
                 len(train_b) + len(test_b) <= self.PREBATCH_UNROLL_LIMIT
             )
@@ -764,6 +848,33 @@ class RegAutoEncoderTask(TrainingTask):
         self._prepared_data_cache = (data_args, train_b, test_b)
         return self._prepared_data_cache
 
+    def _stream_pack(self, rows):
+        """Host gather of one batch in the prebatch tuple format —
+        ``(Xf, Xaef, Xlf, w, w_l)`` with None pieces for disabled terms —
+        from the host-resident flat trajectory (works unchanged on a
+        ``np.memmap``)."""
+        flat = self._traj_flat
+        wts = self._weights_np
+        bd = np.asarray(rows, dtype=np.int64).reshape(-1)
+        shape = tuple(np.shape(rows))
+        feat_shape = flat.shape[1:]
+        alpha_ae_on = self.alpha > _EPS and self.lag_ae_idx > 0
+        eig_lag_on = (
+            self.gamma[0] + self.gamma[1] > _EPS and self.lag_idx > 0
+        )
+
+        def g(offset):
+            return np.asarray(flat[bd + offset]).reshape(shape + feat_shape)
+
+        Xf = g(0)
+        Xaef = g(self.lag_ae_idx) if alpha_ae_on else None
+        if eig_lag_on:
+            Xlf = g(self.lag_idx)
+            w_l = np.asarray(wts[bd + self.lag_idx]).reshape(shape)
+        else:
+            Xlf = w_l = None
+        return (Xf, Xaef, Xlf, np.asarray(wts[bd]).reshape(shape), w_l)
+
     def train(self):
         r"""Train the model (reference core.py:1036-1217)."""
         data_args, train_b, test_b = self._prepare_data()
@@ -791,12 +902,25 @@ class RegAutoEncoderTask(TrainingTask):
             while epoch < self.num_epochs:
                 chunk = self._next_chunk(epoch)
                 _t0 = _time.perf_counter()
-                model, opt_state, train_cm, test_cm = (
-                    self._get_multi_epoch_fn(chunk)(
-                        model, opt_state, self._pp_for_loss,
-                        self._diag_coeff, self._hyper(), *data_args
+                if self._streaming:
+                    step_fn, eval_fn = _stream_fns(self._static_config())
+                    model, opt_state, train_cm, test_cm = (
+                        self._stream_epochs(
+                            chunk, model, opt_state,
+                            (self._pp_for_loss, self._diag_coeff,
+                             self._hyper()),
+                            step_fn, eval_fn,
+                            self._stream_pack, self._stream_pack,
+                            train_b, test_b,
+                        )
                     )
-                )
+                else:
+                    model, opt_state, train_cm, test_cm = (
+                        self._get_multi_epoch_fn(chunk)(
+                            model, opt_state, self._pp_for_loss,
+                            self._diag_coeff, self._hyper(), *data_args
+                        )
+                    )
                 # ONE device->host fetch for both metric arrays (each
                 # fetch is a full tunnel round trip)
                 train_cm, test_cm = jax.device_get((train_cm, test_cm))

@@ -397,6 +397,87 @@ class TrainingTask(ABC):
             flush=True,
         )
 
+    # STREAMING layout (data larger than HBM): above this estimated
+    # device-resident data size, tasks auto-switch to host-resident data
+    # with per-batch host gathers -> async device_put -> jitted donated
+    # steps. Leaves headroom on a 16 GB chip for model/optimizer state,
+    # activations, and the in-flight batch buffers.
+    STREAMING_AUTO_LIMIT_BYTES = 8 << 30
+
+    def _resolve_streaming(self, streaming, device_bytes: int) -> bool:
+        """Decide the streaming layout: explicit ``streaming=`` wins;
+        ``None`` auto-enables when the device-resident layout would
+        exceed :attr:`STREAMING_AUTO_LIMIT_BYTES`. Streaming is a
+        single-host capacity mode — with a mesh, use ``shard_trajectory``
+        (frame-axis sharding over devices) instead."""
+        if streaming is None:
+            streaming = (
+                device_bytes > self.STREAMING_AUTO_LIMIT_BYTES
+                and self.mesh is None
+                and not self.shard_trajectory
+            )
+        streaming = bool(streaming)
+        if streaming:
+            assert self.mesh is None and not self.shard_trajectory, (
+                "streaming=True is a single-host layout; for multi-chip "
+                "memory scaling use shard_trajectory with a mesh"
+            )
+        return streaming
+
+    @staticmethod
+    def _chunked_apply(fn, arr, chunk: int = 65536):
+        """Apply a device function over axis 0 in fixed-size chunks,
+        returning host numpy — the streaming replacement for a
+        whole-trajectory device call (eager preprocessing of data larger
+        than HBM). The last partial chunk compiles once more."""
+        import jax.numpy as jnp
+
+        jfn = jax.jit(fn)
+        n = arr.shape[0]
+        outs = [
+            np.asarray(jfn(jnp.asarray(arr[s:s + chunk])))
+            for s in range(0, n, chunk)
+        ]
+        return np.concatenate(outs, axis=0)
+
+    def _stream_epochs(
+        self, chunk, model, opt_state, extra, step_fn, eval_fn,
+        pack_train, pack_test, train_b, test_b,
+    ):
+        """Run ``chunk`` epochs in the STREAMING layout: the data stays on
+        the HOST (numpy — possibly a ``np.memmap`` over a decoded
+        trajectory file), each batch is gathered on the host and
+        ``device_put`` just-in-time, and the jitted per-batch ``step_fn``
+        donates model/opt_state. Dispatch is asynchronous, so the host
+        gather + H2D transfer of batch *i+1* overlaps the device compute
+        of batch *i* (a software pipeline with no explicit
+        double-buffering code).
+
+        Returns ``(model, opt_state, train_cm, test_cm)`` with metric
+        arrays shaped ``[chunk, nb, ...]`` — the same contract as the
+        compiled multi-epoch programs, so callers' metric handling is
+        layout-independent.
+        """
+        import jax.numpy as jnp
+
+        dev = self.device
+        train_cms, test_cms = [], []
+        for _ in range(chunk):
+            ms = []
+            for rows in train_b:
+                batch = jax.device_put(pack_train(rows), dev)
+                model, opt_state, m = step_fn(
+                    model, opt_state, *extra, batch
+                )
+                ms.append(m)
+            tms = []
+            for rows in test_b:
+                batch = jax.device_put(pack_test(rows), dev)
+                tms.append(eval_fn(model, *extra, batch))
+            train_cms.append(jnp.stack(ms))
+            test_cms.append(jnp.stack(tms))
+        return model, opt_state, jnp.stack(train_cms), jnp.stack(test_cms)
+
     @staticmethod
     def _make_batches(indices: np.ndarray, batch_size: int) -> np.ndarray:
         """[num_batches, batch] index matrix with drop_last=True,

@@ -93,7 +93,9 @@ class WeightedTrajectory:
                     )
                 )
         elif trajectory is not None:
-            self.trajectory = np.asarray(trajectory)
+            # asanyarray: a np.memmap input stays a memmap (no copy, no
+            # subclass stripping) — required by the tasks' streaming layout
+            self.trajectory = np.asanyarray(trajectory)
             self.n_frames = self.trajectory.shape[0]
             self.dt = float(dt) if dt is not None else 1.0
         else:
@@ -132,8 +134,12 @@ class WeightedTrajectory:
         # first normalization to mean one (reference utils.py:145)
         w = w / w.mean()
         selected = (w > min_w) & (w < max_w)
-        self.trajectory = self.trajectory[selected, ...]
-        w = w[selected]
+        if not selected.all():
+            # (an all-True mask would still copy — skipping it keeps
+            # memory-mapped trajectories memory-mapped for the tasks'
+            # streaming layout)
+            self.trajectory = self.trajectory[selected, ...]
+            w = w[selected]
         # renormalize after filtering (reference utils.py:159)
         w = w / w.mean()
         self.n_frames = self.trajectory.shape[0]
