@@ -22,7 +22,7 @@ from .enhanced import (
 )
 from .sampling import integrate_md_langevin, integrate_sde_overdamped
 from .trajectory import WeightedTrajectory, calc_weights, concatenate_trajectories
-from .xtc import read_xtc, write_xtc
+from .xtc import read_xtc, read_xtc_memmap, scan_xtc, write_xtc
 
 __all__ = [
     "WeightedTrajectory",
@@ -43,5 +43,7 @@ __all__ = [
     "read_dcd",
     "write_dcd",
     "read_xtc",
+    "read_xtc_memmap",
+    "scan_xtc",
     "write_xtc",
 ]

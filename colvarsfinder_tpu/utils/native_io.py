@@ -127,9 +127,9 @@ def load_time_series(filename: str) -> Optional[np.ndarray]:
     return out
 
 
-def decode_xtc(filename: str):
-    """Bulk-decode an XTC file into ([n, atoms, 3] float32, times [n]) via
-    the native library, or None to fall back to the Python codec."""
+def scan_xtc(filename: str):
+    """(n_frames, n_atoms) of an XTC file by walking frame headers without
+    decoding, via the native library; None to fall back to Python."""
     lib = _load()
     if lib is None or not hasattr(lib, "xtc_scan"):
         return None
@@ -138,21 +138,53 @@ def decode_xtc(filename: str):
     rc = lib.xtc_scan(
         filename.encode(), ctypes.byref(n_frames), ctypes.byref(n_atoms)
     )
-    if rc != 0 or n_frames.value == 0:
+    if rc != 0:
         return None
     # a frame can never hold more atoms than the file has bytes — guards
     # giant allocations from corrupt headers (fall back to the Python
     # codec, which raises a descriptive error)
-    if n_atoms.value <= 0 or (
-        n_frames.value * n_atoms.value * 12 > 64 * os.path.getsize(filename)
+    if n_frames.value > 0 and (
+        n_atoms.value <= 0
+        or n_frames.value * n_atoms.value * 12
+        > 64 * os.path.getsize(filename)
     ):
         return None
-    coords = np.empty((n_frames.value, n_atoms.value, 3), dtype=np.float32)
-    times = np.empty(n_frames.value, dtype=np.float32)
+    return n_frames.value, n_atoms.value
+
+
+def decode_xtc(filename: str, coords_out: np.ndarray | None = None):
+    """Bulk-decode an XTC file into ([n, atoms, 3] float32, times [n]) via
+    the native library, or None to fall back to the Python codec.
+
+    ``coords_out``: optional preallocated [n, atoms, 3] float32
+    C-contiguous buffer the decoder writes into directly — pass a
+    ``np.memmap`` (``numpy.lib.format.open_memmap``) to decode datasets
+    larger than host RAM straight to disk (the input file is mmap'd by
+    the native side, so neither side is fully resident).
+    """
+    lib = _load()
+    scanned = scan_xtc(filename)
+    if lib is None or scanned is None:
+        return None
+    n_frames, n_atoms = scanned
+    if n_frames == 0:
+        return None
+    if coords_out is None:
+        coords = np.empty((n_frames, n_atoms, 3), dtype=np.float32)
+    else:
+        assert coords_out.shape == (n_frames, n_atoms, 3), (
+            f"coords_out shape {coords_out.shape} != "
+            f"{(n_frames, n_atoms, 3)} from the file scan"
+        )
+        assert coords_out.dtype == np.float32 and coords_out.flags[
+            "C_CONTIGUOUS"
+        ], "coords_out must be C-contiguous float32"
+        coords = coords_out
+    times = np.empty(n_frames, dtype=np.float32)
     got = lib.xtc_decode(
-        filename.encode(), coords, times, n_frames.value, n_atoms.value
+        filename.encode(), coords, times, n_frames, n_atoms
     )
-    if got != n_frames.value:
+    if got != n_frames:
         return None
     return coords, times.astype(np.float64)
 

@@ -36,12 +36,13 @@ bytes                 payload, zero-padded to a 4-byte boundary
 
 from __future__ import annotations
 
+import os
 import struct
 from typing import List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["read_xtc", "write_xtc", "XTC_MAGIC"]
+__all__ = ["read_xtc", "read_xtc_memmap", "scan_xtc", "write_xtc", "XTC_MAGIC"]
 
 XTC_MAGIC = 1995
 
@@ -455,6 +456,129 @@ def read_xtc(filename: str):
             np.stack(frames) if frames else np.zeros((0, 0, 3), np.float32)
         )
         times = np.asarray(times_l, dtype=np.float64)
+    dt_ps = float(times[1] - times[0]) if len(times) > 1 else 0.0
+    return coords, dt_ps, times
+
+
+def _skip_frame(buf, off: int):
+    """Advance past one frame without decoding (mirror of the native
+    ``xtc_skip_frame``); returns ``(next_off, natoms, time_ps)``."""
+    magic, natoms, _step, t = struct.unpack_from(">iiif", buf, off)
+    if magic != XTC_MAGIC:
+        raise ValueError(f"bad XTC magic {magic} at offset {off}")
+    off += 16 + 36  # header + 3x3 box
+    if natoms <= 9:
+        off += 4 + natoms * 12  # repeated lsize + plain floats
+    else:
+        # coordinate block: lsize, precision, minint[3], maxint[3],
+        # smallidx (36 bytes), then the compressed byte count
+        (nbytes,) = struct.unpack_from(">i", buf, off + 36)
+        if nbytes < 0:
+            raise ValueError(f"negative block size at offset {off}")
+        off += 40 + ((nbytes + 3) & ~3)
+    if off > len(buf):
+        raise ValueError("truncated XTC frame")
+    return off, natoms, t
+
+
+def scan_xtc(filename: str):
+    """``(n_frames, n_atoms)`` of an XTC file by walking the frame headers
+    without decoding any coordinates. Native-accelerated; the Python walk
+    memory-maps the file, so arbitrarily large files scan cheaply."""
+    from . import native_io
+
+    scanned = native_io.scan_xtc(filename)
+    if scanned is not None:
+        return scanned
+    import mmap as _mmap
+
+    with open(filename, "rb") as f:
+        size = os.fstat(f.fileno()).st_size
+        if size == 0:
+            return 0, 0
+        buf = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+        try:
+            n_frames, n_atoms, off = 0, 0, 0
+            while off + 16 <= size:
+                off, na, _t = _skip_frame(buf, off)
+                if n_frames == 0:
+                    n_atoms = na
+                elif na != n_atoms:
+                    raise ValueError(
+                        f"atom count changes mid-file: {n_atoms} -> {na}"
+                    )
+                n_frames += 1
+            return n_frames, n_atoms
+        finally:
+            buf.close()
+
+
+def read_xtc_memmap(filename: str, out_path: str):
+    """Decode an XTC trajectory DIRECTLY into an on-disk ``.npy`` memmap —
+    the data path for trajectories whose decoded coordinates exceed host
+    RAM (the tasks' ``streaming=True`` layout then trains straight off
+    the memmap; see docs/performance.md).
+
+    Both sides stay out of RAM: the input file is memory-mapped for
+    decoding, and the decoder writes into the ``open_memmap`` output
+    pages, which the OS writes back as needed.
+
+    Returns ``(coords_memmap [n_frames, n_atoms, 3] float32 nm, dt_ps,
+    times_ps)``.
+    """
+    from numpy.lib.format import open_memmap
+
+    from . import native_io
+
+    n_frames, n_atoms = scan_xtc(filename)
+    coords = open_memmap(
+        out_path, mode="w+", dtype=np.float32,
+        shape=(int(n_frames), int(n_atoms), 3),
+    )
+    if n_frames == 0:
+        return coords, 0.0, np.zeros(0, dtype=np.float64)
+
+    native = native_io.decode_xtc(filename, coords_out=coords)
+    if native is not None:
+        _, times = native
+    else:
+        import mmap as _mmap
+
+        times_l = []
+        with open(filename, "rb") as f:
+            mbuf = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+            try:
+                buf = memoryview(mbuf)
+                off = 0
+                for fidx in range(n_frames):
+                    _magic_v, natoms, _step, t = struct.unpack_from(
+                        ">iiif", buf, off
+                    )
+                    off += 16 + 36
+                    if natoms <= 9:
+                        (lsize,) = struct.unpack_from(">i", buf, off)
+                        if lsize != natoms:
+                            raise ValueError(
+                                f"coordinate block atom count {lsize} != "
+                                f"{natoms}"
+                            )
+                        off += 4
+                        xyz = np.frombuffer(
+                            buf, dtype=">f4", count=3 * natoms, offset=off
+                        ).reshape(natoms, 3)
+                        off += 12 * natoms
+                        coords[fidx] = xyz.astype(np.float32)
+                    else:
+                        xyz, _prec, off = _decode_frame_coords(
+                            buf, off, natoms
+                        )
+                        coords[fidx] = xyz
+                    times_l.append(t)
+                del buf
+            finally:
+                mbuf.close()
+        times = np.asarray(times_l, dtype=np.float64)
+    coords.flush()
     dt_ps = float(times[1] - times[0]) if len(times) > 1 else 0.0
     return coords, dt_ps, times
 

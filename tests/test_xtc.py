@@ -334,3 +334,62 @@ def test_native_encoder_bitidentical_nonf32_precision(tmp_path):
         native_io.encode_xtc = real
     with open(p_native, "rb") as f1, open(p_python, "rb") as f2:
         assert f1.read() == f2.read()
+
+
+def test_scan_xtc_counts_frames(tmp_path, monkeypatch):
+    from colvarsfinder_tpu.utils import native_io
+    from colvarsfinder_tpu.utils.xtc import scan_xtc
+
+    rng = np.random.default_rng(3)
+    coords = rng.normal(0, 1, (7, 20, 3)).astype(np.float32)
+    path = str(tmp_path / "scan.xtc")
+    write_xtc(path, coords, dt_ps=1.0)
+
+    assert scan_xtc(path) == (7, 20)
+    # pure-Python header walk (mmap'd) must agree
+    monkeypatch.setattr(native_io, "scan_xtc", lambda _p: None)
+    assert scan_xtc(path) == (7, 20)
+
+
+def test_read_xtc_memmap_matches_read_xtc(tmp_path, monkeypatch):
+    """Decoding straight into an on-disk .npy memmap must be bit-identical
+    to the in-RAM decode, on both the native and the Python paths."""
+    from colvarsfinder_tpu.utils import native_io
+    from colvarsfinder_tpu.utils.xtc import read_xtc_memmap
+
+    rng = np.random.default_rng(9)
+    coords = np.cumsum(
+        rng.normal(0, 0.05, (30, 40, 3)), axis=0
+    ).astype(np.float32)
+    path = str(tmp_path / "big.xtc")
+    write_xtc(path, coords, dt_ps=2.0)
+    ref, ref_dt, ref_times = read_xtc(path)
+
+    mm, dt, times = read_xtc_memmap(path, str(tmp_path / "a.npy"))
+    assert isinstance(mm, np.memmap)
+    np.testing.assert_array_equal(np.asarray(mm), ref)
+    assert dt == ref_dt
+    np.testing.assert_allclose(times, ref_times, atol=1e-5)
+    # the artifact must reload as a standard .npy
+    reread = np.load(str(tmp_path / "a.npy"), mmap_mode="r")
+    np.testing.assert_array_equal(np.asarray(reread), ref)
+
+    # force the Python per-frame fallback
+    monkeypatch.setattr(native_io, "decode_xtc", lambda *_a, **_k: None)
+    monkeypatch.setattr(native_io, "scan_xtc", lambda _p: None)
+    mm2, dt2, times2 = read_xtc_memmap(path, str(tmp_path / "b.npy"))
+    np.testing.assert_array_equal(np.asarray(mm2), ref)
+    assert dt2 == ref_dt
+
+
+def test_read_xtc_memmap_small_atoms(tmp_path):
+    """natoms <= 9 frames use the plain-float branch."""
+    from colvarsfinder_tpu.utils.xtc import read_xtc_memmap, scan_xtc
+
+    coords = np.arange(5 * 3 * 3, dtype=np.float32).reshape(5, 3, 3) * 0.01
+    path = str(tmp_path / "small.xtc")
+    write_xtc(path, coords, dt_ps=1.0)
+    assert scan_xtc(path) == (5, 3)
+    mm, _dt, _t = read_xtc_memmap(path, str(tmp_path / "s.npy"))
+    ref, _, _ = read_xtc(path)
+    np.testing.assert_array_equal(np.asarray(mm), ref)
