@@ -8,6 +8,7 @@ from .io import (
     Topology,
     Universe,
     parse_gro,
+    parse_pdb,
     read_dcd,
     write_dcd,
     write_gro,
@@ -22,6 +23,7 @@ from .enhanced import (
 )
 from .sampling import integrate_md_langevin, integrate_sde_overdamped
 from .trajectory import WeightedTrajectory, calc_weights, concatenate_trajectories
+from .trr import TRRFrames, read_trr, scan_trr, write_trr
 from .xtc import read_xtc, read_xtc_memmap, scan_xtc, write_xtc
 
 __all__ = [
@@ -39,11 +41,16 @@ __all__ = [
     "Topology",
     "Universe",
     "parse_gro",
+    "parse_pdb",
     "write_gro",
     "read_dcd",
     "write_dcd",
+    "read_trr",
     "read_xtc",
     "read_xtc_memmap",
+    "scan_trr",
     "scan_xtc",
+    "TRRFrames",
+    "write_trr",
     "write_xtc",
 ]

@@ -12,9 +12,15 @@ sufficient for the dipeptide-class workflows:
   ``resid 2``, ``name CA``, ``not type H``, ...); AtomGroup exposes
   ``.ix`` and ``.positions`` so it is accepted anywhere the framework
   takes an MDAnalysis AtomGroup;
+* :func:`parse_pdb` — PDB first-model reader (the reference's MD systems
+  originate from PDB files, reference utils.py:172);
 * :func:`read_dcd` / :func:`write_dcd` — CHARMM/NAMD-style DCD binary
   trajectory format (the format OpenMM's DCDReporter writes,
   reference utils.py:240), implemented with numpy record I/O.
+
+GROMACS XTC (compressed) and TRR (full-precision) trajectory codecs live
+in :mod:`colvarsfinder_tpu.utils.xtc` / :mod:`colvarsfinder_tpu.utils.trr`;
+:class:`Universe` dispatches on the trajectory extension.
 
 A C++ fast path for bulk text/DCD decoding lives in ``native/`` and is used
 automatically when built (see :mod:`colvarsfinder_tpu.utils.native_io`).
@@ -36,6 +42,7 @@ __all__ = [
     "Topology",
     "Universe",
     "parse_gro",
+    "parse_pdb",
     "write_gro",
     "read_dcd",
     "write_dcd",
@@ -283,6 +290,51 @@ def parse_gro(filename: str) -> Topology:
     )
 
 
+def parse_pdb(filename: str) -> Topology:
+    """Parse a PDB file's first model into a :class:`Topology`
+    (fixed-column ATOM/HETATM records; Å converted to nm).
+
+    The reference's MD workflow loads its system from a PDB through
+    OpenMM (reference: colvarsfinder/utils.py:172 takes an
+    ``app.PDBFile``); this native parser lets :class:`Universe` couple the
+    same file with an XTC/DCD/TRR trajectory without MDAnalysis."""
+    names: List[str] = []
+    resids: List[int] = []
+    resnames: List[str] = []
+    pos_l: List[List[float]] = []
+    box = None
+    title = ""
+    with open(filename) as f:
+        for ln in f:
+            rec = ln[:6]
+            if rec in ("ATOM  ", "HETATM"):
+                names.append(ln[12:16].strip())
+                resnames.append(ln[17:21].strip())
+                resseq = ln[22:26].strip()
+                resids.append(int(resseq) if resseq else 0)
+                pos_l.append([
+                    float(ln[30:38]) * 0.1,
+                    float(ln[38:46]) * 0.1,
+                    float(ln[46:54]) * 0.1,
+                ])
+            elif rec == "CRYST1":
+                box = np.asarray(
+                    [float(ln[6:15]), float(ln[15:24]), float(ln[24:33])],
+                    dtype=np.float32,
+                ) * 0.1
+            elif rec == "TITLE ":
+                title = (title + " " + ln[10:].strip()).strip()
+            elif rec.rstrip() in ("END", "ENDMDL"):
+                break  # first model only
+    if not names:
+        raise ValueError(f"no ATOM/HETATM records found in {filename}")
+    return Topology(
+        names=names, resids=resids, resnames=resnames,
+        positions=np.asarray(pos_l, dtype=np.float32), box=box,
+        title=title,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Universe: topology + trajectory, MDAnalysis-style entry point
 # ---------------------------------------------------------------------------
@@ -318,15 +370,15 @@ class Universe:
     (reference: examples/dipeptide/main.ipynb cell 2,
     ``mda.Universe('top.gro', 'md_center.xtc')``).
 
-    Couples a topology file (.gro) with a trajectory file (.xtc, .dcd, or
-    none — topology coordinates become a single frame). Exposes the
+    Couples a topology file (.gro or .pdb) with a trajectory file (.xtc,
+    .trr, .dcd, or none — topology coordinates become a single frame). Exposes the
     duck-type surface :class:`colvarsfinder_tpu.utils.WeightedTrajectory`'s
     MD branch consumes: ``.atoms``, ``.select_atoms``, and ``.trajectory``
     with ``timeseries(order='fac')`` / ``dt`` (ps) / ``n_frames``.
 
     Args:
-        topology_file: path to a .gro file
-        trajectory_file: optional path to a .xtc or .dcd trajectory
+        topology_file: path to a .gro or .pdb file
+        trajectory_file: optional path to a .xtc, .trr, or .dcd trajectory
         dt_ps: override the frame spacing (ps) when the trajectory file has
             none (e.g. single-frame or zero-time XTC files)
     """
@@ -337,7 +389,11 @@ class Universe:
         trajectory_file: Optional[str] = None,
         dt_ps: Optional[float] = None,
     ):
-        self._top = parse_gro(topology_file)
+        top_ext = os.path.splitext(topology_file)[1].lower()
+        if top_ext == ".pdb":
+            self._top = parse_pdb(topology_file)
+        else:
+            self._top = parse_gro(topology_file)
         if trajectory_file is None:
             coords = self._top.positions[None]
             dt = dt_ps if dt_ps is not None else 1.0
@@ -347,12 +403,16 @@ class Universe:
                 from .xtc import read_xtc
 
                 coords, dt, _times = read_xtc(trajectory_file)
+            elif ext == ".trr":
+                from .trr import read_trr
+
+                coords, dt, _times = read_trr(trajectory_file)
             elif ext == ".dcd":
                 coords, dt = read_dcd(trajectory_file)
             else:
                 raise ValueError(
                     f"unsupported trajectory format '{ext}' "
-                    "(supported: .xtc, .dcd)"
+                    "(supported: .xtc, .trr, .dcd)"
                 )
             if coords.shape[1] != self._top.n_atoms:
                 raise ValueError(
