@@ -719,6 +719,97 @@ class MSMResult:
             m[f] = np.linalg.solve(M, np.full(f.size, self.lag * float(dt)))
         return m
 
+    def pcca(self, n: int) -> np.ndarray:
+        """PCCA+ fuzzy memberships of the microstates in ``n`` metastable
+        sets (Deuflhard–Weber Perron cluster analysis, inner-simplex
+        variant): the top-``n`` eigenvectors of the reversible transition
+        matrix span a simplex whose vertices are the metastable sets;
+        each state's barycentric coordinates are its memberships.
+
+        Standard MSM coarse-graining — after validating a learned CV with
+        :meth:`timescales`/:func:`ck_test`, ``pcca`` names the metastable
+        states the CV resolves (the sets to feed :meth:`committor` /
+        :meth:`mfpt`).
+
+        Args:
+            n: number of metastable sets (2 <= n <= number of active
+                states). Choose it at a spectral gap in
+                :meth:`timescales`.
+
+        Returns:
+            ``[n_states, n]`` row-stochastic memberships (rows of
+            inactive states are ``nan``).
+        """
+        a = np.flatnonzero(self.active)
+        if not 2 <= int(n) <= a.size:
+            raise ValueError(
+                f"n must lie in [2, active={a.size}]; got {n}"
+            )
+        n = int(n)
+        T = self.transition_matrix[np.ix_(a, a)]
+        pi = self.stationary[a]
+        pi = np.clip(pi, 1e-300, None)
+        # reversible T is self-adjoint in the pi-weighted inner product:
+        # symmetrize D^{1/2} T D^{-1/2} and use the stable Hermitian solver
+        d = np.sqrt(pi)
+        S = (d[:, None] * T) / d[None, :]
+        S = 0.5 * (S + S.T)
+        vals, vecs = np.linalg.eigh(S)
+        order = np.argsort(vals)[::-1][:n]
+        X = vecs[:, order] / d[:, None]  # right eigenvectors of T
+        # fix the trivial eigenvector to the constant 1
+        X[:, 0] = 1.0
+
+        # inner simplex algorithm: greedily pick the n most mutually
+        # distant rows as the simplex vertices
+        ortho = X.copy()
+        verts = []
+        # start from the row farthest from the origin
+        i = int(np.argmax(np.einsum("ij,ij->i", ortho, ortho)))
+        for _ in range(n):
+            verts.append(i)
+            v = ortho[i]
+            nv = np.linalg.norm(v)
+            if nv > 0:
+                v = v / nv
+                ortho = ortho - np.outer(ortho @ v, v)
+            i = int(np.argmax(np.einsum("ij,ij->i", ortho, ortho)))
+        chi = X @ np.linalg.inv(X[verts])
+        # clip tiny infeasibilities from finite sampling, renormalize
+        chi = np.clip(chi, 0.0, None)
+        chi = chi / chi.sum(axis=1, keepdims=True)
+
+        out = np.full((self.n_states, n), np.nan)
+        out[a] = chi
+        return out
+
+    def metastable_assignments(self, n: int) -> np.ndarray:
+        """Crisp metastable-set index per microstate (argmax of
+        :meth:`pcca` memberships; inactive states get ``-1``)."""
+        chi = self.pcca(n)
+        out = np.full(self.n_states, -1, dtype=np.int64)
+        out[self.active] = np.argmax(chi[self.active], axis=1)
+        return out
+
+    def coarse_grain(self, n: int):
+        """PCCA+ coarse-grained ``n``-state model: stationary weights
+        ``pi_c = chi^T pi`` and the membership-projected transition
+        matrix ``T_c = diag(pi_c)^{-1} chi^T diag(pi) T chi``.
+
+        Returns:
+            ``(T_coarse [n, n] row-stochastic, pi_coarse [n])``.
+        """
+        a = np.flatnonzero(self.active)
+        chi = self.pcca(n)[a]
+        pi = self.stationary[a]
+        T = self.transition_matrix[np.ix_(a, a)]
+        pi_c = chi.T @ pi
+        T_c = (chi.T * pi) @ T @ chi / np.clip(
+            pi_c[:, None], 1e-300, None
+        )
+        T_c = T_c / T_c.sum(axis=1, keepdims=True)
+        return T_c, pi_c
+
     def __repr__(self):  # pragma: no cover - cosmetic
         return (
             f"MSMResult(n_states={self.n_states}, "

@@ -4,6 +4,8 @@ implied timescales, free-energy profiles, CV-subspace consistency."""
 import numpy as np
 import pytest
 
+from colvarsfinder_tpu import analysis
+
 from colvarsfinder_tpu.analysis import (
     autocorrelation,
     ck_test,
@@ -714,3 +716,78 @@ def test_validate_cv_with_segments_matches_weights_convention():
                         _ar1(0.92, 150_000, seed=63)])
     r = validate_cv(y, lag=5, dt=0.1, segment_starts=[0, 150_000])
     assert r.passed
+
+
+# ---------------------------------------------------------------------------
+# PCCA+ metastable coarse-graining
+# ---------------------------------------------------------------------------
+
+def _block_chain_traj(n_steps=60_000, seed=0):
+    """Sample a 9-state Markov chain with three metastable 3-state blocks;
+    returns (assignments, true_block_of_state)."""
+    rng = np.random.default_rng(seed)
+    T = np.full((9, 9), 1e-4)
+    for b in range(3):
+        sl = slice(3 * b, 3 * b + 3)
+        T[sl, sl] = 1.0  # fast mixing inside the block
+    # slow inter-block channels between block edges
+    T[2, 3] = T[3, 2] = 5e-3
+    T[5, 6] = T[6, 5] = 5e-3
+    T = T / T.sum(axis=1, keepdims=True)
+    s = np.empty(n_steps, dtype=np.int64)
+    s[0] = 0
+    cdf = np.cumsum(T, axis=1)
+    u = rng.uniform(size=n_steps)
+    for t in range(1, n_steps):
+        s[t] = np.searchsorted(cdf[s[t - 1]], u[t])
+    return s, np.repeat(np.arange(3), 3)
+
+
+def test_pcca_recovers_metastable_blocks():
+    s, true_blocks = _block_chain_traj()
+    m = analysis.msm(s, lag=1, n_states=9)
+    chi = m.pcca(3)
+    assert chi.shape == (9, 3)
+    act = m.active
+    np.testing.assert_allclose(chi[act].sum(axis=1), 1.0, atol=1e-10)
+    assert np.all(chi[act] >= 0.0)
+
+    crisp = m.metastable_assignments(3)
+    # the partition must match the generating blocks up to relabeling
+    seen = {}
+    for state in np.flatnonzero(act):
+        b = true_blocks[state]
+        if b in seen:
+            assert crisp[state] == seen[b], (
+                f"state {state} split off its block: {crisp}"
+            )
+        else:
+            seen[b] = crisp[state]
+    assert len(set(seen.values())) == 3, f"blocks merged: {crisp}"
+    # membership of a block-interior state in its own set is near 1
+    assert chi[1, crisp[1]] > 0.9
+    assert chi[4, crisp[4]] > 0.9
+    assert chi[7, crisp[7]] > 0.9
+
+
+def test_pcca_coarse_grain_is_metastable():
+    s, _ = _block_chain_traj(seed=3)
+    m = analysis.msm(s, lag=1, n_states=9)
+    T_c, pi_c = m.coarse_grain(3)
+    assert T_c.shape == (3, 3)
+    np.testing.assert_allclose(T_c.sum(axis=1), 1.0, atol=1e-12)
+    np.testing.assert_allclose(pi_c.sum(), 1.0, atol=1e-10)
+    # the coarse model must be strongly diagonal (metastability survives
+    # coarse-graining)
+    assert np.all(np.diag(T_c) > 0.95), T_c
+    # coarse stationary weights are all substantial (three real wells)
+    assert np.all(pi_c > 0.1)
+
+
+def test_pcca_validates_n():
+    s, _ = _block_chain_traj(n_steps=5000)
+    m = analysis.msm(s, lag=1, n_states=9)
+    with pytest.raises(ValueError, match="n must lie"):
+        m.pcca(1)
+    with pytest.raises(ValueError, match="n must lie"):
+        m.pcca(100)
