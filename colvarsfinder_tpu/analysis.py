@@ -124,6 +124,9 @@ def free_energy_profile(
     beta: float = 1.0,
     bins: int = 50,
     value_range=None,
+    n_bootstrap: int = 0,
+    block_frames: Optional[int] = None,
+    seed: int = 0,
 ):
     """Free-energy surface along one or two learned CVs.
 
@@ -141,28 +144,59 @@ def free_energy_profile(
             the beta the weights reweight to).
         bins: histogram bins per dimension.
         value_range: optional histogram range, as for numpy.
+        n_bootstrap: number of moving-block bootstrap replicas for
+            per-bin uncertainties (0 disables — the default).
+        block_frames: bootstrap block length in frames. MD frames are
+            time-correlated, so frames are resampled in contiguous
+            blocks; choose at least the CV's correlation time
+            (:func:`autocorrelation`). Default ``max(n // 50, 1)``.
+        seed: bootstrap RNG seed.
 
     Returns:
         ``(centers, F)``: for 1-D, ``centers`` is ``[bins]`` and ``F``
         is ``[bins]``; for 2-D, ``centers`` is a ``(x_centers,
         y_centers)`` tuple and ``F`` is ``[bins, bins]`` indexed
-        ``F[ix, iy]``. Empty bins hold ``inf``.
+        ``F[ix, iy]``. Empty bins hold ``inf``. With
+        ``n_bootstrap > 0``, returns ``(centers, F, F_err)`` where
+        ``F_err`` is the per-bin bootstrap standard deviation (replicas
+        anchored at the full-profile minimum bin, so the errors are
+        shape errors; ``inf`` where fewer than two replicas populate
+        the bin).
     """
     s = np.asarray(cv_values, dtype=np.float64)
     if s.ndim == 2 and s.shape[1] == 1:
         s = s[:, 0]
     w = None if weights is None else np.asarray(weights, dtype=np.float64)
+
     if s.ndim == 1:
-        hist, edges = np.histogram(
+        _hist, edges = np.histogram(
             s, bins=bins, range=value_range, weights=w, density=True
         )
         centers = 0.5 * (edges[:-1] + edges[1:])
+
+        def hist_of(idx):
+            h, _ = np.histogram(
+                s[idx], bins=edges,
+                weights=None if w is None else w[idx], density=True,
+            )
+            return h
+
+        hist = _hist
     elif s.ndim == 2 and s.shape[1] == 2:
-        hist, ex, ey = np.histogram2d(
+        _hist, ex, ey = np.histogram2d(
             s[:, 0], s[:, 1], bins=bins, range=value_range, weights=w,
             density=True,
         )
         centers = (0.5 * (ex[:-1] + ex[1:]), 0.5 * (ey[:-1] + ey[1:]))
+
+        def hist_of(idx):
+            h, _, _ = np.histogram2d(
+                s[idx, 0], s[idx, 1], bins=(ex, ey),
+                weights=None if w is None else w[idx], density=True,
+            )
+            return h
+
+        hist = _hist
     else:
         raise ValueError(
             f"cv_values must be [n], [n,1] or [n,2]; got shape {s.shape}"
@@ -170,7 +204,36 @@ def free_energy_profile(
     with np.errstate(divide="ignore"):
         F = -np.log(hist) / float(beta)
     F -= F.min()
-    return centers, F
+    if n_bootstrap <= 0:
+        return centers, F
+
+    # moving-block bootstrap: frames are time-correlated, so replicas
+    # resample contiguous blocks, each anchored at the full profile's
+    # minimum bin so the spread measures the SHAPE uncertainty
+    n = s.shape[0]
+    block = int(block_frames) if block_frames else max(n // 50, 1)
+    block = min(max(block, 1), n)
+    anchor = np.unravel_index(np.argmin(F), F.shape)
+    rng = np.random.default_rng(seed)
+    n_blocks = int(np.ceil(n / block))
+    reps = []
+    for _ in range(int(n_bootstrap)):
+        starts = rng.integers(0, n - block + 1, size=n_blocks)
+        idx = (starts[:, None] + np.arange(block)[None, :]).reshape(-1)[:n]
+        with np.errstate(divide="ignore"):
+            Fb = -np.log(hist_of(idx)) / float(beta)
+        Fb = Fb - Fb[anchor]
+        reps.append(Fb)
+    reps = np.stack(reps)
+    finite = np.isfinite(reps)
+    cnt = finite.sum(axis=0)
+    mean = np.where(cnt > 0, np.nansum(np.where(finite, reps, 0), axis=0)
+                    / np.maximum(cnt, 1), np.nan)
+    var = np.nansum(
+        np.where(finite, (reps - mean) ** 2, 0), axis=0
+    ) / np.maximum(cnt - 1, 1)
+    F_err = np.where(cnt >= 2, np.sqrt(var), np.inf)
+    return centers, F, F_err
 
 
 def cv_consistency(

@@ -791,3 +791,46 @@ def test_pcca_validates_n():
         m.pcca(1)
     with pytest.raises(ValueError, match="n must lie"):
         m.pcca(100)
+
+
+# ---------------------------------------------------------------------------
+# free_energy_profile bootstrap errors
+# ---------------------------------------------------------------------------
+
+def test_fep_bootstrap_errors_1d():
+    rng = np.random.default_rng(0)
+    # correlated series sampling a known double-well density
+    n = 40000
+    y = np.where(rng.uniform(size=n) < 0.5, -1.0, 1.0) + 0.3 * rng.normal(
+        size=n
+    )
+    centers, F, F_err = analysis.free_energy_profile(
+        y, bins=24, n_bootstrap=30, block_frames=50, seed=1
+    )
+    assert F_err.shape == F.shape
+    core = np.isfinite(F) & np.isfinite(F_err)
+    assert core.sum() > 10
+    # the anchor bin (profile minimum) has zero spread by construction
+    well = np.argmin(F)
+    assert F_err[well] == 0.0
+    # neighboring well-populated bins: small but nonzero uncertainty
+    nb = well + 1 if well + 1 < len(F) else well - 1
+    assert 0.0 < F_err[nb] < 0.3
+    # errors grow toward rarely-visited (high-F) bins
+    hi = core & (F > np.nanpercentile(F[core], 80))
+    lo = core & (F < np.nanpercentile(F[core], 20))
+    assert F_err[hi].mean() > F_err[lo].mean()
+    # the two-tuple contract is unchanged without bootstrap
+    out = analysis.free_energy_profile(y, bins=24)
+    assert len(out) == 2
+
+
+def test_fep_bootstrap_errors_2d():
+    rng = np.random.default_rng(2)
+    y = rng.normal(size=(20000, 2))
+    centers, F, F_err = analysis.free_energy_profile(
+        y, bins=12, n_bootstrap=12, seed=0
+    )
+    assert F.shape == (12, 12) and F_err.shape == (12, 12)
+    mid = np.unravel_index(np.argmin(F), F.shape)
+    assert np.isfinite(F_err[mid]) and F_err[mid] < 0.2
