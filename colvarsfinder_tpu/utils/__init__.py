@@ -23,6 +23,13 @@ from .enhanced import (
 )
 from .sampling import integrate_md_langevin, integrate_sde_overdamped
 from .trajectory import WeightedTrajectory, calc_weights, concatenate_trajectories
+from .netcdf import (
+    NetCDFFrames,
+    read_netcdf,
+    read_netcdf_full,
+    scan_netcdf,
+    write_netcdf,
+)
 from .trr import TRRFrames, read_trr, scan_trr, write_trr
 from .xtc import read_xtc, read_xtc_memmap, scan_xtc, write_xtc
 
@@ -53,4 +60,9 @@ __all__ = [
     "TRRFrames",
     "write_trr",
     "write_xtc",
+    "NetCDFFrames",
+    "read_netcdf",
+    "read_netcdf_full",
+    "scan_netcdf",
+    "write_netcdf",
 ]

@@ -371,14 +371,15 @@ class Universe:
     ``mda.Universe('top.gro', 'md_center.xtc')``).
 
     Couples a topology file (.gro or .pdb) with a trajectory file (.xtc,
-    .trr, .dcd, or none — topology coordinates become a single frame). Exposes the
+    .trr, .dcd, .nc, or none — topology coordinates become a single frame). Exposes the
     duck-type surface :class:`colvarsfinder_tpu.utils.WeightedTrajectory`'s
     MD branch consumes: ``.atoms``, ``.select_atoms``, and ``.trajectory``
     with ``timeseries(order='fac')`` / ``dt`` (ps) / ``n_frames``.
 
     Args:
         topology_file: path to a .gro or .pdb file
-        trajectory_file: optional path to a .xtc, .trr, or .dcd trajectory
+        trajectory_file: optional path to a .xtc, .trr, .dcd, or Amber
+            .nc trajectory
         dt_ps: override the frame spacing (ps) when the trajectory file has
             none (e.g. single-frame or zero-time XTC files)
     """
@@ -409,10 +410,14 @@ class Universe:
                 coords, dt, _times = read_trr(trajectory_file)
             elif ext == ".dcd":
                 coords, dt = read_dcd(trajectory_file)
+            elif ext in (".nc", ".ncdf", ".netcdf"):
+                from .netcdf import read_netcdf
+
+                coords, dt, _times = read_netcdf(trajectory_file)
             else:
                 raise ValueError(
                     f"unsupported trajectory format '{ext}' "
-                    "(supported: .xtc, .trr, .dcd)"
+                    "(supported: .xtc, .trr, .dcd, .nc)"
                 )
             if coords.shape[1] != self._top.n_atoms:
                 raise ValueError(

@@ -1,0 +1,209 @@
+"""Amber NetCDF codec: round-trips, cross-validation against scipy's
+independent classic-NetCDF implementation (the external golden the XTC/DCD
+codecs lack an offline producer for), header golden bytes, convention
+attributes, and the Universe integration."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from colvarsfinder_tpu.utils import (
+    Universe,
+    WeightedTrajectory,
+    read_netcdf,
+    read_netcdf_full,
+    scan_netcdf,
+    write_netcdf,
+)
+
+scipy_netcdf = pytest.importorskip("scipy.io", reason="scipy cross-check")
+from scipy.io import netcdf_file  # noqa: E402
+
+
+def _coords(n=7, atoms=5, seed=0):
+    rng = np.random.default_rng(seed)
+    return (
+        np.cumsum(rng.normal(0, 0.3, (n, atoms, 3)), axis=0) + 12.0
+    ).astype(np.float32)
+
+
+def test_roundtrip_coords_times(tmp_path):
+    x = _coords()
+    path = str(tmp_path / "t.nc")
+    write_netcdf(path, x, dt_ps=2.0)
+    coords, dt, times = read_netcdf(path)
+    np.testing.assert_array_equal(coords, x)
+    assert dt == 2.0
+    np.testing.assert_allclose(times, 2.0 * np.arange(7), atol=1e-5)
+
+
+def test_roundtrip_velocities_cell(tmp_path):
+    x = _coords()
+    rng = np.random.default_rng(1)
+    v = rng.normal(0, 1, x.shape).astype(np.float32)
+    cl = np.abs(rng.normal(30, 1, (len(x), 3)))
+    ca = np.full((len(x), 3), 90.0)
+    path = str(tmp_path / "vc.nc")
+    write_netcdf(path, x, dt_ps=1.0, velocities=v, cell_lengths=cl,
+                 cell_angles=ca)
+    fr = read_netcdf_full(path)
+    np.testing.assert_array_equal(fr.coords, x)
+    np.testing.assert_array_equal(fr.velocities, v)
+    np.testing.assert_array_equal(fr.cell_lengths, cl)
+    np.testing.assert_array_equal(fr.cell_angles, ca)
+    assert fr.attrs["Conventions"] == "AMBER"
+    assert fr.attrs["ConventionVersion"] == "1.0"
+
+
+def test_scan(tmp_path):
+    x = _coords(n=4, atoms=3)
+    path = str(tmp_path / "s.nc")
+    write_netcdf(path, x, title="hello")
+    meta = scan_netcdf(path)
+    assert meta["n_frames"] == 4
+    assert meta["n_atoms"] == 3
+    assert meta["has_coordinates"] and not meta["has_velocities"]
+    assert not meta["has_cell"]
+    assert meta["conventions"] == "AMBER"
+    assert meta["title"] == "hello"
+
+
+def test_scipy_reads_our_file(tmp_path):
+    """Cross-validation #1: an independent NetCDF implementation decodes
+    our writer's output bit-exactly, including the interleaved-record
+    layout with mixed float/double record variables."""
+    x = _coords()
+    rng = np.random.default_rng(2)
+    v = rng.normal(0, 1, x.shape).astype(np.float32)
+    cl = np.abs(rng.normal(25, 2, (len(x), 3)))
+    ca = np.full((len(x), 3), 90.0)
+    path = str(tmp_path / "ours.nc")
+    write_netcdf(path, x, dt_ps=0.5, velocities=v, cell_lengths=cl,
+                 cell_angles=ca, title="xval")
+
+    with netcdf_file(path, "r", mmap=False) as nc:
+        assert nc.Conventions == b"AMBER"
+        assert nc.dimensions["spatial"] == 3
+        assert nc.dimensions["atom"] == x.shape[1]
+        np.testing.assert_array_equal(nc.variables["coordinates"][:], x)
+        np.testing.assert_array_equal(nc.variables["velocities"][:], v)
+        np.testing.assert_array_equal(nc.variables["cell_lengths"][:], cl)
+        np.testing.assert_array_equal(nc.variables["cell_angles"][:], ca)
+        np.testing.assert_allclose(
+            nc.variables["time"][:], 0.5 * np.arange(7), atol=1e-6
+        )
+        assert nc.variables["coordinates"].units == b"angstrom"
+        assert bytes(nc.variables["spatial"][:].tobytes()) == b"xyz"
+
+
+def test_we_read_scipy_file(tmp_path):
+    """Cross-validation #2: decode a file authored entirely by scipy's
+    writer (independent header/offset/record-interleave computation)."""
+    x = _coords(n=5, atoms=4, seed=3)
+    t = (0.25 * np.arange(5)).astype(np.float32)
+    path = str(tmp_path / "scipy.nc")
+    with netcdf_file(path, "w") as nc:
+        nc.Conventions = "AMBER"
+        nc.ConventionVersion = "1.0"
+        nc.createDimension("frame", None)
+        nc.createDimension("spatial", 3)
+        nc.createDimension("atom", 4)
+        vs = nc.createVariable("spatial", "c", ("spatial",))
+        vs[:] = np.frombuffer(b"xyz", dtype="S1")
+        vt = nc.createVariable("time", "f", ("frame",))
+        vt[:] = t
+        vt.units = "picosecond"
+        vc = nc.createVariable("coordinates", "f", ("frame", "atom", "spatial"))
+        vc[:] = x
+        vc.units = "angstrom"
+
+    coords, dt, times = read_netcdf(path)
+    np.testing.assert_array_equal(coords, x)
+    np.testing.assert_allclose(times, t, atol=1e-7)
+    assert abs(dt - 0.25) < 1e-7
+    meta = scan_netcdf(path)
+    assert meta["n_frames"] == 5 and meta["n_atoms"] == 4
+
+
+def test_header_golden_bytes(tmp_path):
+    """Byte-level spec conformance of the writer's header prefix."""
+    x = _coords(n=2, atoms=1)
+    path = str(tmp_path / "g.nc")
+    write_netcdf(path, x)
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:4] == b"CDF\x01"
+    (numrecs,) = struct.unpack_from(">i", data, 4)
+    assert numrecs == 2
+    # dimension list: tag NC_DIMENSION, 3 dims, first named 'frame' size 0
+    tag, ndims = struct.unpack_from(">ii", data, 8)
+    assert tag == 0x0A and ndims == 3
+    (nlen,) = struct.unpack_from(">i", data, 16)
+    assert data[20 : 20 + nlen] == b"frame"
+    off = 20 + (nlen + 3) // 4 * 4
+    (size,) = struct.unpack_from(">i", data, off)
+    assert size == 0  # UNLIMITED
+
+
+def test_scale_factor_applied(tmp_path):
+    """Amber writes velocity scale_factor attributes; the reader applies
+    them (netCDF4/MDAnalysis behavior)."""
+    x = _coords(n=3, atoms=2)
+    path = str(tmp_path / "sf.nc")
+    with netcdf_file(path, "w") as nc:
+        nc.createDimension("frame", None)
+        nc.createDimension("spatial", 3)
+        nc.createDimension("atom", 2)
+        vc = nc.createVariable("coordinates", "f", ("frame", "atom", "spatial"))
+        vc[:] = x
+        vc.scale_factor = 2.5
+    fr = read_netcdf_full(path)
+    np.testing.assert_allclose(fr.coords, 2.5 * x, rtol=1e-6)
+
+
+def test_bad_magic_raises(tmp_path):
+    path = str(tmp_path / "bad.nc")
+    with open(path, "wb") as f:
+        f.write(b"HDF5....not classic")
+    with pytest.raises(ValueError, match="magic"):
+        read_netcdf(path)
+
+
+def test_truncated_file_yields_whole_frames(tmp_path):
+    x = _coords(n=6, atoms=3)
+    path = str(tmp_path / "trunc.nc")
+    write_netcdf(path, x)
+    with open(path, "rb") as f:
+        data = f.read()
+    with open(path, "wb") as f:
+        f.write(data[: len(data) - 10])  # chop into the last record
+    coords, _dt, _times = read_netcdf(path)
+    assert len(coords) == 5
+    np.testing.assert_array_equal(coords, x[:5])
+
+
+def test_universe_reads_netcdf(tmp_path):
+    gro = tmp_path / "top.gro"
+    n_atoms = 3
+    with open(gro, "w") as f:
+        f.write("test\n")
+        f.write(f"{n_atoms}\n")
+        for i in range(n_atoms):
+            f.write(
+                f"{1:>5d}{'ALA':<5s}{'CA':>5s}{i + 1:>5d}"
+                f"{0.1 * i:8.3f}{0.2 * i:8.3f}{0.3 * i:8.3f}\n"
+            )
+        f.write("   5.00000   5.00000   5.00000\n")
+    x = _coords(n=8, atoms=n_atoms)
+    nc = tmp_path / "traj.nc"
+    write_netcdf(str(nc), x, dt_ps=4.0)
+
+    u = Universe(str(gro), str(nc))
+    assert u.trajectory.n_frames == 8
+    assert u.trajectory.dt == 4.0
+    np.testing.assert_array_equal(u.trajectory.timeseries(order="fac"), x)
+
+    traj = WeightedTrajectory(universe=u)
+    assert traj.n_frames == 8
+    assert abs(traj.dt - 4.0e-3) < 1e-12  # ps -> ns
