@@ -22,7 +22,7 @@ Layer map (mirrors SURVEY.md §1, rebuilt TPU-first):
 
 __version__ = "0.1.0"
 
-from . import analysis, config, core, models, ops, parallel, tune, utils
+from . import analysis, config, core, models, ops, parallel, plotting, tune, utils
 from .checkpoint import load_torch_state_dict, save_torch_state_dict
 from .core import (
     AutoEncoderTask,
@@ -54,6 +54,7 @@ __all__ = [
     "models",
     "ops",
     "parallel",
+    "plotting",
     "tune",
     "utils",
     "ColvarModel",
