@@ -22,7 +22,18 @@ Layer map (mirrors SURVEY.md §1, rebuilt TPU-first):
 
 __version__ = "0.1.0"
 
-from . import analysis, config, core, models, ops, parallel, plotting, tune, utils
+from . import (
+    analysis,
+    config,
+    core,
+    models,
+    ops,
+    parallel,
+    plotting,
+    tune,
+    utils,
+    workflow,
+)
 from .checkpoint import load_torch_state_dict, save_torch_state_dict
 from .core import (
     AutoEncoderTask,
@@ -57,6 +68,7 @@ __all__ = [
     "plotting",
     "tune",
     "utils",
+    "workflow",
     "ColvarModel",
     "export_colvar",
     "load_colvar",
