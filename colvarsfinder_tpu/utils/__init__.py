@@ -17,8 +17,10 @@ from .enhanced import (
     BiasedPotential,
     MBARResult,
     MetadynamicsResult,
+    UmbrellaResult,
     harmonic_restraint,
     integrate_sde_metadynamics,
+    integrate_sde_umbrella,
     mbar_weights,
 )
 from .sampling import integrate_md_langevin, integrate_sde_overdamped
@@ -44,7 +46,9 @@ __all__ = [
     "MetadynamicsResult",
     "harmonic_restraint",
     "integrate_sde_metadynamics",
+    "integrate_sde_umbrella",
     "mbar_weights",
+    "UmbrellaResult",
     "Topology",
     "Universe",
     "parse_gro",

@@ -40,9 +40,11 @@ __all__ = [
     "BiasedPotential",
     "harmonic_restraint",
     "integrate_sde_metadynamics",
+    "integrate_sde_umbrella",
     "MetadynamicsResult",
     "MBARResult",
     "mbar_weights",
+    "UmbrellaResult",
 ]
 
 
@@ -652,4 +654,221 @@ def mbar_weights(
         free_energies=f,
         n_iter=it,
         converged=converged,
+    )
+
+
+# ---------------------------------------------------------------------------
+# umbrella-sampling window runner
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class UmbrellaResult:
+    """Outcome of :func:`integrate_sde_umbrella` (K windows).
+
+    Attributes:
+        frames: states at the report times, [K, n_reports, dim].
+        cv_values: CV at each recorded frame, [K, n_reports, cv_dim].
+        centers: restraint centers, [K, cv_dim].
+        kappas: restraint strengths, [K].
+        beta: inverse temperature of the runs.
+        dt: time between recorded frames (``step_size * report_interval``).
+    """
+
+    frames: np.ndarray
+    cv_values: np.ndarray
+    centers: np.ndarray
+    kappas: np.ndarray
+    beta: float
+    dt: float
+
+    @property
+    def n_windows(self) -> int:
+        return len(self.centers)
+
+    def bias_fns(self):
+        """The K restraints as callables on a CV value — exactly the
+        biases the windows were integrated under, ready for
+        :func:`mbar_weights`."""
+        return [
+            harmonic_restraint(c, float(k))
+            for c, k in zip(self.centers, self.kappas)
+        ]
+
+    def mbar(self, **kwargs) -> MBARResult:
+        """Recombine the windows: MBAR unbiased-ensemble weights + window
+        free energies (forwards ``tol`` / ``max_iter``)."""
+        return mbar_weights(
+            list(self.cv_values), self.bias_fns(), beta=self.beta, **kwargs
+        )
+
+    def to_weighted_trajectory(self, mbar_result: Optional[MBARResult] = None):
+        """Pool every window into ONE training-ready
+        :class:`~colvarsfinder_tpu.utils.trajectory.WeightedTrajectory`:
+        frames concatenated, MBAR unbiased-ensemble weights attached
+        (pooled mean 1), ``segment_starts`` marking window boundaries so
+        time-lagged objectives never pair frames across windows."""
+        from .trajectory import WeightedTrajectory
+
+        mb = mbar_result if mbar_result is not None else self.mbar()
+        n = self.frames.shape[1]
+        traj = WeightedTrajectory(
+            trajectory=self.frames.reshape(-1, *self.frames.shape[2:]),
+            weights=np.concatenate(mb.weights),
+            dt=self.dt,
+            verbose=False,
+        )
+        traj.segment_starts = np.arange(self.n_windows) * n
+        return traj
+
+
+def integrate_sde_umbrella(
+    pot_obj,
+    cv_model: Callable,
+    centers,
+    kappa,
+    n_steps: int,
+    sampling_output_path: Optional[str] = None,
+    X0: Optional[np.ndarray] = None,
+    pre_steps: int = 0,
+    step_size: float = 0.01,
+    report_interval: int = 100,
+    seed: Optional[int] = None,
+    verbose: bool = True,
+) -> UmbrellaResult:
+    """Umbrella sampling along a (learned) CV — all K windows in ONE
+    compiled, vmapped Euler–Maruyama scan.
+
+    Each window k integrates ``V(x) + 0.5 * kappa_k * |cv(x) - c_k|^2``
+    (restraint force through ``jax.grad`` of the composition, i.e.
+    through the CV model). The reference ecosystem runs one PLUMED
+    ``restraint`` simulation per window (reference utils.py:220-223);
+    here the windows are rows of a single ``[K, dim]`` chain batch, so
+    the whole schedule is one device dispatch and K fills the batch
+    dimension of every model matmul.
+
+    Args:
+        pot_obj: base potential (``dim`` / ``beta`` / ``V`` jax-traceable,
+            as for :func:`integrate_sde_metadynamics`).
+        cv_model: jax-traceable map from a single state [dim] to CV
+            values (any shape; flattened).
+        centers: [K] (scalar CV) or [K, cv_dim] restraint centers.
+        kappa: restraint strength — scalar or per-window [K]. Strong
+            enough that neighboring windows' CV histograms overlap.
+        n_steps: integrator steps per window.
+        sampling_output_path: when given, writes per-window
+            ``traj_win{k}.txt`` rows (t, x...) plus ``windows.csv``
+            (center..., kappa).
+        X0: initial state [dim] shared by all windows (each relaxes into
+            its own window during ``pre_steps``), or per-window [K, dim]
+            starts (e.g. a steered chain). Defaults to a standard-normal
+            draw shared by all windows.
+        pre_steps: per-window burn-in steps (discarded).
+        step_size / report_interval / seed / verbose: as in
+            :func:`~colvarsfinder_tpu.utils.sampling.integrate_sde_overdamped`.
+
+    Returns:
+        :class:`UmbrellaResult` — call ``.mbar()`` for window free
+        energies and unbiased weights, ``.to_weighted_trajectory()`` for
+        a training-ready pooled dataset.
+    """
+    from .sampling import _em_scan
+
+    centers = np.asarray(centers, dtype=np.float64)
+    if centers.ndim == 1:
+        centers = centers[:, None]
+    K, cv_dim = centers.shape
+    kappas = np.broadcast_to(
+        np.asarray(kappa, dtype=np.float64), (K,)
+    ).astype(np.float64)
+    if n_steps < 1:
+        raise ValueError("n_steps must be >= 1")
+    dim = pot_obj.dim
+    beta = float(pot_obj.beta)
+
+    if seed is None:
+        seed = np.random.randint(0, 2**31 - 1)
+    key = jax.random.PRNGKey(seed)
+    if X0 is None:
+        key, sub = jax.random.split(key)
+        X0 = np.asarray(jax.random.normal(sub, (dim,)))
+    X0 = np.asarray(X0, dtype=np.float64)
+    if X0.ndim == 1:
+        X0 = np.broadcast_to(X0, (K, dim))
+    elif X0.shape != (K, dim):
+        raise ValueError(f"X0 must be [dim] or [K, dim]; got {X0.shape}")
+
+    c_arr = jnp.asarray(centers, jnp.float32)
+    k_arr = jnp.asarray(kappas, jnp.float32)
+
+    def cv_fn(x):
+        return jnp.asarray(cv_model(x), dtype=jnp.float32).reshape(-1)
+
+    def biased_v(x, c, kap):
+        d = cv_fn(x) - c
+        return jnp.asarray(pot_obj.V(x)) + 0.5 * kap * jnp.sum(d * d)
+
+    grad_single = jax.grad(biased_v)
+
+    def grad_fn(x):  # x: [K, dim]
+        return jax.vmap(grad_single)(x, c_arr, k_arr)
+
+    n_reports = (n_steps - 1) // report_interval + 1
+    _, frames = _em_scan(
+        grad_fn,
+        jnp.asarray(X0, jnp.float32),
+        key,
+        jnp.float32(step_size),
+        jnp.float32(beta),
+        int(report_interval),
+        int(n_reports),
+        int(pre_steps),
+    )
+    frames = np.asarray(frames).transpose(1, 0, 2)  # [K, n_reports, dim]
+
+    flat = jnp.asarray(frames.reshape(-1, dim))
+    cv_values = np.asarray(jax.vmap(cv_fn)(flat)).reshape(
+        K, n_reports, -1
+    )
+    if cv_values.shape[-1] != cv_dim:
+        raise ValueError(
+            f"cv_model returns {cv_values.shape[-1]} components but "
+            f"centers have {cv_dim}"
+        )
+
+    if sampling_output_path is not None:
+        os.makedirs(sampling_output_path, exist_ok=True)
+        times = np.arange(n_reports) * step_size * report_interval
+        for k in range(K):
+            np.savetxt(
+                os.path.join(sampling_output_path, f"traj_win{k}.txt"),
+                np.column_stack([times, frames[k]]),
+                fmt="%.8g",
+            )
+        header = ",".join(
+            [f"center_{d}" for d in range(cv_dim)] + ["kappa"]
+        )
+        np.savetxt(
+            os.path.join(sampling_output_path, "windows.csv"),
+            np.column_stack([centers, kappas]),
+            fmt="%.8g",
+            delimiter=",",
+            header=header,
+            comments="",
+        )
+
+    if verbose:
+        means = cv_values.mean(axis=1)
+        print(
+            f"umbrella sampling: {K} windows x {n_reports} frames; "
+            f"window CV means {np.round(means.ravel(), 3)}"
+        )
+
+    return UmbrellaResult(
+        frames=frames.astype(np.float32),
+        cv_values=cv_values,
+        centers=centers,
+        kappas=kappas,
+        beta=beta,
+        dt=step_size * report_interval,
     )
