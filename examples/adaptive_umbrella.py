@@ -1,0 +1,173 @@
+"""Closed-loop CV discovery + free-energy estimation, start to finish.
+
+The workflow the reference ecosystem assembles by hand across
+TorchScript/PLUMED round trips (reference: colvarsfinder/core.py:212-227
+export, utils.py:220-223 bias, utils.py:354-417 reweight), run natively
+end to end:
+
+  1. ``workflow.adaptive_cv_discovery`` — unbiased bootstrap (trapped in
+     one well of a 2D double-well), then rounds of well-tempered
+     metadynamics ALONG the current CV + Tiwary reweighting + retraining
+     on the pooled data;
+  2. ``utils.integrate_sde_umbrella`` — umbrella windows along the FINAL
+     learned CV, all windows as one vmapped compiled scan;
+  3. MBAR recombination -> unbiased weights -> reweighted free-energy
+     profile along the CV, with moving-block bootstrap error bars,
+     validated against the analytic double-well;
+  4. ``plotting`` — the standard figures (CV contour over the domain,
+     FES with error band) written as PNGs.
+
+Run: python examples/adaptive_umbrella.py [--outdir /tmp/cvf_adaptive]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+if jax.default_backend() == "cpu":
+    pass  # already on CPU (tests / CI)
+
+import jax.numpy as jnp
+
+from colvarsfinder_tpu import analysis, plotting
+from colvarsfinder_tpu.core import EigenFunctionTask
+from colvarsfinder_tpu.models import EigenFunctions
+from colvarsfinder_tpu.utils import integrate_sde_umbrella
+from colvarsfinder_tpu.workflow import adaptive_cv_discovery
+
+
+class DoubleWell2D:
+    """V = (x1^2 - 1)^2 + 8 x2^2: wells at x1 = +-1, ~1 kT x 6 barrier."""
+
+    dim = 2
+    beta = 6.0
+
+    def V(self, x):
+        return (x[0] ** 2 - 1.0) ** 2 + 8.0 * x[1] ** 2
+
+    def gradV(self, x):
+        return jnp.asarray([4.0 * x[0] * (x[0] ** 2 - 1.0), 16.0 * x[1]])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--outdir", default="/tmp/cvf_adaptive_umbrella")
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--unbiased-steps", type=int, default=40_000)
+    ap.add_argument("--metad-steps", type=int, default=40_000)
+    ap.add_argument("--umbrella-steps", type=int, default=30_000)
+    args = ap.parse_args()
+    os.makedirs(args.outdir, exist_ok=True)
+    pot = DoubleWell2D()
+
+    # ------------------------------------------------------------------
+    # 1. adaptive discovery: sample -> train -> bias -> reweight -> retrain
+    # ------------------------------------------------------------------
+    def make_task(traj, r):
+        return EigenFunctionTask(
+            traj, None, EigenFunctions([2, 20, 20, 1], 1, seed=r),
+            os.path.join(args.outdir, f"cv{r}"), alpha=10.0,
+            eig_weights=[1.0], lag_tau=traj.dt, k=1, learning_rate=0.01,
+            batch_size=500, num_epochs=30, save_model_every_step=0,
+            verbose=False, tensorboard=False, seed=r,
+        )
+
+    t0 = time.time()
+    res = adaptive_cv_discovery(
+        pot, make_task, n_rounds=args.rounds, X0=np.array([1.0, 0.0]),
+        unbiased_steps=args.unbiased_steps, metad_steps=args.metad_steps,
+        step_size=0.005, frame_interval=50, hill_height=0.6,
+        bias_factor=8.0, output_path=os.path.join(args.outdir, "sampling"),
+        seed=3, verbose=True,
+    )
+    print(f"adaptive loop: {time.time() - t0:.1f}s")
+    for r in res.rounds:
+        x1 = r.segment.trajectory[:, 0]
+        print(f"  round {r.index}: new-segment x1 range "
+              f"[{x1.min():+.2f}, {x1.max():+.2f}]")
+    spans = res.cv_range_per_round().ravel()
+    print(f"  exploration signal (CV range per round): {np.round(spans, 2)}")
+    assert res.rounds[0].segment.trajectory[:, 0].min() > -0.5, "bootstrap trapped"
+    assert res.rounds[-1].segment.trajectory[:, 0].min() < -0.5, (
+        "biased rounds should cross the barrier"
+    )
+
+    cv_model = res.cv_model
+    cv_pooled = np.asarray(cv_model(res.pooled.trajectory)).reshape(-1)
+    r_x1 = np.corrcoef(cv_pooled, res.pooled.trajectory[:, 0])[0, 1]
+    print(f"final CV vs slow coordinate: R = {r_x1:+.3f}")
+    assert abs(r_x1) > 0.9
+
+    # ------------------------------------------------------------------
+    # 2. umbrella windows along the learned CV (one vmapped scan)
+    # ------------------------------------------------------------------
+    lo, hi = np.quantile(cv_pooled, [0.02, 0.98])
+    centers = np.linspace(lo, hi, 16)
+    # restraint fluctuation width sqrt(1/(beta*kappa)) = spacing / 2,
+    # the standard overlap-without-slack choice
+    spacing = centers[1] - centers[0]
+    kappa = 4.0 / (pot.beta * spacing**2)
+    t0 = time.time()
+    umb = integrate_sde_umbrella(
+        pot, lambda x: cv_model(x).reshape(-1)[:1], centers=centers,
+        kappa=float(kappa), n_steps=args.umbrella_steps,
+        sampling_output_path=os.path.join(args.outdir, "umbrella"),
+        X0=np.array([1.0, 0.0]), pre_steps=3_000, step_size=0.003,
+        report_interval=20, seed=11, verbose=False,
+    )
+    means = umb.cv_values.mean(axis=1)[:, 0]
+    print(f"umbrella: {umb.n_windows} windows in one dispatch "
+          f"({time.time() - t0:.1f}s); mean |CV - center| = "
+          f"{np.abs(means - centers).mean():.3f}")
+
+    # ------------------------------------------------------------------
+    # 3. MBAR -> reweighted FES along the CV, vs the analytic profile
+    # ------------------------------------------------------------------
+    mb = umb.mbar()
+    print(f"MBAR: converged={mb.converged} in {mb.n_iter} iterations")
+    pooled_cv = umb.cv_values.reshape(-1)
+    w = np.concatenate(mb.weights)
+    cen, F, err = analysis.free_energy_profile(
+        pooled_cv, weights=w, beta=pot.beta, bins=40,
+        value_range=(lo, hi), n_bootstrap=32, block_frames=100,
+    )
+    # analytic check: map CV bins back to x1 via the pooled frames and
+    # compare the barrier height (~1 energy unit = beta kT at the top)
+    F_kT = pot.beta * (F - np.nanmin(F[np.isfinite(F)]))
+    mid = np.isfinite(F_kT)
+    barrier = np.nanmax(F_kT[mid]) if mid.any() else float("nan")
+    print(f"FES along CV: barrier {barrier:.2f} kT "
+          f"(analytic x1 barrier: {pot.beta * 1.0:.1f} kT)")
+
+    # ------------------------------------------------------------------
+    # 4. figures
+    # ------------------------------------------------------------------
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+    except ImportError:
+        print("matplotlib unavailable; skipping figures")
+        return
+    ax = plotting.plot_cv_contour(
+        lambda p: np.asarray(cv_model(p)), (-1.8, 1.8), (-0.8, 0.8),
+        trajectory=res.pooled.trajectory[::10],
+    )
+    ax.figure.savefig(os.path.join(args.outdir, "cv_contour.png"), dpi=110)
+    ax = plotting.plot_free_energy(cen, pot.beta * F, pot.beta * err, unit="$k_B T$")
+    ax.figure.savefig(os.path.join(args.outdir, "fes.png"), dpi=110)
+    ax = plotting.plot_loss_curves(res.task)
+    ax.figure.savefig(os.path.join(args.outdir, "loss.png"), dpi=110)
+    print(f"figures -> {args.outdir}/{{cv_contour,fes,loss}}.png")
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()
