@@ -29,6 +29,7 @@ from .netcdf import (
     NetCDFFrames,
     read_netcdf,
     read_netcdf_full,
+    read_netcdf_memmap,
     scan_netcdf,
     write_netcdf,
 )
@@ -67,6 +68,7 @@ __all__ = [
     "NetCDFFrames",
     "read_netcdf",
     "read_netcdf_full",
+    "read_netcdf_memmap",
     "scan_netcdf",
     "write_netcdf",
 ]

@@ -734,6 +734,7 @@ def integrate_sde_umbrella(
     step_size: float = 0.01,
     report_interval: int = 100,
     seed: Optional[int] = None,
+    mesh=None,
     verbose: bool = True,
 ) -> UmbrellaResult:
     """Umbrella sampling along a (learned) CV — all K windows in ONE
@@ -766,6 +767,10 @@ def integrate_sde_umbrella(
         pre_steps: per-window burn-in steps (discarded).
         step_size / report_interval / seed / verbose: as in
             :func:`~colvarsfinder_tpu.utils.sampling.integrate_sde_overdamped`.
+        mesh: optional :class:`jax.sharding.Mesh` — windows are
+            embarrassingly parallel, so the K axis is sharded over the
+            mesh's first axis (K must divide by the mesh size; zero
+            collectives in the scan body).
 
     Returns:
         :class:`UmbrellaResult` — call ``.mbar()`` for window free
@@ -814,9 +819,22 @@ def integrate_sde_umbrella(
         return jax.vmap(grad_single)(x, c_arr, k_arr)
 
     n_reports = (n_steps - 1) // report_interval + 1
+    x0_dev = jnp.asarray(X0, jnp.float32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_dev = mesh.devices.size
+        if K % n_dev:
+            raise ValueError(
+                f"window count {K} must be divisible by the mesh size "
+                f"{n_dev} (windows are sharded over '{mesh.axis_names[0]}')"
+            )
+        x0_dev = jax.device_put(
+            x0_dev, NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        )
     _, frames = _em_scan(
         grad_fn,
-        jnp.asarray(X0, jnp.float32),
+        x0_dev,
         key,
         jnp.float32(step_size),
         jnp.float32(beta),

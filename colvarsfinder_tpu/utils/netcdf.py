@@ -61,6 +61,7 @@ import numpy as np
 __all__ = [
     "read_netcdf",
     "read_netcdf_full",
+    "read_netcdf_memmap",
     "write_netcdf",
     "scan_netcdf",
     "NetCDFFrames",
@@ -587,3 +588,80 @@ def write_netcdf(
                     )
                 slabs.append(buf)
             f.write(np.concatenate(slabs, axis=1).tobytes())
+
+
+def read_netcdf_memmap(filename: str, out_path: str):
+    """Decode coordinates DIRECTLY into an on-disk ``.npy`` memmap — the
+    Amber-trajectory entry to the tasks' ``streaming=True`` layout
+    (counterpart of :func:`~colvarsfinder_tpu.utils.xtc.read_xtc_memmap`).
+
+    Both sides stay out of RAM: the source file is memory-mapped and the
+    big-endian record slabs are converted chunk-by-chunk into the
+    ``open_memmap`` output pages.
+
+    Returns ``(coords_memmap [n_frames, n_atoms, 3] float32, dt_ps,
+    times_ps)``.
+    """
+    from numpy.lib.format import open_memmap
+
+    # the classic header is tiny (KBs); 4 MiB covers pathological cases
+    with open(filename, "rb") as f:
+        head = f.read(1 << 22)
+    _version, numrecs, _dims, _gattrs, variables = _parse_header(head)
+    recsize = _record_size(variables)
+    by_name = {v.name: v for v in variables}
+    v = by_name.get("coordinates")
+    if v is None:
+        raise ValueError(f"{filename}: no 'coordinates' variable")
+    if not v.is_record or len(v.shape) != 3:
+        raise ValueError("'coordinates' must be (frame, atom, spatial)")
+    n_atoms = v.shape[1]
+    per = n_atoms * 3 * _NC_DTYPES[v.nc_type][1]
+    dt_np, _size = _NC_DTYPES[v.nc_type]
+
+    src = np.memmap(filename, dtype=np.uint8, mode="r")
+    if numrecs < 0:  # STREAMING sentinel
+        rec_begin = min(
+            (vv.begin for vv in variables if vv.is_record), default=len(src)
+        )
+        numrecs = (len(src) - rec_begin) // recsize if recsize else 0
+    if numrecs > 0:  # tolerate truncation (whole records only)
+        whole = (len(src) - v.begin - per) // recsize + 1
+        numrecs = max(0, min(numrecs, whole))
+
+    coords = open_memmap(
+        out_path, mode="w+", dtype=np.float32,
+        shape=(int(numrecs), int(n_atoms), 3),
+    )
+    if numrecs == 0:
+        times = np.zeros(0, dtype=np.float64)
+        return coords, 1.0, times
+
+    view = np.lib.stride_tricks.as_strided(
+        src[v.begin :], shape=(numrecs, per), strides=(recsize, 1),
+        writeable=False,
+    )
+    chunk = max(1, (1 << 27) // max(per, 1))  # ~128 MiB of source per pass
+    for lo in range(0, numrecs, chunk):
+        blk = np.ascontiguousarray(view[lo : lo + chunk]).view(dt_np)
+        coords[lo : lo + chunk] = blk.reshape(-1, n_atoms, 3).astype(
+            np.float32
+        )
+
+    tv = by_name.get("time")
+    if tv is not None and tv.is_record:
+        tsize = _NC_DTYPES[tv.nc_type][1]
+        traw = np.lib.stride_tricks.as_strided(
+            src[tv.begin :], shape=(numrecs, tsize), strides=(recsize, 1),
+            writeable=False,
+        )
+        times = (
+            np.ascontiguousarray(traw)
+            .view(_NC_DTYPES[tv.nc_type][0])
+            .reshape(-1)
+            .astype(np.float64)
+        )
+    else:
+        times = np.arange(numrecs, dtype=np.float64)
+    dt = float(times[1] - times[0]) if numrecs > 1 else 1.0
+    return coords, dt, times

@@ -207,3 +207,38 @@ def test_universe_reads_netcdf(tmp_path):
     traj = WeightedTrajectory(universe=u)
     assert traj.n_frames == 8
     assert abs(traj.dt - 4.0e-3) < 1e-12  # ps -> ns
+
+
+def test_memmap_decode(tmp_path):
+    from colvarsfinder_tpu.utils import read_netcdf_memmap
+
+    x = _coords(n=9, atoms=6, seed=7)
+    rng = np.random.default_rng(8)
+    v = rng.normal(0, 1, x.shape).astype(np.float32)
+    src = str(tmp_path / "m.nc")
+    # velocities present => interleaved multi-variable records, the
+    # stride the memmap path must honor
+    write_netcdf(src, x, dt_ps=0.5, velocities=v)
+    out = str(tmp_path / "m.npy")
+    coords, dt, times = read_netcdf_memmap(src, out)
+    assert isinstance(coords, np.memmap)
+    np.testing.assert_array_equal(np.asarray(coords), x)
+    assert dt == 0.5
+    np.testing.assert_allclose(times, 0.5 * np.arange(9), atol=1e-6)
+    # the artifact is a standalone .npy
+    reloaded = np.load(out, mmap_mode="r")
+    np.testing.assert_array_equal(np.asarray(reloaded), x)
+
+
+def test_memmap_truncated(tmp_path):
+    from colvarsfinder_tpu.utils import read_netcdf_memmap
+
+    x = _coords(n=5, atoms=2, seed=9)
+    src = str(tmp_path / "t.nc")
+    write_netcdf(src, x)
+    data = open(src, "rb").read()
+    with open(src, "wb") as f:
+        f.write(data[:-6])
+    coords, _dt, times = read_netcdf_memmap(src, str(tmp_path / "t.npy"))
+    assert coords.shape[0] == 4 == len(times)
+    np.testing.assert_array_equal(np.asarray(coords), x[:4])

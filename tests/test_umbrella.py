@@ -151,3 +151,31 @@ def test_bad_x0_shape_raises():
             DoubleWell1D(), _cv, centers=[0.0, 1.0], kappa=10.0,
             n_steps=100, X0=np.zeros((3, 1)), verbose=False,
         )
+
+
+def test_mesh_sharded_windows():
+    """Windows shard over the (virtual 8-device) mesh with identical
+    physics — same seed, same trajectories as the unsharded run."""
+    import jax
+
+    from colvarsfinder_tpu.parallel import make_data_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = make_data_mesh()
+    kw = dict(
+        centers=np.linspace(-1.2, 1.2, 16), kappa=40.0, n_steps=2_000,
+        X0=np.array([1.0]), step_size=0.002, report_interval=20,
+        seed=5, verbose=False,
+    )
+    res_plain = integrate_sde_umbrella(DoubleWell1D(), _cv, **kw)
+    res_mesh = integrate_sde_umbrella(DoubleWell1D(), _cv, mesh=mesh, **kw)
+    np.testing.assert_allclose(
+        res_mesh.frames, res_plain.frames, rtol=0, atol=1e-5
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        integrate_sde_umbrella(
+            DoubleWell1D(), _cv, mesh=mesh,
+            centers=np.linspace(-1, 1, 10), kappa=40.0, n_steps=100,
+            verbose=False,
+        )
