@@ -818,6 +818,15 @@ def integrate_sde_umbrella(
     def grad_fn(x):  # x: [K, dim]
         return jax.vmap(grad_single)(x, c_arr, k_arr)
 
+    # fail fast on a CV/centers dimensionality mismatch — inside biased_v
+    # a size-1 mismatch would silently broadcast for the whole run
+    cv_shape = jax.eval_shape(cv_fn, jnp.zeros((dim,), jnp.float32))
+    cv_out = int(np.prod(cv_shape.shape)) if cv_shape.shape else 1
+    if cv_out != cv_dim:
+        raise ValueError(
+            f"cv_model returns {cv_out} components but centers have {cv_dim}"
+        )
+
     n_reports = (n_steps - 1) // report_interval + 1
     x0_dev = jnp.asarray(X0, jnp.float32)
     if mesh is not None:
@@ -846,13 +855,8 @@ def integrate_sde_umbrella(
 
     flat = jnp.asarray(frames.reshape(-1, dim))
     cv_values = np.asarray(jax.vmap(cv_fn)(flat)).reshape(
-        K, n_reports, -1
+        K, n_reports, cv_dim
     )
-    if cv_values.shape[-1] != cv_dim:
-        raise ValueError(
-            f"cv_model returns {cv_values.shape[-1]} components but "
-            f"centers have {cv_dim}"
-        )
 
     if sampling_output_path is not None:
         os.makedirs(sampling_output_path, exist_ok=True)

@@ -269,6 +269,22 @@ def read_netcdf_full(filename: str) -> NetCDFFrames:
         for v in variables:
             if v.is_record:
                 v.shape = (numrecs,) + v.shape[1:]
+    # Truncation tolerance must be CONSISTENT across variables: clamp to
+    # the record count every record variable has in full, so times and
+    # coords stay aligned when the file is cut mid-record.
+    for v in variables:
+        if not v.is_record or numrecs <= 0:
+            continue
+        per = (
+            int(np.prod(v.shape[1:], dtype=np.int64))
+            if len(v.shape) > 1
+            else 1
+        ) * _NC_DTYPES[v.nc_type][1]
+        whole = (len(data) - v.begin - per) // recsize + 1
+        numrecs = max(0, min(numrecs, whole))
+    for v in variables:
+        if v.is_record:
+            v.shape = (numrecs,) + v.shape[1:]
     by_name = {v.name: v for v in variables}
 
     def get(name: str, dtype=None, scale=True) -> Optional[np.ndarray]:
@@ -316,8 +332,17 @@ def scan_netcdf(filename: str) -> Dict[str, object]:
     """Header-only metadata scan (no frame decode): frame/atom counts,
     which quantities are present, and the global attributes."""
     with open(filename, "rb") as f:
-        data = f.read(1 << 16)
+        data = f.read(1 << 22)  # classic headers are KBs; 4 MiB is ample
     _version, numrecs, dims, gattrs, variables = _parse_header(data)
+    if numrecs < 0:  # STREAMING sentinel: infer from the file size
+        import os as _os
+
+        size = _os.path.getsize(filename)
+        recsize = _record_size(variables)
+        rec_begin = min(
+            (v.begin for v in variables if v.is_record), default=size
+        )
+        numrecs = (size - rec_begin) // recsize if recsize else 0
     dsize = dict(dims)
     names = {v.name for v in variables}
     return {
@@ -575,19 +600,29 @@ def write_netcdf(
         if n_rec_vars == 1:
             f.write(record[0][4].tobytes())
         else:
-            # interleave per-record slabs, each padded to 4 bytes
-            slabs = []
+            # Interleave per-record slabs (each padded to 4 bytes),
+            # assembled in bounded chunks so multi-GiB trajectories never
+            # materialize 3-4x their size in RAM.
+            byte_rows = []
             for (j, (_n, _d, _t, _a, payload)) in enumerate(record):
-                raw, padded = rec_raw_padded[j]
-                flat = payload.reshape(n_frames, -1)
-                buf = flat.view(np.uint8).reshape(n_frames, raw)
-                if padded != raw:
-                    buf = np.concatenate(
-                        [buf, np.zeros((n_frames, padded - raw), np.uint8)],
-                        axis=1,
+                raw, _padded = rec_raw_padded[j]
+                byte_rows.append(
+                    payload.reshape(n_frames, -1).view(np.uint8).reshape(
+                        n_frames, raw
                     )
-                slabs.append(buf)
-            f.write(np.concatenate(slabs, axis=1).tobytes())
+                )
+            chunk = max(1, (1 << 27) // max(recsize, 1))
+            buf = np.zeros((min(chunk, n_frames), recsize), np.uint8)
+            col_of = np.cumsum(
+                [0] + [p for (_r, p) in rec_raw_padded[:-1]]
+            )
+            for lo in range(0, n_frames, chunk):
+                hi = min(lo + chunk, n_frames)
+                b = buf[: hi - lo]
+                for j, rows in enumerate(byte_rows):
+                    raw = rec_raw_padded[j][0]
+                    b[:, col_of[j] : col_of[j] + raw] = rows[lo:hi]
+                f.write(b.tobytes())
 
 
 def read_netcdf_memmap(filename: str, out_path: str):
@@ -641,12 +676,15 @@ def read_netcdf_memmap(filename: str, out_path: str):
         src[v.begin :], shape=(numrecs, per), strides=(recsize, 1),
         writeable=False,
     )
+    sf = v.attrs.get("scale_factor")
+    sf = None if sf in (None, 1.0) else np.float32(sf)
     chunk = max(1, (1 << 27) // max(per, 1))  # ~128 MiB of source per pass
     for lo in range(0, numrecs, chunk):
         blk = np.ascontiguousarray(view[lo : lo + chunk]).view(dt_np)
-        coords[lo : lo + chunk] = blk.reshape(-1, n_atoms, 3).astype(
-            np.float32
-        )
+        out_blk = blk.reshape(-1, n_atoms, 3).astype(np.float32)
+        if sf is not None:
+            out_blk *= sf
+        coords[lo : lo + chunk] = out_blk
 
     tv = by_name.get("time")
     if tv is not None and tv.is_record:

@@ -200,19 +200,21 @@ def adaptive_cv_discovery(
     rounds: List[AdaptiveRound] = []
     segments: List[WeightedTrajectory] = [segment]
     metad: Optional[MetadynamicsResult] = None
+    pooled = segment  # all segments so far, rebuilt once per append
 
     for r in range(n_rounds):
         if r > 0:
             cv_prev = rounds[-1].cv_model
-            pooled_now = (
-                concatenate_trajectories(segments)
-                if len(segments) > 1
-                else segments[0]
-            )
             if hill_width is None:
-                cv_vals = np.asarray(cv_prev(pooled_now.trajectory))
-                width = 0.35 * float(np.std(cv_vals.reshape(-1, cv_vals.shape[-1])[:, 0]))
-                width = max(width, 1e-3)
+                cv_vals = np.concatenate(
+                    [
+                        np.asarray(cv_prev(s.trajectory)).reshape(
+                            s.n_frames, -1
+                        )[:, 0]
+                        for s in segments
+                    ]
+                )
+                width = max(0.35 * float(np.std(cv_vals)), 1e-3)
             else:
                 width = hill_width
             if verbose:
@@ -247,12 +249,8 @@ def adaptive_cv_discovery(
                 verbose=False,
             )
             segments.append(segment)
+            pooled = concatenate_trajectories(segments)
 
-        pooled = (
-            concatenate_trajectories(segments)
-            if len(segments) > 1
-            else segments[0]
-        )
         data = pooled if pool_rounds else segments[-1]
         task = make_task(data, r)
         task.train()
@@ -273,9 +271,4 @@ def adaptive_cv_discovery(
             )
         )
 
-    pooled = (
-        concatenate_trajectories(segments)
-        if len(segments) > 1
-        else segments[0]
-    )
     return AdaptiveResult(rounds=rounds, pooled=pooled)

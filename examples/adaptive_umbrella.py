@@ -29,11 +29,6 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import jax
-
-if jax.default_backend() == "cpu":
-    pass  # already on CPU (tests / CI)
-
 import jax.numpy as jnp
 
 from colvarsfinder_tpu import analysis, plotting

@@ -242,3 +242,56 @@ def test_memmap_truncated(tmp_path):
     coords, _dt, times = read_netcdf_memmap(src, str(tmp_path / "t.npy"))
     assert coords.shape[0] == 4 == len(times)
     np.testing.assert_array_equal(np.asarray(coords), x[:4])
+
+
+def test_truncated_times_stay_aligned(tmp_path):
+    """Truncation clamps ALL record variables consistently — times and
+    coords keep the same frame count."""
+    x = _coords(n=6, atoms=3)
+    path = str(tmp_path / "tr2.nc")
+    write_netcdf(path, x)
+    data = open(path, "rb").read()
+    with open(path, "wb") as f:
+        f.write(data[:-10])
+    coords, _dt, times = read_netcdf(path)
+    assert len(coords) == len(times) == 5
+    fr = read_netcdf_full(path)
+    assert len(fr.times) == len(fr.coords) == 5
+
+
+def test_memmap_applies_scale_factor(tmp_path):
+    from colvarsfinder_tpu.utils import read_netcdf_memmap
+
+    x = _coords(n=3, atoms=2)
+    src = str(tmp_path / "sfm.nc")
+    with netcdf_file(src, "w") as nc:
+        nc.createDimension("frame", None)
+        nc.createDimension("spatial", 3)
+        nc.createDimension("atom", 2)
+        vc = nc.createVariable("coordinates", "f", ("frame", "atom", "spatial"))
+        vc[:] = x
+        vc.scale_factor = 2.5
+    coords, _dt, _t = read_netcdf_memmap(src, str(tmp_path / "sfm.npy"))
+    np.testing.assert_allclose(np.asarray(coords), 2.5 * x, rtol=1e-6)
+
+
+def test_scan_streaming_sentinel(tmp_path):
+    """numrecs = -1 (STREAMING) files get their frame count inferred from
+    the file size by scan/read/memmap alike."""
+    import struct as _struct
+
+    from colvarsfinder_tpu.utils import read_netcdf_memmap
+
+    x = _coords(n=4, atoms=2)
+    path = str(tmp_path / "stream.nc")
+    write_netcdf(path, x)
+    data = bytearray(open(path, "rb").read())
+    data[4:8] = _struct.pack(">i", -1)
+    with open(path, "wb") as f:
+        f.write(bytes(data))
+    assert scan_netcdf(path)["n_frames"] == 4
+    coords, _dt, times = read_netcdf(path)
+    assert len(coords) == len(times) == 4
+    np.testing.assert_array_equal(coords, x)
+    mm, _dt2, _t2 = read_netcdf_memmap(path, str(tmp_path / "st.npy"))
+    np.testing.assert_array_equal(np.asarray(mm), x)
