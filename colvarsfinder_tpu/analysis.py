@@ -64,6 +64,7 @@ __all__ = [
     "pca",
     "tica",
     "timescales_vs_lag",
+    "timescales_vs_lag_bootstrap",
     "validate_cv",
     "vamp_score",
 ]
@@ -1234,3 +1235,102 @@ def validate_cv(
     )
     v2 = vamp_score(cv_values, lag, weights=weights, segment_starts=segment_starts)
     return CVValidation(ck, ts, v2, ck_tol, plateau_tol)
+
+
+def timescales_vs_lag_bootstrap(
+    cv_values,
+    lags,
+    dt: float = 1.0,
+    weights=None,
+    segment_starts=None,
+    n_bootstrap: int = 100,
+    block_frames: Optional[int] = None,
+    seed: int = 0,
+):
+    """Moving-block bootstrap confidence band for :func:`timescales_vs_lag`.
+
+    Implied timescales are notoriously reported without uncertainties;
+    this resamples the trajectory in contiguous blocks (frames are
+    time-correlated) and recomputes the lag-convergence curve per
+    replica. Block joints are passed to the estimator as segment
+    boundaries so no time-lagged pair ever spans a joint — the replica
+    estimator sees only genuine dynamics.
+
+    Args:
+        cv_values / lags / dt / weights / segment_starts: as for
+            :func:`timescales_vs_lag` (lags in FRAMES, dt physical).
+        n_bootstrap: bootstrap replicas.
+        block_frames: block length in frames. Must exceed the largest
+            lag (shorter blocks contain no pairs at that lag); default
+            ``max(n // 50, 4 * max(lags))``.
+        seed: RNG seed.
+
+    Returns:
+        ``(t, t_lo, t_hi)``, each ``[len(lags), k]``: the point estimate
+        (full data) and the 16th/84th bootstrap percentiles (a ~1-sigma
+        band). Non-decaying replicas contribute ``nan``/``inf`` and are
+        ignored by the nan-aware percentiles; bins where fewer than two
+        replicas are finite return ``nan`` bounds.
+    """
+    x = _as_series(cv_values)
+    lags = _as_frame_lags(lags)
+    n = x.shape[0]
+    max_lag = int(lags.max())
+    block = (
+        int(block_frames)
+        if block_frames
+        else max(n // 50, 4 * max_lag)
+    )
+    if block <= max_lag:
+        raise ValueError(
+            f"block_frames ({block}) must exceed the largest lag "
+            f"({max_lag}) or the replicas contain no pairs at that lag"
+        )
+    block = min(block, n)
+    w = None if weights is None else np.asarray(weights, dtype=np.float64)
+
+    t_point = timescales_vs_lag(
+        x, lags, dt=dt, weights=w, segment_starts=segment_starts
+    )
+
+    # valid block starts: blocks must not span source-trajectory joints
+    if segment_starts is not None and len(np.atleast_1d(segment_starts)) > 1:
+        seg = np.asarray(segment_starts, dtype=np.int64)
+        bounds = np.concatenate([seg, [n]])
+        ok = []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            if b - a >= block:
+                ok.append(np.arange(a, b - block + 1))
+        if not ok:
+            raise ValueError(
+                "no source trajectory is as long as one block; "
+                "shorten block_frames"
+            )
+        starts_pool = np.concatenate(ok)
+    else:
+        starts_pool = np.arange(n - block + 1)
+
+    rng = np.random.default_rng(seed)
+    n_blocks = int(np.ceil(n / block))
+    joints = np.arange(n_blocks) * block  # replica segment boundaries
+    reps = []
+    for _ in range(int(n_bootstrap)):
+        starts = rng.choice(starts_pool, size=n_blocks)
+        idx = (starts[:, None] + np.arange(block)[None, :]).reshape(-1)[:n]
+        reps.append(
+            timescales_vs_lag(
+                x[idx], lags, dt=dt,
+                weights=None if w is None else w[idx],
+                segment_starts=joints,
+            )
+        )
+    reps = np.stack(reps)  # [B, L, k]
+    finite = np.isfinite(reps)
+    cnt = finite.sum(axis=0)
+    masked = np.where(finite, reps, np.nan)
+    with np.errstate(invalid="ignore"):
+        lo = np.nanpercentile(masked, 16, axis=0)
+        hi = np.nanpercentile(masked, 84, axis=0)
+    lo = np.where(cnt >= 2, lo, np.nan)
+    hi = np.where(cnt >= 2, hi, np.nan)
+    return t_point, lo, hi

@@ -298,7 +298,9 @@ def plot_ck_test(ck, ax=None):
     return _style(ax)
 
 
-def plot_timescales(lags, timescales, dt: float = 1.0, ax=None):
+def plot_timescales(
+    lags, timescales, dt: float = 1.0, t_lo=None, t_hi=None, ax=None
+):
     """Implied-timescale convergence plot from
     :func:`colvarsfinder_tpu.analysis.timescales_vs_lag`: one curve per
     head on a log time axis, with the unresolvable region
@@ -308,6 +310,10 @@ def plot_timescales(lags, timescales, dt: float = 1.0, ax=None):
         lags: integer frame lags the timescales were evaluated at.
         timescales: ``[len(lags), k]`` (physical units).
         dt: physical time per frame, to place the shaded region.
+        t_lo / t_hi: optional per-head confidence bounds of the same
+            shape (e.g. from
+            :func:`colvarsfinder_tpu.analysis.timescales_vs_lag_bootstrap`)
+            drawn as shaded bands.
     """
     ax = _new_ax(ax)
     lags = np.asarray(lags, dtype=np.float64)
@@ -319,6 +325,14 @@ def plot_timescales(lags, timescales, dt: float = 1.0, ax=None):
         good = np.isfinite(ts[:, h])
         ax.plot(phys[good], ts[good, h], color=_color(h), linewidth=1.8,
                 marker="o", markersize=4, label=f"head {h + 1}")
+        if t_lo is not None and t_hi is not None:
+            lo = np.atleast_2d(np.asarray(t_lo, dtype=np.float64))
+            hi = np.atleast_2d(np.asarray(t_hi, dtype=np.float64))
+            if lo.shape[0] != len(lags):
+                lo, hi = lo.T, hi.T
+            band = good & np.isfinite(lo[:, h]) & np.isfinite(hi[:, h])
+            ax.fill_between(phys[band], lo[band, h], hi[band, h],
+                            color=_color(h), alpha=0.2, linewidth=0)
     ax.fill_between(phys, 0, phys, color="#888888", alpha=0.25,
                     linewidth=0)
     ax.set_yscale("log")

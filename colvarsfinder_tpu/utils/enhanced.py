@@ -338,6 +338,7 @@ def integrate_sde_metadynamics(
     bias_factor: Optional[float] = None,
     n_chains: int = 1,
     seed: Optional[int] = None,
+    mesh=None,
     verbose: bool = True,
 ) -> MetadynamicsResult:
     """Metadynamics along a (learned) CV, fully compiled on device.
@@ -360,6 +361,10 @@ def integrate_sde_metadynamics(
             (time, center..., sigma..., height, biasf).
         n_chains: independent walkers, vmapped over the whole program
             (each with its own hill pool).
+        mesh: optional :class:`jax.sharding.Mesh` — walkers are
+            independent, so the chain axis is sharded over the mesh's
+            first axis (``n_chains`` must divide by the mesh size; zero
+            collectives in the scan body).
 
     Returns:
         :class:`MetadynamicsResult`; arrays gain a leading walker axis
@@ -410,9 +415,20 @@ def integrate_sde_metadynamics(
         )
     ))
     keys = jax.random.split(key, n_chains)
-    frames, cvs, centers, heights = run(
-        jnp.asarray(X0, jnp.float32), keys
-    )
+    x0_dev = jnp.asarray(X0, jnp.float32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_dev = mesh.devices.size
+        if n_chains % n_dev:
+            raise ValueError(
+                f"n_chains {n_chains} must be divisible by the mesh size "
+                f"{n_dev} (walkers are sharded over '{mesh.axis_names[0]}')"
+            )
+        shard = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        x0_dev = jax.device_put(x0_dev, shard)
+        keys = jax.device_put(keys, shard)
+    frames, cvs, centers, heights = run(x0_dev, keys)
     frames, cvs, centers, heights = (
         np.asarray(frames), np.asarray(cvs),
         np.asarray(centers), np.asarray(heights),

@@ -834,3 +834,59 @@ def test_fep_bootstrap_errors_2d():
     assert F.shape == (12, 12) and F_err.shape == (12, 12)
     mid = np.unravel_index(np.argmin(F), F.shape)
     assert np.isfinite(F_err[mid]) and F_err[mid] < 0.2
+
+
+class TestTimescalesBootstrap:
+    def _ar1(self, n=20000, rho=0.95, k=1, seed=0):
+        rng = np.random.default_rng(seed)
+        x = np.zeros((n, k))
+        for t in range(1, n):
+            x[t] = rho * x[t - 1] + rng.normal(0, 1, k)
+        return x
+
+    def test_band_brackets_truth(self):
+        from colvarsfinder_tpu.analysis import timescales_vs_lag_bootstrap
+
+        rho = 0.95
+        x = self._ar1(rho=rho)
+        lags = [1, 2, 5, 10]
+        t, lo, hi = timescales_vs_lag_bootstrap(
+            x, lags, dt=1.0, n_bootstrap=60, seed=1
+        )
+        assert t.shape == lo.shape == hi.shape == (4, 1)
+        truth = -1.0 / np.log(rho)
+        # band is ordered, positive-width, brackets the point estimate
+        # (the band measures THIS realization's sampling variance, so it
+        # centers on the realization's estimate, not the ensemble truth),
+        # and is tight relative to the timescale
+        assert np.all(lo < hi)
+        assert np.all((lo <= t) & (t <= hi))
+        assert np.all((hi - lo) < 0.3 * t)
+        # the estimator itself is consistent with the AR(1) truth
+        assert np.all(np.abs(t - truth) / truth < 0.15)
+        # point estimate consistent with the plain estimator
+        from colvarsfinder_tpu.analysis import timescales_vs_lag
+
+        np.testing.assert_allclose(
+            t, timescales_vs_lag(x, lags, dt=1.0)
+        )
+
+    def test_block_must_exceed_lag(self):
+        from colvarsfinder_tpu.analysis import timescales_vs_lag_bootstrap
+
+        x = self._ar1(n=2000)
+        with pytest.raises(ValueError, match="block"):
+            timescales_vs_lag_bootstrap(
+                x, [50], block_frames=40, n_bootstrap=4
+            )
+
+    def test_segment_starts_respected(self):
+        from colvarsfinder_tpu.analysis import timescales_vs_lag_bootstrap
+
+        x = self._ar1(n=6000)
+        t, lo, hi = timescales_vs_lag_bootstrap(
+            x, [1, 5], segment_starts=[0, 3000], n_bootstrap=12,
+            block_frames=200, seed=2,
+        )
+        assert np.isfinite(t).all()
+        assert np.all(lo <= hi)

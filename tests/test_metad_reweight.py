@@ -157,3 +157,32 @@ def test_grid_rejected_above_2d():
         method="tiwary", grid=rng.standard_normal((64, 3))
     )
     assert np.isfinite(w).all()
+
+
+def test_mesh_sharded_walkers():
+    """Multi-walker metadynamics shards over the mesh with identical
+    physics (same seed => same trajectories as the unsharded run)."""
+    import jax
+
+    from colvarsfinder_tpu.parallel import make_data_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = make_data_mesh()
+    kw = dict(
+        n_steps=1_000, X0=np.array([1.0]), step_size=0.005,
+        deposit_interval=50, hill_height=0.4, hill_width=0.3,
+        bias_factor=8.0, n_chains=8, seed=4, verbose=False,
+    )
+    pot = DoubleWell1D()
+    cv = lambda x: x[:1]  # noqa: E731
+    res_plain = integrate_sde_metadynamics(pot, cv, **kw)
+    res_mesh = integrate_sde_metadynamics(pot, cv, mesh=mesh, **kw)
+    np.testing.assert_allclose(
+        res_mesh.frames, res_plain.frames, rtol=0, atol=1e-5
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        integrate_sde_metadynamics(
+            pot, cv, mesh=mesh, n_chains=3, n_steps=100,
+            deposit_interval=50, verbose=False,
+        )

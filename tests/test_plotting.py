@@ -127,3 +127,18 @@ def test_figures_save(tmp_path):
     out = tmp_path / "fes.png"
     ax.figure.savefig(out, dpi=60)
     assert out.stat().st_size > 0
+
+
+def test_timescales_with_bootstrap_band():
+    rng = np.random.default_rng(7)
+    n = 8000
+    x = np.zeros(n)
+    for t in range(1, n):
+        x[t] = 0.96 * x[t - 1] + rng.normal()
+    lags = [1, 2, 5, 10]
+    t_pt, lo, hi = analysis.timescales_vs_lag_bootstrap(
+        x, lags, dt=0.5, n_bootstrap=12, seed=0
+    )
+    ax = plotting.plot_timescales(lags, t_pt, dt=0.5, t_lo=lo, t_hi=hi)
+    assert len(ax.get_lines()) == 1
+    assert len(ax.collections) == 2  # CI band + unresolvable shading
