@@ -345,9 +345,12 @@ class _TrajectoryView:
     slice of the MDAnalysis Reader API the framework consumes
     (``timeseries(order='fac')``, ``dt`` in ps, ``n_frames``)."""
 
-    def __init__(self, coords: np.ndarray, dt_ps: float):
+    def __init__(self, coords: np.ndarray, dt_ps: float, segment_starts=None):
         self._coords = np.asarray(coords, dtype=np.float32)
         self.dt = float(dt_ps)
+        #: frame offsets of the source files when the Universe was built
+        #: from several trajectory files; None for a single source
+        self.segment_starts = segment_starts
 
     @property
     def n_frames(self) -> int:
@@ -371,7 +374,12 @@ class Universe:
     ``mda.Universe('top.gro', 'md_center.xtc')``).
 
     Couples a topology file (.gro or .pdb) with a trajectory file (.xtc,
-    .trr, .dcd, .nc, or none — topology coordinates become a single frame). Exposes the
+    .trr, .dcd, .nc, or none — topology coordinates become a single
+    frame), or with a LIST of trajectory files (independent launches,
+    restart chains — formats may be mixed): frames are concatenated and
+    ``trajectory.segment_starts`` records the file boundaries, which
+    :class:`~colvarsfinder_tpu.utils.WeightedTrajectory` propagates so
+    time-lagged training pairs never span two files. Exposes the
     duck-type surface :class:`colvarsfinder_tpu.utils.WeightedTrajectory`'s
     MD branch consumes: ``.atoms``, ``.select_atoms``, and ``.trajectory``
     with ``timeseries(order='fac')`` / ``dt`` (ps) / ``n_frames``.
@@ -379,7 +387,9 @@ class Universe:
     Args:
         topology_file: path to a .gro or .pdb file
         trajectory_file: optional path to a .xtc, .trr, .dcd, or Amber
-            .nc trajectory
+            .nc trajectory, or a list of such paths (all must share the
+            topology's atom count and agree on the frame spacing unless
+            ``dt_ps`` overrides it)
         dt_ps: override the frame spacing (ps) when the trajectory file has
             none (e.g. single-frame or zero-time XTC files)
     """
@@ -395,40 +405,74 @@ class Universe:
             self._top = parse_pdb(topology_file)
         else:
             self._top = parse_gro(topology_file)
+        segment_starts = None
         if trajectory_file is None:
             coords = self._top.positions[None]
             dt = dt_ps if dt_ps is not None else 1.0
         else:
-            ext = os.path.splitext(trajectory_file)[1].lower()
-            if ext == ".xtc":
-                from .xtc import read_xtc
-
-                coords, dt, _times = read_xtc(trajectory_file)
-            elif ext == ".trr":
-                from .trr import read_trr
-
-                coords, dt, _times = read_trr(trajectory_file)
-            elif ext == ".dcd":
-                coords, dt = read_dcd(trajectory_file)
-            elif ext in (".nc", ".ncdf", ".netcdf"):
-                from .netcdf import read_netcdf
-
-                coords, dt, _times = read_netcdf(trajectory_file)
-            else:
-                raise ValueError(
-                    f"unsupported trajectory format '{ext}' "
-                    "(supported: .xtc, .trr, .dcd, .nc)"
-                )
-            if coords.shape[1] != self._top.n_atoms:
-                raise ValueError(
-                    f"trajectory has {coords.shape[1]} atoms but the "
-                    f"topology has {self._top.n_atoms}"
-                )
+            files = (
+                list(trajectory_file)
+                if isinstance(trajectory_file, (list, tuple))
+                else [trajectory_file]
+            )
+            if not files:
+                raise ValueError("trajectory_file list is empty")
+            parts, dts = [], []
+            for path in files:
+                c, d = self._read_trajectory_file(path)
+                if c.shape[1] != self._top.n_atoms:
+                    raise ValueError(
+                        f"{path}: trajectory has {c.shape[1]} atoms but "
+                        f"the topology has {self._top.n_atoms}"
+                    )
+                parts.append(c)
+                dts.append(d)
+            dt = dts[0]
             if dt_ps is not None:
                 dt = dt_ps
             elif dt <= 0:
                 dt = 1.0
-        self.trajectory = _TrajectoryView(coords, dt)
+            elif any(abs(d - dt) > 1e-6 * max(dt, 1.0) for d in dts[1:]):
+                raise ValueError(
+                    f"trajectory files disagree on the frame spacing "
+                    f"({dts} ps) — pass dt_ps to override"
+                )
+            if len(parts) == 1:
+                coords = parts[0]
+            else:
+                # several source files (independent launches, restarts):
+                # concatenate frames, remember the boundaries so lagged
+                # estimators never pair frames across files
+                coords = np.concatenate(parts, axis=0)
+                segment_starts = np.cumsum(
+                    [0] + [len(p) for p in parts[:-1]]
+                )
+        self.trajectory = _TrajectoryView(coords, dt, segment_starts)
+
+    @staticmethod
+    def _read_trajectory_file(path: str):
+        """Decode one trajectory file -> (coords [n, atoms, 3], dt_ps)."""
+        ext = os.path.splitext(path)[1].lower()
+        if ext == ".xtc":
+            from .xtc import read_xtc
+
+            coords, dt, _times = read_xtc(path)
+        elif ext == ".trr":
+            from .trr import read_trr
+
+            coords, dt, _times = read_trr(path)
+        elif ext == ".dcd":
+            coords, dt = read_dcd(path)
+        elif ext in (".nc", ".ncdf", ".netcdf"):
+            from .netcdf import read_netcdf
+
+            coords, dt, _times = read_netcdf(path)
+        else:
+            raise ValueError(
+                f"unsupported trajectory format '{ext}' "
+                "(supported: .xtc, .trr, .dcd, .nc)"
+            )
+        return coords, dt
 
     @property
     def atoms(self) -> AtomGroup:

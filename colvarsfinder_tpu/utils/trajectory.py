@@ -66,6 +66,7 @@ class WeightedTrajectory:
         weights: Optional[np.ndarray] = None,
         dt: Optional[float] = None,
     ):
+        self.segment_starts = None
         if universe is not None:
             if verbose:
                 print("\nloading trajectory to numpy array...", end="")
@@ -81,6 +82,11 @@ class WeightedTrajectory:
             self.n_frames = universe.trajectory.n_frames
             # unit: ns (MDAnalysis reports ps)
             self.dt = universe.trajectory.dt * 1e-3
+            # multi-file Universe: keep the source-file boundaries so
+            # lagged pairs never span two files
+            seg = getattr(universe.trajectory, "segment_starts", None)
+            if seg is not None:
+                self.segment_starts = np.asarray(seg, dtype=np.int64)
             if verbose:
                 print(
                     "\nTrajectory Info:\n"
@@ -128,8 +134,6 @@ class WeightedTrajectory:
         else:
             self.weights = np.ones(self.n_frames)
 
-        self.segment_starts = None
-
     def _apply_weight_filter(self, w: np.ndarray, min_w, max_w, verbose: bool):
         # first normalization to mean one (reference utils.py:145)
         w = w / w.mean()
@@ -140,6 +144,14 @@ class WeightedTrajectory:
             # streaming layout)
             self.trajectory = self.trajectory[selected, ...]
             w = w[selected]
+            if self.segment_starts is not None:
+                # remap source-file boundaries to the surviving frames
+                kept_before = np.concatenate(
+                    [[0], np.cumsum(selected)]
+                )
+                self.segment_starts = np.unique(
+                    kept_before[np.asarray(self.segment_starts)]
+                )
         # renormalize after filtering (reference utils.py:159)
         w = w / w.mean()
         self.n_frames = self.trajectory.shape[0]

@@ -216,3 +216,61 @@ def test_write_gro_overflow_handling(tmp_path):
     )
     with pytest.raises(ValueError, match="fixed-width"):
         write_gro(str(tmp_path / "bad.gro"), top_bad)
+
+
+def test_universe_multi_file_trajectories(tmp_path):
+    """A list of trajectory files (mixed formats) concatenates with
+    source boundaries that WeightedTrajectory propagates into its
+    lagged-pair bookkeeping."""
+    from colvarsfinder_tpu.utils import Universe, WeightedTrajectory
+    from colvarsfinder_tpu.utils.io import write_dcd
+    from colvarsfinder_tpu.utils.xtc import write_xtc
+
+    gro = tmp_path / "top.gro"
+    gro.write_text(GRO_TEXT)
+    rng = np.random.default_rng(1)
+    a = (np.cumsum(rng.normal(0, 0.01, (8, 22, 3)), axis=0) + 1.0).astype(
+        np.float32
+    )
+    b = (np.cumsum(rng.normal(0, 0.01, (5, 22, 3)), axis=0) + 1.0).astype(
+        np.float32
+    )
+    f1 = str(tmp_path / "run1.xtc")
+    f2 = str(tmp_path / "run2.dcd")
+    write_xtc(f1, a, dt_ps=10.0)
+    write_dcd(f2, b, dt_ps=10.0)
+
+    u = Universe(str(gro), [f1, f2])
+    assert u.trajectory.n_frames == 13
+    np.testing.assert_array_equal(u.trajectory.segment_starts, [0, 8])
+
+    traj = WeightedTrajectory(universe=u, verbose=False)
+    np.testing.assert_array_equal(traj.segment_starts, [0, 8])
+    # lag-2 pairs: 6 in the first file + 3 in the second, none spanning
+    starts = traj.valid_lagged_starts(2)
+    assert len(starts) == 6 + 3
+    assert 6 not in starts and 7 not in starts
+
+    # weight filtering remaps the boundaries to surviving frames
+    w = np.ones(13)
+    w[:3] = 100.0  # ~4.2 after mean-1 normalization -> filtered by max_w
+    t2 = WeightedTrajectory(universe=u, weights=w, max_w=2.0, verbose=False)
+    assert t2.n_frames == 10
+    np.testing.assert_array_equal(t2.segment_starts, [0, 5])
+
+
+def test_universe_multi_file_dt_mismatch(tmp_path):
+    from colvarsfinder_tpu.utils import Universe
+    from colvarsfinder_tpu.utils.xtc import write_xtc
+
+    gro = tmp_path / "top.gro"
+    gro.write_text(GRO_TEXT)
+    x = np.ones((4, 22, 3), np.float32)
+    f1, f2 = str(tmp_path / "a.xtc"), str(tmp_path / "b.xtc")
+    write_xtc(f1, x, dt_ps=10.0)
+    write_xtc(f2, x, dt_ps=20.0)
+    with pytest.raises(ValueError, match="frame spacing"):
+        Universe(str(gro), [f1, f2])
+    # explicit dt_ps overrides the disagreement
+    u = Universe(str(gro), [f1, f2], dt_ps=10.0)
+    assert u.trajectory.n_frames == 8
