@@ -114,6 +114,7 @@ def adaptive_cv_discovery(
     bias_factor: Optional[float] = 10.0,
     reweight_method: str = "tiwary",
     pool_rounds: bool = True,
+    warm_start: bool = False,
     output_path: Optional[str] = None,
     seed: int = 0,
     verbose: bool = True,
@@ -150,6 +151,10 @@ def adaptive_cv_discovery(
         pool_rounds: train round i on ALL segments 0..i (default).
             False trains each round only on its newest segment (the
             bootstrap segment for round 0).
+        warm_start: initialize each round's model from the previous
+            round's trained weights instead of ``make_task``'s fresh
+            init (requires ``make_task`` to build the same architecture
+            every round). The optimizer state always starts fresh.
         output_path: directory for sampler text outputs and per-round
             task model dirs your ``make_task`` may use; a temporary
             directory when omitted.
@@ -253,6 +258,13 @@ def adaptive_cv_discovery(
 
         data = pooled if pool_rounds else segments[-1]
         task = make_task(data, r)
+        if warm_start and r > 0:
+            import jax
+            import jax.numpy as jnp
+
+            prev = rounds[-1].task
+            task.model = jax.tree.map(jnp.asarray, prev.model)
+            task.opt_state = task.optimizer.init(task.model)
         task.train()
         cv_model = task.colvar_model()
         if verbose:

@@ -138,3 +138,42 @@ def test_single_round_is_plain_training(tmp_path):
     assert len(res.rounds) == 1
     assert res.rounds[0].metad is None
     assert res.pooled.segment_starts is None or len(res.pooled.segment_starts) <= 1
+
+
+def test_warm_start_carries_weights(tmp_path):
+    """With warm_start, round 1 enters train() holding round 0's TRAINED
+    weights (not make_task's fresh seed)."""
+    import jax
+
+    pre_train_models = {}
+
+    def make_task(traj, r):
+        t = _make_task(tmp_path)(traj, r)
+        real_train = t.train
+
+        def spy_train():
+            pre_train_models[r] = jax.tree.map(np.array, t.model)
+            return real_train()
+
+        t.train = spy_train
+        return t
+
+    res = adaptive_cv_discovery(
+        DoubleWell2D(), make_task, n_rounds=2, X0=np.array([1.0, 0.0]),
+        unbiased_steps=6_000, metad_steps=6_000, step_size=0.005,
+        frame_interval=50, hill_height=0.6, bias_factor=8.0,
+        warm_start=True, output_path=str(tmp_path / "ws"), seed=1,
+        verbose=False,
+    )
+    assert len(res.rounds) == 2
+    r0_trained = jax.tree.leaves(
+        jax.tree.map(np.array, res.rounds[0].task.model)
+    )
+    r1_initial = jax.tree.leaves(pre_train_models[1])
+    for a, b in zip(r0_trained, r1_initial):
+        np.testing.assert_array_equal(a, b)
+    # and training actually moved on from there
+    r1_final = jax.tree.leaves(jax.tree.map(np.array, res.rounds[1].task.model))
+    assert any(not np.array_equal(a, b) for a, b in zip(r1_initial, r1_final))
+    for r in res.rounds:
+        assert np.isfinite(r.task.train_loss_df["loss"]).all()
