@@ -119,6 +119,15 @@ def implied_timescales(
     return np.where(rho <= 0, np.nan, t)
 
 
+def _block_bootstrap_indices(rng, starts_pool, block: int, n_blocks: int,
+                             n: int) -> np.ndarray:
+    """One moving-block bootstrap resample: ``n_blocks`` random blocks of
+    ``block`` contiguous frames (starts drawn from ``starts_pool``),
+    concatenated and truncated to ``n`` frames."""
+    starts = rng.choice(starts_pool, size=n_blocks)
+    return (starts[:, None] + np.arange(block)[None, :]).reshape(-1)[:n]
+
+
 def free_energy_profile(
     cv_values,
     weights=None,
@@ -217,10 +226,10 @@ def free_energy_profile(
     anchor = np.unravel_index(np.argmin(F), F.shape)
     rng = np.random.default_rng(seed)
     n_blocks = int(np.ceil(n / block))
+    starts_pool = np.arange(n - block + 1)
     reps = []
     for _ in range(int(n_bootstrap)):
-        starts = rng.integers(0, n - block + 1, size=n_blocks)
-        idx = (starts[:, None] + np.arange(block)[None, :]).reshape(-1)[:n]
+        idx = _block_bootstrap_indices(rng, starts_pool, block, n_blocks, n)
         with np.errstate(divide="ignore"):
             Fb = -np.log(hist_of(idx)) / float(beta)
         Fb = Fb - Fb[anchor]
@@ -1297,14 +1306,25 @@ def timescales_vs_lag_bootstrap(
     if segment_starts is not None and len(np.atleast_1d(segment_starts)) > 1:
         seg = np.asarray(segment_starts, dtype=np.int64)
         bounds = np.concatenate([seg, [n]])
-        ok = []
+        ok, dropped = [], 0
         for a, b in zip(bounds[:-1], bounds[1:]):
             if b - a >= block:
                 ok.append(np.arange(a, b - block + 1))
+            else:
+                dropped += int(b - a)
         if not ok:
             raise ValueError(
                 "no source trajectory is as long as one block; "
                 "shorten block_frames"
+            )
+        if dropped:
+            import warnings
+
+            warnings.warn(
+                f"{dropped} frames belong to source trajectories shorter "
+                f"than one block ({block}); they enter the point estimate "
+                "but no bootstrap replica — shorten block_frames to "
+                "include them in the band"
             )
         starts_pool = np.concatenate(ok)
     else:
@@ -1315,8 +1335,7 @@ def timescales_vs_lag_bootstrap(
     joints = np.arange(n_blocks) * block  # replica segment boundaries
     reps = []
     for _ in range(int(n_bootstrap)):
-        starts = rng.choice(starts_pool, size=n_blocks)
-        idx = (starts[:, None] + np.arange(block)[None, :]).reshape(-1)[:n]
+        idx = _block_bootstrap_indices(rng, starts_pool, block, n_blocks, n)
         reps.append(
             timescales_vs_lag(
                 x[idx], lags, dt=dt,
@@ -1328,7 +1347,13 @@ def timescales_vs_lag_bootstrap(
     finite = np.isfinite(reps)
     cnt = finite.sum(axis=0)
     masked = np.where(finite, reps, np.nan)
-    with np.errstate(invalid="ignore"):
+    import warnings
+
+    with warnings.catch_warnings():
+        # bins with zero finite replicas hit nanpercentile's 'All-NaN
+        # slice' RuntimeWarning — that path is the documented nan-bounds
+        # degradation, not a user error
+        warnings.simplefilter("ignore", RuntimeWarning)
         lo = np.nanpercentile(masked, 16, axis=0)
         hi = np.nanpercentile(masked, 84, axis=0)
     lo = np.where(cnt >= 2, lo, np.nan)

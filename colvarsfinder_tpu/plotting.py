@@ -321,15 +321,17 @@ def plot_timescales(
     if ts.shape[0] != len(lags):
         ts = ts.T
     phys = lags * float(dt)
+    lo = hi = None
+    if t_lo is not None and t_hi is not None:
+        lo = np.atleast_2d(np.asarray(t_lo, dtype=np.float64))
+        hi = np.atleast_2d(np.asarray(t_hi, dtype=np.float64))
+        if lo.shape[0] != len(lags):
+            lo, hi = lo.T, hi.T
     for h in range(ts.shape[1]):
         good = np.isfinite(ts[:, h])
         ax.plot(phys[good], ts[good, h], color=_color(h), linewidth=1.8,
                 marker="o", markersize=4, label=f"head {h + 1}")
-        if t_lo is not None and t_hi is not None:
-            lo = np.atleast_2d(np.asarray(t_lo, dtype=np.float64))
-            hi = np.atleast_2d(np.asarray(t_hi, dtype=np.float64))
-            if lo.shape[0] != len(lags):
-                lo, hi = lo.T, hi.T
+        if lo is not None:
             band = good & np.isfinite(lo[:, h]) & np.isfinite(hi[:, h])
             ax.fill_between(phys[band], lo[band, h], hi[band, h],
                             color=_color(h), alpha=0.2, linewidth=0)

@@ -419,13 +419,14 @@ def integrate_sde_metadynamics(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
-        n_dev = mesh.devices.size
-        if n_chains % n_dev:
+        axis0 = mesh.axis_names[0]
+        n_ax = int(mesh.shape[axis0])
+        if n_chains % n_ax:
             raise ValueError(
-                f"n_chains {n_chains} must be divisible by the mesh size "
-                f"{n_dev} (walkers are sharded over '{mesh.axis_names[0]}')"
+                f"n_chains {n_chains} must be divisible by the size of "
+                f"mesh axis '{axis0}' ({n_ax}), which the walkers shard over"
             )
-        shard = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        shard = NamedSharding(mesh, PartitionSpec(axis0))
         x0_dev = jax.device_put(x0_dev, shard)
         keys = jax.device_put(keys, shard)
     frames, cvs, centers, heights = run(x0_dev, keys)
@@ -848,14 +849,15 @@ def integrate_sde_umbrella(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
-        n_dev = mesh.devices.size
-        if K % n_dev:
+        axis0 = mesh.axis_names[0]
+        n_ax = int(mesh.shape[axis0])
+        if K % n_ax:
             raise ValueError(
-                f"window count {K} must be divisible by the mesh size "
-                f"{n_dev} (windows are sharded over '{mesh.axis_names[0]}')"
+                f"window count {K} must be divisible by the size of mesh "
+                f"axis '{axis0}' ({n_ax}), which the windows shard over"
             )
         x0_dev = jax.device_put(
-            x0_dev, NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+            x0_dev, NamedSharding(mesh, PartitionSpec(axis0))
         )
     _, frames = _em_scan(
         grad_fn,

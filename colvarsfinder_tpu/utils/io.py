@@ -427,16 +427,22 @@ class Universe:
                     )
                 parts.append(c)
                 dts.append(d)
-            dt = dts[0]
+            # files with no timing info (dt <= 0, e.g. single-frame or
+            # zero-time files) don't vote on the spacing
+            timed = [d for d in dts if d > 0]
             if dt_ps is not None:
                 dt = dt_ps
-            elif dt <= 0:
+            elif not timed:
                 dt = 1.0
-            elif any(abs(d - dt) > 1e-6 * max(dt, 1.0) for d in dts[1:]):
-                raise ValueError(
-                    f"trajectory files disagree on the frame spacing "
-                    f"({dts} ps) — pass dt_ps to override"
-                )
+            else:
+                dt = timed[0]
+                if any(
+                    abs(d - dt) > 1e-6 * max(dt, 1.0) for d in timed[1:]
+                ):
+                    raise ValueError(
+                        f"trajectory files disagree on the frame spacing "
+                        f"({dts} ps) — pass dt_ps to override"
+                    )
             if len(parts) == 1:
                 coords = parts[0]
             else:
