@@ -295,3 +295,43 @@ def test_scan_streaming_sentinel(tmp_path):
     np.testing.assert_array_equal(coords, x)
     mm, _dt2, _t2 = read_netcdf_memmap(path, str(tmp_path / "st.npy"))
     np.testing.assert_array_equal(np.asarray(mm), x)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_roundtrip_vs_scipy(tmp_path, seed):
+    """Randomized layouts (frame/atom counts, optional velocities/cell,
+    random title) round-trip through our writer AND decode identically
+    via scipy's independent implementation."""
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(1, 40))
+    atoms = int(rng.integers(1, 30))
+    x = rng.normal(0, 50, (n, atoms, 3)).astype(np.float32)
+    kw = {}
+    if rng.random() < 0.5:
+        kw["velocities"] = rng.normal(0, 5, x.shape).astype(np.float32)
+    if rng.random() < 0.5:
+        kw["cell_lengths"] = np.abs(rng.normal(30, 3, (n, 3)))
+        kw["cell_angles"] = np.full((n, 3), 90.0)
+    title = "".join(chr(int(c)) for c in rng.integers(65, 90, 12))
+    path = str(tmp_path / f"f{seed}.nc")
+    write_netcdf(path, x, dt_ps=float(rng.uniform(0.1, 5)), title=title,
+                 **kw)
+
+    coords, _dt, _times = read_netcdf(path)
+    np.testing.assert_array_equal(coords, x)
+    with netcdf_file(path, "r", mmap=False) as nc:
+        np.testing.assert_array_equal(nc.variables["coordinates"][:], x)
+        if "velocities" in kw:
+            np.testing.assert_array_equal(
+                nc.variables["velocities"][:], kw["velocities"]
+            )
+        if "cell_lengths" in kw:
+            np.testing.assert_array_equal(
+                nc.variables["cell_lengths"][:], kw["cell_lengths"]
+            )
+    assert scan_netcdf(path)["title"] == title
+
+    from colvarsfinder_tpu.utils import read_netcdf_memmap
+
+    mm, _d2, _t2 = read_netcdf_memmap(path, str(tmp_path / f"f{seed}.npy"))
+    np.testing.assert_array_equal(np.asarray(mm), x)
