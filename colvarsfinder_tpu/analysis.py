@@ -37,6 +37,10 @@ examples eyeball scatter plots, e.g. dipeptide main.ipynb cell 21):
   between metastable sets. The committor along a good 1-D reaction
   coordinate is a monotone sigmoid — the sharpest test that the
   learned CV actually parameterizes the transition.
+* :func:`msm_ck_test` — the set-level (matrix) Chapman–Kolmogorov test
+  on PCCA+ metastable sets: :math:`T(\\tau)^k` vs the model
+  re-estimated at :math:`k\\tau` — the standard MSM validation,
+  complementing the CV-autocorrelation-level :func:`ck_test`.
 
 All three accept plain numpy inputs and the framework's CV callables
 (:class:`~colvarsfinder_tpu.export.ColvarModel`, deployed numpy CVs, or
@@ -65,6 +69,8 @@ __all__ = [
     "tica",
     "timescales_vs_lag",
     "timescales_vs_lag_bootstrap",
+    "msm_ck_test",
+    "MSMCKResult",
     "validate_cv",
     "vamp_score",
 ]
@@ -1359,3 +1365,108 @@ def timescales_vs_lag_bootstrap(
     lo = np.where(cnt >= 2, lo, np.nan)
     hi = np.where(cnt >= 2, hi, np.nan)
     return t_point, lo, hi
+
+
+class MSMCKResult:
+    """Outcome of :func:`msm_ck_test` (set-level Chapman–Kolmogorov).
+
+    Attributes:
+        lags: ``[n_multiples]`` frame lags ``lag * (1..n_multiples)``.
+        estimated: ``[n_multiples, n, n]`` set-to-set transition
+            probabilities re-estimated at each lag.
+        predicted: ``[n_multiples, n, n]`` the tau-model propagated,
+            ``T(tau)^k`` projected onto the same sets.
+        sets: ``[n_states]`` metastable-set index per microstate
+            (-1 = inactive), from PCCA+ on the tau-model.
+    """
+
+    def __init__(self, lags, estimated, predicted, sets):
+        self.lags = np.asarray(lags)
+        self.estimated = np.asarray(estimated)
+        self.predicted = np.asarray(predicted)
+        self.sets = np.asarray(sets)
+
+    @property
+    def n_sets(self) -> int:
+        return self.estimated.shape[1]
+
+    @property
+    def max_deviation(self) -> float:
+        """max |estimated - predicted| over lags and set pairs."""
+        return float(np.nanmax(np.abs(self.estimated - self.predicted)))
+
+    def __repr__(self):  # pragma: no cover - cosmetic
+        return (
+            f"MSMCKResult(n_sets={self.n_sets}, lags={self.lags.tolist()}, "
+            f"max_deviation={self.max_deviation:.4f})"
+        )
+
+
+def msm_ck_test(
+    assignments,
+    lag: int,
+    n_sets: int = 2,
+    n_multiples: int = 4,
+    weights=None,
+    segment_starts=None,
+    n_states: Optional[int] = None,
+) -> MSMCKResult:
+    """Set-level Chapman–Kolmogorov test of a CV-bin MSM.
+
+    The matrix-level complement of :func:`ck_test` (which tests the CV
+    autocorrelation): estimate an MSM at lag :math:`\\tau`, coarse-grain
+    its states into ``n_sets`` metastable sets (PCCA+), and compare the
+    set-to-set transition probabilities **predicted** by propagating the
+    :math:`\\tau`-model (:math:`T(\\tau)^k`) against those
+    **re-estimated** from the data at lag :math:`k\\tau` — the standard
+    MSM validation. Both sides are projected with the
+    :math:`\\tau`-model's stationary distribution and sets, so the
+    comparison isolates Markovianity.
+
+    Args:
+        assignments: ``[n]`` integer state series (:func:`discretize`).
+        lag: base lag :math:`\\tau` in frames.
+        n_sets: metastable sets to coarse-grain into.
+        n_multiples: test at ``lag * (1 .. n_multiples)``.
+        weights / segment_starts / n_states: as for :func:`msm`.
+
+    Returns:
+        :class:`MSMCKResult`; ``result.max_deviation`` below ~0.05-0.1
+        is the usual pass band. Plot with
+        :func:`colvarsfinder_tpu.plotting.plot_msm_ck`.
+    """
+    if n_multiples < 1:
+        raise ValueError("n_multiples must be >= 1")
+    model = msm(
+        assignments, lag, n_states=n_states, weights=weights,
+        segment_starts=segment_starts,
+    )
+    sets = model.metastable_assignments(n_sets)
+    m = model.n_states
+    chi = np.zeros((m, n_sets))
+    for i in range(n_sets):
+        chi[sets == i, i] = 1.0
+    pi = model.stationary
+    pi_set = chi.T @ pi
+    if np.any(pi_set <= 0):
+        raise ValueError(
+            f"PCCA+ produced an empty metastable set (weights {pi_set}); "
+            "reduce n_sets or refine the discretization"
+        )
+
+    def project(T):
+        M = (chi.T * pi) @ T @ chi
+        return M / pi_set[:, None]
+
+    est, pred = [], []
+    Tk = np.eye(m)
+    lags_out = lag * np.arange(1, n_multiples + 1)
+    for k in range(1, n_multiples + 1):
+        Tk = Tk @ model.transition_matrix
+        pred.append(project(Tk))
+        model_k = msm(
+            assignments, int(lag * k), n_states=m, weights=weights,
+            segment_starts=segment_starts,
+        )
+        est.append(project(model_k.transition_matrix))
+    return MSMCKResult(lags_out, est, pred, sets)

@@ -39,6 +39,7 @@ __all__ = [
     "plot_cv_scatter",
     "plot_free_energy",
     "plot_ck_test",
+    "plot_msm_ck",
     "plot_timescales",
 ]
 
@@ -342,3 +343,45 @@ def plot_timescales(
     ax.set_ylabel("implied timescale")
     ax.legend(frameon=False, fontsize=8)
     return _style(ax)
+
+
+def plot_msm_ck(result, axes=None):
+    """Set-level Chapman–Kolmogorov panel grid from
+    :func:`colvarsfinder_tpu.analysis.msm_ck_test`: one subplot per
+    (from-set, to-set) pair, estimated (solid, markers) against the
+    tau-model prediction (dashed).
+
+    Args:
+        result: an ``MSMCKResult``.
+        axes: optional ``[n, n]`` array of axes (a new figure grid is
+            created when omitted).
+
+    Returns:
+        the ``[n, n]`` array of axes.
+    """
+    plt = _require_mpl()
+    n = result.n_sets
+    if axes is None:
+        _fig, axes = plt.subplots(
+            n, n, figsize=(2.6 * n, 2.2 * n), sharex=True, sharey=True,
+            constrained_layout=True, squeeze=False,
+        )
+    axes = np.asarray(axes).reshape(n, n)
+    lags = np.asarray(result.lags)
+    for i in range(n):
+        for j in range(n):
+            ax = axes[i, j]
+            c = _color(0)
+            ax.plot(lags, result.estimated[:, i, j], color=c,
+                    linewidth=1.8, marker="o", markersize=4,
+                    label="estimated")
+            ax.plot(lags, result.predicted[:, i, j], color=c,
+                    linewidth=1.4, linestyle="--", label="predicted")
+            ax.set_title(f"{i + 1} → {j + 1}", fontsize=9)
+            _style(ax)
+            if i == n - 1:
+                ax.set_xlabel("lag (frames)")
+            if j == 0:
+                ax.set_ylabel("probability")
+    axes[0, 0].legend(frameon=False, fontsize=8)
+    return axes

@@ -890,3 +890,67 @@ class TestTimescalesBootstrap:
         )
         assert np.isfinite(t).all()
         assert np.all(lo <= hi)
+
+
+class TestMSMCK:
+    def _sample_chain(self, T, n, seed=0):
+        rng = np.random.default_rng(seed)
+        m = T.shape[0]
+        s = np.zeros(n, dtype=np.int64)
+        cum = np.cumsum(T, axis=1)
+        u = rng.uniform(size=n)
+        for t in range(1, n):
+            s[t] = np.searchsorted(cum[s[t - 1]], u[t])
+        return s
+
+    def test_markov_chain_passes(self):
+        """A genuinely Markovian 4-state chain with 2-block metastable
+        structure satisfies CK at every lag multiple."""
+        from colvarsfinder_tpu.analysis import msm_ck_test
+
+        eps, d = 0.02, 0.2  # rare inter-block, fast intra-block moves
+        T = np.array(
+            [
+                [1 - d - eps, d, eps, 0.0],
+                [d, 1 - d - eps, 0.0, eps],
+                [eps, 0.0, 1 - d - eps, d],
+                [0.0, eps, d, 1 - d - eps],
+            ]
+        )
+        s = self._sample_chain(T, 60_000, seed=1)
+        res = msm_ck_test(s, lag=1, n_sets=2, n_multiples=5)
+        assert res.estimated.shape == (5, 2, 2)
+        assert res.predicted.shape == (5, 2, 2)
+        # sets recover the block structure
+        sets = res.sets
+        assert sets[0] == sets[1] and sets[2] == sets[3]
+        assert sets[0] != sets[2]
+        assert res.max_deviation < 0.03
+
+    def test_non_markovian_observable_fails(self):
+        """Projecting a 3-state chain onto 2 observable states breaks
+        Markovianity at short lags — CK must flag it."""
+        from colvarsfinder_tpu.analysis import msm_ck_test
+
+        # A(sticky) <-> B(fast intermediate) <-> C; observe {A,B} vs {C}.
+        # Fresh entries into the lump land in B and exit quickly while
+        # long residents sit in A — strongly non-exponential residence.
+        T = np.array(
+            [
+                [0.99, 0.01, 0.0],
+                [0.01, 0.50, 0.49],
+                [0.0, 0.02, 0.98],
+            ]
+        )
+        s3 = self._sample_chain(T, 60_000, seed=2)
+        obs = np.where(s3 == 2, 1, 0)  # lump A,B
+        res = msm_ck_test(obs, lag=1, n_sets=2, n_multiples=5)
+        # the lumped process is NOT Markov at lag 1 (measured ~0.26)
+        assert res.max_deviation > 0.1
+
+    def test_empty_set_raises(self):
+        from colvarsfinder_tpu.analysis import msm_ck_test
+
+        s = np.zeros(500, dtype=np.int64)  # single visited state
+        with pytest.raises(ValueError, match="metastable set|active"):
+            msm_ck_test(s, lag=1, n_sets=2)

@@ -142,3 +142,14 @@ def test_timescales_with_bootstrap_band():
     ax = plotting.plot_timescales(lags, t_pt, dt=0.5, t_lo=lo, t_hi=hi)
     assert len(ax.get_lines()) == 1
     assert len(ax.collections) == 2  # CI band + unresolvable shading
+
+
+def test_msm_ck_grid():
+    rng = np.random.default_rng(9)
+    # fast-mixing 2-state chain
+    s = (rng.uniform(size=3000) < 0.5).astype(np.int64)
+    res = analysis.msm_ck_test(s, lag=1, n_sets=2, n_multiples=3)
+    axes = plotting.plot_msm_ck(res)
+    assert axes.shape == (2, 2)
+    for ax in axes.ravel():
+        assert len(ax.get_lines()) == 2  # estimated + predicted
