@@ -145,6 +145,15 @@ def main():
           f"(Markovian CVs sit well below ~0.05); implied timescale vs lag: "
           + np.array2string(ts[:, 0], precision=3))
 
+    # set-level CK on the CV-bin MSM (the matrix-level complement)
+    from colvarsfinder_tpu.analysis import discretize, msm_ck_test
+
+    idx, _bin_centers = discretize(y[:, 0], n_bins=30)
+    mck = msm_ck_test(idx, lag=lag_frames, n_sets=3, n_multiples=3,
+                      weights=traj.weights)
+    print(f"[EigenTOp] MSM set-level CK max deviation "
+          f"{mck.max_deviation:.4f} over 3 PCCA+ sets")
+
     # --- 3c''. beat the linear baseline? TICA on the same input ---
     from colvarsfinder_tpu.analysis import tica, vamp_score
 
