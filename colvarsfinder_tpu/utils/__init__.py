@@ -17,11 +17,14 @@ from .enhanced import (
     BiasedPotential,
     MBARResult,
     MetadynamicsResult,
+    PlumedHills,
     UmbrellaResult,
     harmonic_restraint,
     integrate_sde_metadynamics,
     integrate_sde_umbrella,
     mbar_weights,
+    metad_frame_weights,
+    read_plumed_hills,
 )
 from .sampling import integrate_md_langevin, integrate_sde_overdamped
 from .trajectory import WeightedTrajectory, calc_weights, concatenate_trajectories
@@ -50,6 +53,9 @@ __all__ = [
     "integrate_sde_umbrella",
     "mbar_weights",
     "UmbrellaResult",
+    "PlumedHills",
+    "read_plumed_hills",
+    "metad_frame_weights",
     "Topology",
     "Universe",
     "parse_gro",

@@ -45,6 +45,9 @@ __all__ = [
     "MBARResult",
     "mbar_weights",
     "UmbrellaResult",
+    "PlumedHills",
+    "read_plumed_hills",
+    "metad_frame_weights",
 ]
 
 
@@ -912,3 +915,264 @@ def integrate_sde_umbrella(
         beta=beta,
         dt=step_size * report_interval,
     )
+
+
+# ---------------------------------------------------------------------------
+# PLUMED interop: HILLS files + generalized metadynamics reweighting
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class PlumedHills:
+    """Contents of a (PLUMED-style) HILLS file.
+
+    Attributes:
+        times: ``[H]`` deposition times.
+        centers: ``[H, k]`` hill centers (the CV at deposition).
+        sigmas: ``[H, k]`` per-hill Gaussian widths.
+        heights: ``[H]`` DEPOSITED heights (for well-tempered runs these
+            are the already-tempered values, as PLUMED writes them).
+        bias_factor: well-tempered gamma, or None for standard
+            metadynamics (PLUMED writes ``biasf`` of 1, or -1 in this
+            package's writer, for non-tempered runs).
+    """
+
+    times: np.ndarray
+    centers: np.ndarray
+    sigmas: np.ndarray
+    heights: np.ndarray
+    bias_factor: Optional[float]
+
+    @property
+    def n_hills(self) -> int:
+        return len(self.heights)
+
+    def bias(self, s) -> np.ndarray:
+        """Accumulated (final) bias at CV value(s) ``s`` [m, k] or [m]."""
+        s = np.atleast_2d(np.asarray(s, dtype=np.float64))
+        if s.shape[-1] != self.centers.shape[-1]:
+            s = s.reshape(-1, self.centers.shape[-1])
+        inv = 1.0 / (2.0 * self.sigmas**2)  # [H, k]
+        d2 = ((s[:, None, :] - self.centers[None, :, :]) ** 2 * inv[None])
+        return (self.heights[None, :] * np.exp(-d2.sum(-1))).sum(-1)
+
+
+def read_plumed_hills(path: str) -> PlumedHills:
+    """Parse a PLUMED ``HILLS`` file (also the format this package's
+    :func:`integrate_sde_metadynamics` writes).
+
+    Layout: ``#! FIELDS time <cv...> sigma_<cv...> height biasf`` header
+    followed by numeric rows; repeated header blocks (PLUMED restarts)
+    and comment lines are tolerated. The CV dimensionality is inferred
+    from the FIELDS names (columns between ``time`` and the first
+    ``sigma_*``).
+
+    The reweighting entry point for trajectories biased by an EXTERNAL
+    engine: run PLUMED metadynamics anywhere, then
+    :func:`metad_frame_weights` with the CV series of the frames (e.g.
+    the COLVAR file) to get unbiased-ensemble training weights
+    (reference ecosystem path: utils.py:220-223 + :354-417).
+    """
+    rows: list = []
+    k = None
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith("#"):
+                if "FIELDS" in line:
+                    names = line.split()
+                    # names like: #! FIELDS time cv1 ... sigma_cv1 ... height biasf
+                    try:
+                        fields = names[names.index("FIELDS") + 1 :]
+                        t_idx = fields.index("time")
+                        sig0 = next(
+                            i for i, nm in enumerate(fields)
+                            if nm.startswith("sigma_")
+                        )
+                        k_new = sig0 - (t_idx + 1)
+                        if k is not None and k_new != k:
+                            raise ValueError(
+                                f"{path}: restart block changes the CV "
+                                f"dimensionality ({k} -> {k_new})"
+                            )
+                        k = k_new
+                    except (ValueError, StopIteration) as e:
+                        if isinstance(e, ValueError) and "restart" in str(e):
+                            raise
+                        raise ValueError(
+                            f"{path}: unrecognized FIELDS header: {line}"
+                        ) from None
+                continue
+            rows.append([float(v) for v in line.split()])
+    if not rows:
+        raise ValueError(f"{path}: no hill rows")
+    data = np.asarray(rows, dtype=np.float64)
+    if k is None:
+        # no header: infer from column count (time, k cv, k sigma,
+        # height, biasf)
+        if (data.shape[1] - 3) % 2:
+            raise ValueError(
+                f"{path}: cannot infer CV dimensionality from "
+                f"{data.shape[1]} columns without a FIELDS header"
+            )
+        k = (data.shape[1] - 3) // 2
+    if data.shape[1] < 2 * k + 3:
+        raise ValueError(
+            f"{path}: rows have {data.shape[1]} columns, expected "
+            f"{2 * k + 3} (time, {k} cv, {k} sigma, height, biasf)"
+        )
+    times = data[:, 0]
+    centers = data[:, 1 : 1 + k]
+    sigmas = data[:, 1 + k : 1 + 2 * k]
+    heights = data[:, 1 + 2 * k]
+    biasf = data[:, 2 + 2 * k]
+    bf = float(biasf[0])
+    bias_factor = bf if bf > 1.0 else None
+    return PlumedHills(times, centers, sigmas, heights, bias_factor)
+
+
+def _hills_grid(centers: np.ndarray, sigmas: np.ndarray,
+                grid_points: int) -> np.ndarray:
+    dim = centers.shape[-1]
+    if dim > 2:
+        raise ValueError(
+            f"no default grid for a {dim}-dimensional CV — pass "
+            "grid=[n_points, cv_dim] explicitly"
+        )
+    smax = float(sigmas.max())
+    axes = [
+        np.linspace(
+            centers[:, d].min() - 4 * smax,
+            centers[:, d].max() + 4 * smax,
+            grid_points,
+        )
+        for d in range(dim)
+    ]
+    mesh = np.meshgrid(*axes, indexing="ij")
+    return np.stack([m.ravel() for m in mesh], axis=-1)
+
+
+def metad_frame_weights(
+    cv_values,
+    hills: PlumedHills,
+    frame_times=None,
+    beta: float = 1.0,
+    method: str = "tiwary",
+    grid: Optional[np.ndarray] = None,
+    grid_points: int = 129,
+    _cutoffs=None,
+) -> np.ndarray:
+    """Unbiased-ensemble weights for ARBITRARY frames of a metadynamics
+    run described by a HILLS file.
+
+    The generalization of :meth:`MetadynamicsResult.frame_weights` to
+    frames that are not the deposition frames — e.g. a PLUMED COLVAR
+    series sampled every MD step while hills were deposited every
+    PACE steps, or frames re-evaluated through a retrained CV.
+
+    Args:
+        cv_values: ``[n]`` or ``[n, k]`` CV values of the frames to
+            reweight (must be the same CV the hills act on).
+        hills: :class:`PlumedHills` (from :func:`read_plumed_hills` or
+            built directly from arrays).
+        frame_times: ``[n]`` times of the frames on the SAME clock as
+            ``hills.times``. Required for ``method='tiwary'`` (each
+            frame sees only hills deposited strictly before it);
+            ignored by ``'final-bias'``.
+        beta: inverse temperature of the run.
+        method: ``'final-bias'`` (quasi-static, ``w ∝ exp(beta V_b(s))``
+            with the final bias) or ``'tiwary'`` (time-dependent
+            estimator — see :meth:`MetadynamicsResult.frame_weights`).
+        grid / grid_points: CV grid for the Tiwary ``c(t)`` integrals.
+
+    Returns:
+        weights ``[n]`` with mean 1, aligned with ``cv_values``.
+    """
+    s = np.atleast_2d(np.asarray(cv_values, dtype=np.float64))
+    k = hills.centers.shape[-1]
+    if s.shape[-1] != k:
+        s = s.reshape(-1, k)
+    n = s.shape[0]
+    H = hills.n_hills
+    inv = 1.0 / (2.0 * hills.sigmas**2)  # [H, k]
+    heights = hills.heights.astype(np.float64)
+
+    if method == "final-bias":
+        expo = beta * hills.bias(s)
+    elif method == "tiwary":
+        if _cutoffs is not None:
+            cut = np.asarray(_cutoffs, dtype=np.int64)
+        else:
+            if frame_times is None:
+                raise ValueError(
+                    "method='tiwary' needs frame_times (hills deposited "
+                    "strictly before each frame define its bias)"
+                )
+            cut = np.searchsorted(
+                hills.times, np.asarray(frame_times, dtype=np.float64),
+                side="left",
+            )
+        if grid is None:
+            grid = _hills_grid(hills.centers, hills.sigmas, grid_points)
+        grid = np.asarray(grid, dtype=np.float64)
+
+        beta_f = float(beta)
+        if hills.bias_factor is None:  # standard metadynamics
+            a1, a2 = beta_f, 0.0
+        else:
+            g = hills.bias_factor
+            a1, a2 = beta_f * g / (g - 1.0), beta_f / (g - 1.0)
+
+        # c after j hills, j = 0..H, via grid integrals of the partial
+        # bias (log-sum-exp, chunked over grid points)
+        log_i1 = np.full(H + 1, -np.inf)
+        log_i2 = np.full(H + 1, -np.inf)
+        chunk = max(1, int(2e7) // max(H, 1))
+        for lo in range(0, grid.shape[0], chunk):
+            gpts = grid[lo : lo + chunk]
+            d2 = (
+                (gpts[None, :, :] - hills.centers[:, None, :]) ** 2
+                * inv[:, None, :]
+            ).sum(-1)
+            hill_mat = heights[:, None] * np.exp(-d2)  # [H, g]
+            vpart = np.concatenate(
+                [np.zeros((1, gpts.shape[0])), np.cumsum(hill_mat, axis=0)],
+                axis=0,
+            )  # [H+1, g]: bias after j hills
+            for log_acc, a in ((log_i1, a1), (log_i2, a2)):
+                m = (a * vpart).max(axis=1)
+                ssum = np.log(
+                    np.exp(a * vpart - m[:, None]).sum(axis=1)
+                ) + m
+                hi = np.maximum(log_acc, ssum)
+                log_acc[:] = hi + np.log(
+                    np.exp(log_acc - hi) + np.exp(ssum - hi)
+                )
+        c_after = (log_i1 - log_i2) / beta_f  # [H+1]
+
+        # V(s_i, t_i): partial bias at each frame's own CV (chunked)
+        v_own = np.empty(n)
+        fchunk = max(1, int(2e7) // max(H, 1))
+        for lo in range(0, n, fchunk):
+            sl = s[lo : lo + fchunk]
+            d2f = (
+                (sl[:, None, :] - hills.centers[None, :, :]) ** 2
+                * inv[None, :, :]
+            ).sum(-1)
+            M = heights[None, :] * np.exp(-d2f)  # [m, H]
+            csum = np.concatenate(
+                [np.zeros((sl.shape[0], 1)), np.cumsum(M, axis=1)], axis=1
+            )
+            v_own[lo : lo + fchunk] = csum[
+                np.arange(sl.shape[0]), cut[lo : lo + fchunk]
+            ]
+        expo = beta_f * (v_own - c_after[cut])
+    else:
+        raise ValueError(
+            f"unknown reweighting method '{method}' "
+            "(use 'final-bias' or 'tiwary')"
+        )
+    w = np.exp(expo - expo.max())
+    return w / w.mean()
