@@ -24,6 +24,7 @@ from .enhanced import (
     integrate_sde_umbrella,
     mbar_weights,
     metad_frame_weights,
+    read_plumed_colvar,
     read_plumed_hills,
 )
 from .sampling import integrate_md_langevin, integrate_sde_overdamped
@@ -55,6 +56,7 @@ __all__ = [
     "UmbrellaResult",
     "PlumedHills",
     "read_plumed_hills",
+    "read_plumed_colvar",
     "metad_frame_weights",
     "Topology",
     "Universe",

@@ -47,6 +47,7 @@ __all__ = [
     "UmbrellaResult",
     "PlumedHills",
     "read_plumed_hills",
+    "read_plumed_colvar",
     "metad_frame_weights",
 ]
 
@@ -1176,3 +1177,63 @@ def metad_frame_weights(
         )
     w = np.exp(expo - expo.max())
     return w / w.mean()
+
+
+def read_plumed_colvar(path: str, fields: Optional[list] = None):
+    """Parse a PLUMED ``COLVAR`` file (``PRINT`` output: ``#! FIELDS
+    time <name...>`` header + numeric rows; restart blocks tolerated).
+
+    Args:
+        path: COLVAR file path.
+        fields: optional list of column names to return (default: every
+            column after ``time``).
+
+    Returns:
+        ``(times [n], values [n, len(fields)], names)`` — feed
+        ``values``/``times`` straight into :func:`metad_frame_weights`
+        (select the biased CV columns via ``fields``).
+    """
+    names: Optional[list] = None
+    rows: list = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith("#"):
+                if "FIELDS" in line:
+                    toks = line.split()
+                    new = toks[toks.index("FIELDS") + 1 :]
+                    if names is not None and new != names:
+                        raise ValueError(
+                            f"{path}: restart block changes the columns "
+                            f"({names} -> {new})"
+                        )
+                    names = new
+                continue
+            rows.append([float(v) for v in line.split()])
+    if names is None:
+        raise ValueError(f"{path}: no FIELDS header")
+    if not rows:
+        raise ValueError(f"{path}: no data rows")
+    data = np.asarray(rows, dtype=np.float64)
+    if data.shape[1] != len(names):
+        raise ValueError(
+            f"{path}: rows have {data.shape[1]} columns but FIELDS "
+            f"names {len(names)}"
+        )
+    if "time" not in names:
+        raise ValueError(f"{path}: no 'time' column in FIELDS")
+    t_idx = names.index("time")
+    times = data[:, t_idx]
+    value_names = [nm for i, nm in enumerate(names) if i != t_idx]
+    if fields is not None:
+        missing = [nm for nm in fields if nm not in value_names]
+        if missing:
+            raise ValueError(
+                f"{path}: columns {missing} not present "
+                f"(available: {value_names})"
+            )
+        value_names = list(fields)
+    cols = [names.index(nm) for nm in value_names]
+    return times, data[:, cols], value_names

@@ -153,3 +153,29 @@ def test_standard_metadynamics_weights(tmp_path):
         method="tiwary",
     )
     assert np.isfinite(w).all() and w.mean() == pytest.approx(1.0)
+
+
+def test_read_colvar(tmp_path):
+    from colvarsfinder_tpu.utils import read_plumed_colvar
+
+    path = str(tmp_path / "COLVAR")
+    with open(path, "w") as f:
+        f.write("#! FIELDS time phi psi metad.bias\n")
+        f.write("0.0  0.1 -0.5  0.0\n")
+        f.write("0.5  0.2 -0.4  0.3\n")
+        f.write("#! FIELDS time phi psi metad.bias\n")  # restart
+        f.write("1.0  0.3 -0.3  0.6\n")
+    t, vals, names = read_plumed_colvar(path)
+    np.testing.assert_allclose(t, [0.0, 0.5, 1.0])
+    assert names == ["phi", "psi", "metad.bias"]
+    assert vals.shape == (3, 3)
+    # column selection
+    t2, v2, n2 = read_plumed_colvar(path, fields=["psi"])
+    np.testing.assert_allclose(v2[:, 0], [-0.5, -0.4, -0.3])
+    with pytest.raises(ValueError, match="not present"):
+        read_plumed_colvar(path, fields=["chi"])
+    bad = str(tmp_path / "noheader")
+    with open(bad, "w") as f:
+        f.write("0.0 1.0\n")
+    with pytest.raises(ValueError, match="FIELDS"):
+        read_plumed_colvar(bad)
