@@ -1437,6 +1437,7 @@ def msm_ck_test(
     """
     if n_multiples < 1:
         raise ValueError("n_multiples must be >= 1")
+    lag = int(_as_frame_lags(lag)[0])  # normalize once; k*lag stays exact
     model = msm(
         assignments, lag, n_states=n_states, weights=weights,
         segment_starts=segment_starts,
@@ -1454,9 +1455,17 @@ def msm_ck_test(
             "reduce n_sets or refine the discretization"
         )
 
-    def project(T):
-        M = (chi.T * pi) @ T @ chi
-        return M / pi_set[:, None]
+    def project(T, active=None):
+        # restrict the projection weights to states active in THIS
+        # estimate — states with pairs at tau but none at k*tau would
+        # otherwise contribute msm()'s identity self-loop rows with
+        # their full tau-weight, inflating the deviation
+        pi_eff = pi if active is None else pi * active
+        denom = chi.T @ pi_eff
+        if np.any(denom <= 0):
+            return np.full((n_sets, n_sets), np.nan)
+        M = (chi.T * pi_eff) @ T @ chi
+        return M / denom[:, None]
 
     est, pred = [], []
     Tk = np.eye(m)
@@ -1465,8 +1474,8 @@ def msm_ck_test(
         Tk = Tk @ model.transition_matrix
         pred.append(project(Tk))
         model_k = msm(
-            assignments, int(lag * k), n_states=m, weights=weights,
+            assignments, lag * k, n_states=m, weights=weights,
             segment_starts=segment_starts,
         )
-        est.append(project(model_k.transition_matrix))
+        est.append(project(model_k.transition_matrix, model_k.active))
     return MSMCKResult(lags_out, est, pred, sets)

@@ -205,64 +205,23 @@ class MetadynamicsResult:
             raise ValueError(
                 "multi-walker result: use .select_walker(c).frame_weights()"
             )
-        if method == "final-bias":
-            expo = self.beta * self.bias(self.cv_values).astype(np.float64)
-        elif method == "tiwary":
-            expo = self._tiwary_exponent(grid, grid_points)
-        else:
-            raise ValueError(
-                f"unknown reweighting method '{method}' "
-                "(use 'final-bias' or 'tiwary')"
-            )
-        w = np.exp(expo - expo.max())  # max-shift, like calc_weights
-        return w / w.mean()
-
-    def _tiwary_exponent(
-        self, grid: Optional[np.ndarray], grid_points: int
-    ) -> np.ndarray:
-        beta = self.beta
-        if grid is None:
-            grid = self._cv_grid(grid_points)
-        grid = np.asarray(grid, dtype=np.float64)
+        # delegate to the general estimator (the deposition frames are
+        # the special case: frame i sees hills j < i)
         n_h = self.hill_centers.shape[0]
-        inv = 1.0 / (2.0 * self.hill_width**2)
-        heights = self.hill_heights.astype(np.float64)
-        centers = self.hill_centers.astype(np.float64)
-        # exponent coefficients of the two c(t) integrals: with F estimated
-        # as -gamma/(gamma-1) V(s,t), exp(-beta F) = exp(a1 V) and
-        # exp(-beta (F+V)) = exp(a2 V)
-        if self.bias_factor is None:  # standard metadynamics: gamma -> inf
-            a1, a2 = beta, 0.0
-        else:
-            g = self.bias_factor
-            a1, a2 = beta * g / (g - 1.0), beta / (g - 1.0)
-
-        # c(t_i) via grid integrals of the PARTIAL bias (hills j < i),
-        # chunked over grid points so memory stays [n_h, chunk]
-        log_i1 = np.full(n_h, -np.inf)
-        log_i2 = np.full(n_h, -np.inf)
-        chunk = max(1, int(2e7) // max(n_h, 1))
-        for lo in range(0, grid.shape[0], chunk):
-            gpts = grid[lo : lo + chunk]
-            d2 = ((gpts[None, :, :] - centers[:, None, :]) ** 2).sum(-1)
-            hill_mat = heights[:, None] * np.exp(-d2 * inv)  # [n_h, g]
-            vpart = np.cumsum(hill_mat, axis=0) - hill_mat  # bias BEFORE hill i
-            for log_acc, a in ((log_i1, a1), (log_i2, a2)):
-                m = (a * vpart).max(axis=1)
-                s = np.log(np.exp(a * vpart - m[:, None]).sum(axis=1)) + m
-                # log-sum-exp accumulate across chunks
-                hi = np.maximum(log_acc, s)
-                log_acc[:] = hi + np.log(
-                    np.exp(log_acc - hi) + np.exp(s - hi)
-                )
-        c_t = (log_i1 - log_i2) / beta
-
-        # V(s_i, t_i): partial bias at each frame's own CV value
-        d2f = ((self.cv_values[:, None, :].astype(np.float64)
-                - centers[None, :, :]) ** 2).sum(-1)
-        mask = np.tril(np.ones((n_h, n_h)), k=-1)  # hills j < i
-        v_own = (mask * heights[None, :] * np.exp(-d2f * inv)).sum(axis=1)
-        return beta * (v_own - c_t)
+        hills = PlumedHills(
+            times=np.arange(n_h, dtype=np.float64),
+            centers=np.asarray(self.hill_centers, dtype=np.float64),
+            sigmas=np.full(
+                (n_h, self.hill_centers.shape[-1]), float(self.hill_width)
+            ),
+            heights=np.asarray(self.hill_heights, dtype=np.float64),
+            bias_factor=self.bias_factor,
+        )
+        return metad_frame_weights(
+            self.cv_values, hills, beta=self.beta, method=method,
+            grid=grid, grid_points=grid_points,
+            _cutoffs=np.arange(n_h),
+        )
 
 
 def _metad_scan(
@@ -465,12 +424,20 @@ def integrate_sde_metadynamics(
                 )
                 f.write("#! FIELDS " + " ".join(cols) + "\n")
                 bf = bias_factor if bias_factor is not None else -1.0
+                # PLUMED convention: well-tempered HILLS store heights
+                # rescaled by gamma/(gamma-1) (sum_hills then integrates
+                # to -F); read_plumed_hills undoes this on load
+                hscale = (
+                    bias_factor / (bias_factor - 1.0)
+                    if bias_factor is not None
+                    else 1.0
+                )
                 for j in range(n_hills):
                     row = (
                         [times[j]]
                         + list(centers[c, j])
                         + [hill_width] * k
-                        + [heights[c, j], bf]
+                        + [heights[c, j] * hscale, bf]
                     )
                     f.write(" ".join(f"{v:.6f}" for v in row) + "\n")
 
@@ -931,8 +898,10 @@ class PlumedHills:
         times: ``[H]`` deposition times.
         centers: ``[H, k]`` hill centers (the CV at deposition).
         sigmas: ``[H, k]`` per-hill Gaussian widths.
-        heights: ``[H]`` DEPOSITED heights (for well-tempered runs these
-            are the already-tempered values, as PLUMED writes them).
+        heights: ``[H]`` DEPOSITED heights. For well-tempered runs
+            :func:`read_plumed_hills` has already undone PLUMED's
+            ``gamma/(gamma-1)`` file rescaling, so these are the heights
+            the bias is actually built from.
         bias_factor: well-tempered gamma, or None for standard
             metadynamics (PLUMED writes ``biasf`` of 1, or -1 in this
             package's writer, for non-tempered runs).
@@ -976,32 +945,46 @@ def read_plumed_hills(path: str) -> PlumedHills:
     """
     rows: list = []
     k = None
+    header: Optional[list] = None
     with open(path) as f:
         for line in f:
             line = line.strip()
             if not line:
                 continue
             if line.startswith("#"):
-                if "FIELDS" in line:
-                    names = line.split()
+                toks = line.split()
+                if "SET" in toks and "multivariate" in toks:
+                    flag = toks[toks.index("multivariate") + 1 :]
+                    if flag and flag[0].lower() == "true":
+                        raise ValueError(
+                            f"{path}: multivariate (adaptive-Gaussian) "
+                            "HILLS files store k(k+1)/2 covariance "
+                            "columns and are not supported"
+                        )
+                if "FIELDS" in toks:
                     # names like: #! FIELDS time cv1 ... sigma_cv1 ... height biasf
                     try:
-                        fields = names[names.index("FIELDS") + 1 :]
+                        fields = toks[toks.index("FIELDS") + 1 :]
+                        if header is not None and fields != header:
+                            raise ValueError(
+                                f"{path}: restart block changes the "
+                                f"columns ({header} -> {fields})"
+                            )
+                        header = fields
                         t_idx = fields.index("time")
                         sig0 = next(
                             i for i, nm in enumerate(fields)
                             if nm.startswith("sigma_")
                         )
-                        k_new = sig0 - (t_idx + 1)
-                        if k is not None and k_new != k:
+                        k = sig0 - (t_idx + 1)
+                        if fields[sig0 + k] != "height":
                             raise ValueError(
-                                f"{path}: restart block changes the CV "
-                                f"dimensionality ({k} -> {k_new})"
+                                f"{path}: expected 'height' after {k} "
+                                f"sigma columns, found "
+                                f"'{fields[sig0 + k]}' — non-diagonal "
+                                "(multivariate) sigma layout?"
                             )
-                        k = k_new
-                    except (ValueError, StopIteration) as e:
-                        if isinstance(e, ValueError) and "restart" in str(e):
-                            raise
+                    except (StopIteration, IndexError):
                         raise ValueError(
                             f"{path}: unrecognized FIELDS header: {line}"
                         ) from None
@@ -1027,10 +1010,17 @@ def read_plumed_hills(path: str) -> PlumedHills:
     times = data[:, 0]
     centers = data[:, 1 : 1 + k]
     sigmas = data[:, 1 + k : 1 + 2 * k]
-    heights = data[:, 1 + 2 * k]
+    heights = data[:, 1 + 2 * k].copy()
     biasf = data[:, 2 + 2 * k]
     bf = float(biasf[0])
     bias_factor = bf if bf > 1.0 else None
+    if bias_factor is not None:
+        # PLUMED convention (MetaD::writeGaussian): well-tempered HILLS
+        # store heights rescaled by gamma/(gamma-1) so sum_hills
+        # integrates to -F directly; undo it to recover the DEPOSITED
+        # heights the bias is actually built from (PLUMED's own reader
+        # does the same division).
+        heights *= (bias_factor - 1.0) / bias_factor
     return PlumedHills(times, centers, sigmas, heights, bias_factor)
 
 
