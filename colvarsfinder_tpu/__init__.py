@@ -42,6 +42,7 @@ from .core import (
     TrainingTask,
 )
 from .deploy import load_numpy_cv, save_numpy_cv
+from .deploy_plumed import write_plumed_cv, write_plumed_metad
 from .deploy_torch import export_torchscript_cv, torchscript_from_numpy_cv
 from .export import ColvarModel, export_colvar, load_colvar
 from .models import (
@@ -76,6 +77,8 @@ __all__ = [
     "save_numpy_cv",
     "export_torchscript_cv",
     "torchscript_from_numpy_cv",
+    "write_plumed_cv",
+    "write_plumed_metad",
     "load_torch_state_dict",
     "save_torch_state_dict",
     "TrainingTask",
