@@ -295,6 +295,22 @@ def main():
     export_colvar(cv, raw[:1], os.path.join(args.outdir, "cv_artifact"))
     print("CV exported to", os.path.join(args.outdir, "cv_artifact"))
 
+    # PLUMED deployment: the same artifact becomes a runnable biasing input
+    # (positions mode here — the CV graph includes the alignment layer, so
+    # PLUMED feeds raw heavy-atom POSITIONs and autograds through it)
+    try:
+        from colvarsfinder_tpu import write_plumed_metad
+
+        pl = write_plumed_metad(
+            os.path.join(args.outdir, "cv_artifact"),
+            sigma=0.1, height=1.2, pace=500, biasfactor=8.0, temp=300.0,
+            atoms=input_ag.ix,
+        )
+        print(f"PLUMED input written: {pl.dat_path} ({pl.mode} mode, "
+              f"{len(pl.arg_names)} args -> {','.join(pl.components)})")
+    except ImportError:
+        print("torch unavailable; skipping PLUMED input export")
+
 
 if __name__ == "__main__":
     main()
