@@ -27,7 +27,11 @@ from .enhanced import (
     read_plumed_colvar,
     read_plumed_hills,
 )
-from .sampling import integrate_md_langevin, integrate_sde_overdamped
+from .sampling import (
+    integrate_md_langevin,
+    integrate_sde_langevin,
+    integrate_sde_overdamped,
+)
 from .trajectory import WeightedTrajectory, calc_weights, concatenate_trajectories
 from .netcdf import (
     NetCDFFrames,
@@ -45,6 +49,7 @@ __all__ = [
     "calc_weights",
     "concatenate_trajectories",
     "integrate_md_langevin",
+    "integrate_sde_langevin",
     "integrate_sde_overdamped",
     "BiasedPotential",
     "MBARResult",

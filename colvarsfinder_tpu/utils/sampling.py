@@ -11,6 +11,10 @@ TPU-native counterpart of the reference's samplers
   ``report_interval`` decimation folded into the scan and optional
   vmapped independent chains. A numpy fallback reproduces the reference
   loop for potentials that are not jax-traceable.
+* :func:`integrate_sde_langevin` — UNDERDAMPED Langevin dynamics via the
+  BAOAB splitting (the same integrator family as OpenMM's
+  ``LangevinMiddleIntegrator``), same one-scan structure; the native
+  sampler for systems with inertia when no MD engine is available.
 * :func:`integrate_md_langevin` — thin host-side wrapper around OpenMM
   (reference utils.py:172-255); OpenMM import is gated since MD
   integration is inherently sequential engine work that stays off-TPU.
@@ -30,7 +34,11 @@ import pandas as pd
 import jax
 import jax.numpy as jnp
 
-__all__ = ["integrate_sde_overdamped", "integrate_md_langevin"]
+__all__ = [
+    "integrate_sde_overdamped",
+    "integrate_sde_langevin",
+    "integrate_md_langevin",
+]
 
 
 def _resolve_grad(pot_obj):
@@ -298,6 +306,268 @@ def _batched_energy(pot_obj, frames: np.ndarray) -> np.ndarray:
             [np.asarray(pot_obj.V(x)).reshape(()) for x in flat]
         )
         return vals.reshape(n_chains, n_reports)
+
+
+# ---------------------------------------------------------------------------
+# underdamped Langevin (BAOAB)
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("grad_fn", "n_sub", "n_reports", "pre_steps"),
+)
+def _baoab_scan(
+    grad_fn, x0, v0, key, dt, c1, c2, inv_mass, sigma_v,
+    n_sub, n_reports, pre_steps,
+):
+    """BAOAB splitting of underdamped Langevin dynamics as one scan.
+
+    Same block-noise / decimation structure as :func:`_em_scan` (one
+    [n_sub, c, d] normal draw per report block). The force at the end of a
+    step's trailing B is reused as the next step's leading B, so each step
+    costs one gradient evaluation. Carry: (x, v, f).
+    """
+    half_dt = 0.5 * dt
+    burn_key, main_key = jax.random.split(key)
+
+    def baoab_step(carry, xi):
+        x, v, f = carry
+        v = v - half_dt * f * inv_mass          # B
+        x = x + half_dt * v                     # A
+        v = c1 * v + c2 * sigma_v * xi          # O
+        x = x + half_dt * v                     # A
+        f = grad_fn(x)
+        v = v - half_dt * f * inv_mass          # B
+        return (x, v, f)
+
+    carry = (x0, v0, grad_fn(x0))
+
+    n_burn_blocks = -(-pre_steps // n_sub) if pre_steps else 0
+
+    def burn_block(carry, i):
+        noise = jax.random.normal(
+            jax.random.fold_in(burn_key, i), (n_sub,) + x0.shape, x0.dtype
+        )
+
+        def body(j, cc):
+            take = i * n_sub + j < pre_steps
+            return jax.lax.cond(
+                take, lambda: baoab_step(cc, noise[j]), lambda: cc
+            )
+
+        return jax.lax.fori_loop(0, n_sub, body, carry), None
+
+    if n_burn_blocks:
+        carry, _ = jax.lax.scan(
+            burn_block, carry, jnp.arange(n_burn_blocks)
+        )
+
+    def report_block(carry, i):
+        noise = jax.random.normal(
+            jax.random.fold_in(main_key, i), (n_sub,) + x0.shape, x0.dtype
+        )
+        carry = baoab_step(carry, noise[0])
+        frame = (carry[0], carry[1])
+
+        def body(j, cc):
+            return baoab_step(cc, noise[j])
+
+        carry = jax.lax.fori_loop(1, n_sub, body, carry)
+        return carry, frame
+
+    carry, (frames, vels) = jax.lax.scan(
+        report_block, carry, jnp.arange(n_reports)
+    )
+    return frames, vels
+
+
+def integrate_sde_langevin(
+    pot_obj,
+    n_steps: int,
+    sampling_output_path: str,
+    X0: Optional[np.ndarray] = None,
+    V0: Optional[np.ndarray] = None,
+    friction: float = 1.0,
+    masses=None,
+    pre_steps: int = 0,
+    step_size: float = 0.01,
+    traj_txt_filename: str = "traj.txt",
+    csv_filename: str = "output.csv",
+    report_interval: int = 100,
+    seed: Optional[int] = None,
+    n_chains: int = 1,
+    return_velocities: bool = False,
+    verbose: bool = True,
+):
+    r"""Sample UNDERDAMPED Langevin dynamics with the BAOAB integrator.
+
+    The native analog of the reference's OpenMM MD sampler
+    (``integrate_md_langevin``, reference colvarsfinder/utils.py:172-255,
+    whose engine integrates the same underdamped Langevin equation):
+
+    .. math::
+        dx = v\,dt,\qquad
+        m\,dv = -\nabla V(x)\,dt - \gamma m v\,dt
+                + \sqrt{2\gamma m/\beta}\,dW
+
+    via the BAOAB splitting (Leimkuhler & Matthews 2013) — the same family
+    as OpenMM's ``LangevinMiddleIntegrator`` — which samples the
+    configurational Boltzmann distribution with :math:`O(dt^2)` accuracy
+    and tolerates much larger steps than Euler–Maruyama. The exact OU
+    substep uses :math:`c_1 = e^{-\gamma dt}`,
+    :math:`c_2 = \sqrt{1 - c_1^2}`.
+
+    Contract mirrors :func:`integrate_sde_overdamped`: ``pot_obj`` has
+    ``dim``, ``beta``, ``V`` (and optionally ``gradV``); trajectory text
+    files (rows ``t x_1 ... x_d``) and a Time,Energy CSV (potential energy
+    — what :func:`~colvarsfinder_tpu.utils.calc_weights` consumes) are
+    written per chain; the whole integration (burn-in + main loop +
+    decimation) is one jitted ``lax.scan`` with vmapped chains, with a
+    host-numpy fallback for non-traceable potentials.
+
+    Args:
+        friction: :math:`\gamma` in 1/time units.
+        masses: scalar or per-dimension [d] masses (default 1).
+        V0: initial velocities [d] or [n_chains, d]; default drawn from the
+            Maxwell–Boltzmann distribution at ``pot_obj.beta``.
+        return_velocities: also return recorded velocities.
+
+    Returns:
+        ``(frames, energies)`` — shapes as in
+        :func:`integrate_sde_overdamped` — or ``(frames, energies,
+        velocities)`` when ``return_velocities``.
+    """
+    dim = pot_obj.dim
+    sampling_beta = float(pot_obj.beta)
+
+    if verbose:
+        print(f"writing trajectory outputs to: {sampling_output_path}")
+        print(
+            f"sampling beta={sampling_beta:.3f}, dt={step_size:.3f}, "
+            f"friction={friction:.3f} (BAOAB)\n"
+        )
+
+    if seed is None:
+        seed = np.random.randint(0, 2**31 - 1)
+    key = jax.random.PRNGKey(seed)
+
+    mass = np.broadcast_to(
+        np.asarray(1.0 if masses is None else masses, dtype=np.float64),
+        (dim,),
+    )
+    inv_mass = 1.0 / mass
+    sigma_v = np.sqrt(1.0 / (sampling_beta * mass))
+    c1 = float(np.exp(-friction * step_size))
+    c2 = float(np.sqrt(1.0 - c1 * c1))
+
+    if X0 is None:
+        key, sub = jax.random.split(key)
+        X0 = np.asarray(jax.random.normal(sub, (n_chains, dim)))
+    else:
+        X0 = np.broadcast_to(np.asarray(X0, dtype=np.float64), (n_chains, dim))
+    if V0 is None:
+        key, sub = jax.random.split(key)
+        V0 = np.asarray(jax.random.normal(sub, (n_chains, dim))) * sigma_v
+    else:
+        V0 = np.broadcast_to(np.asarray(V0, dtype=np.float64), (n_chains, dim))
+
+    n_reports = (n_steps - 1) // report_interval + 1 if n_steps > 0 else 0
+
+    try:
+        grad_single = _resolve_grad(pot_obj)
+        grad_fn = jax.vmap(lambda x: jnp.asarray(grad_single(x)))
+        frames, vels = _baoab_scan(
+            grad_fn,
+            jnp.asarray(X0, dtype=jnp.float32),
+            jnp.asarray(V0, dtype=jnp.float32),
+            key,
+            jnp.float32(step_size),
+            jnp.float32(c1),
+            jnp.float32(c2),
+            jnp.asarray(inv_mass, dtype=jnp.float32),
+            jnp.asarray(sigma_v, dtype=jnp.float32),
+            int(report_interval), int(n_reports), int(pre_steps),
+        )
+        frames = np.asarray(jnp.swapaxes(frames, 0, 1), dtype=np.float64)
+        vels = np.asarray(jnp.swapaxes(vels, 0, 1), dtype=np.float64)
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.TracerBoolConversionError,
+            jax.errors.ConcretizationTypeError,
+            TypeError) as e:
+        warnings.warn(
+            f"potential is not jax-traceable ({type(e).__name__}); "
+            "falling back to host numpy integration"
+        )
+        frames, vels = _run_numpy_baoab(
+            pot_obj, X0, V0, seed, step_size, c1, c2, inv_mass, sigma_v,
+            report_interval, n_reports, pre_steps,
+        )
+
+    times = np.arange(n_reports) * report_interval * step_size
+    energies = _batched_energy(pot_obj, frames)
+
+    os.makedirs(sampling_output_path, exist_ok=True)
+    for c in range(n_chains):
+        suffix = "" if c == 0 else f"_chain{c}"
+        tname = _with_suffix(traj_txt_filename, suffix)
+        cname = _with_suffix(csv_filename, suffix)
+        with open(os.path.join(sampling_output_path, tname), "w+") as f:
+            for j in range(n_reports):
+                row = frames[c, j]
+                f.write(
+                    f"{times[j]:.3f} "
+                    + " ".join(f"{x:.6f}" for x in row)
+                    + "\n"
+                )
+        pd.DataFrame({"Time": times, "Energy": energies[c]}).to_csv(
+            os.path.join(sampling_output_path, cname), index=False
+        )
+
+    if verbose:
+        print(f"{n_reports} frames recorded per chain ({n_chains} chains)")
+
+    if n_chains == 1:
+        frames, energies, vels = frames[0], energies[0], vels[0]
+    if return_velocities:
+        return frames, energies, vels
+    return frames, energies
+
+
+def _run_numpy_baoab(pot_obj, X0, V0, seed, dt, c1, c2, inv_mass, sigma_v,
+                     report_interval, n_reports, pre_steps):
+    """Host fallback with the same BAOAB stepping and recording points."""
+    rng = np.random.default_rng(seed)
+    grad_fn = _numpy_grad(pot_obj)
+    n_chains, dim = X0.shape
+    frames = np.zeros((n_chains, n_reports, dim))
+    vels = np.zeros((n_chains, n_reports, dim))
+    half_dt = 0.5 * dt
+    for c in range(n_chains):
+        x = np.array(X0[c], dtype=np.float64)
+        v = np.array(V0[c], dtype=np.float64)
+        f = grad_fn(x)
+
+        def step(x, v, f):
+            v = v - half_dt * f * inv_mass
+            x = x + half_dt * v
+            v = c1 * v + c2 * sigma_v * rng.standard_normal(dim)
+            x = x + half_dt * v
+            f = grad_fn(x)
+            v = v - half_dt * f * inv_mass
+            return x, v, f
+
+        for _ in range(pre_steps):
+            x, v, f = step(x, v, f)
+        j = 0
+        last_record = (n_reports - 1) * report_interval
+        for i in range(last_record + 1):
+            x, v, f = step(x, v, f)
+            if i % report_interval == 0:
+                frames[c, j] = x
+                vels[c, j] = v
+                j += 1
+    return frames, vels
 
 
 def integrate_md_langevin(

@@ -7,6 +7,7 @@ import pytest
 from colvarsfinder_tpu.utils import (
     WeightedTrajectory,
     calc_weights,
+    integrate_sde_langevin,
     integrate_sde_overdamped,
 )
 
@@ -184,6 +185,61 @@ def test_integrate_sde_numpy_fallback(tmp_path):
             seed=1, verbose=False,
         )
     assert frames.shape == (5, 1)
+
+
+# ------------------------------------------------- underdamped (BAOAB)
+def test_integrate_sde_langevin_equilibrium(tmp_path):
+    """BAOAB samples the full phase-space Gibbs measure of a quadratic
+    potential: Var(x_i) = 1/(beta k_i) and equipartition
+    Var(v_i) = 1/(beta m_i), per-dimension masses included."""
+    pot = QuadPot()  # k = (1, 4), beta = 1
+    frames, energies, vels = integrate_sde_langevin(
+        pot, n_steps=200_000, sampling_output_path=str(tmp_path),
+        X0=np.zeros(2), step_size=0.05, friction=2.0, masses=[1.0, 2.0],
+        report_interval=10, pre_steps=2_000, seed=3,
+        return_velocities=True, verbose=False,
+    )
+    assert frames.shape == vels.shape == (20_000, 2)
+    np.testing.assert_allclose(frames.mean(axis=0), [0, 0], atol=0.08)
+    np.testing.assert_allclose(frames.std(axis=0), [1.0, 0.5], rtol=0.08)
+    np.testing.assert_allclose(
+        vels.std(axis=0), [1.0, 1.0 / np.sqrt(2.0)], rtol=0.08
+    )
+    # file outputs round-trip like the overdamped sampler's
+    traj = WeightedTrajectory(
+        traj_filename=str(tmp_path / "traj.txt"), verbose=False
+    )
+    assert traj.n_frames == 20_000
+    np.testing.assert_allclose(traj.dt, 0.5, atol=1e-9)
+    csv = pd.read_csv(tmp_path / "output.csv")
+    assert list(csv.columns) == ["Time", "Energy"]
+    np.testing.assert_allclose(
+        csv["Energy"].to_numpy(), energies, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_integrate_sde_langevin_multichain(tmp_path):
+    pot = QuadPot()
+    frames, energies = integrate_sde_langevin(
+        pot, n_steps=100, sampling_output_path=str(tmp_path),
+        step_size=0.01, report_interval=10, seed=0, n_chains=3,
+        verbose=False,
+    )
+    assert frames.shape == (3, 10, 2)
+    assert energies.shape == (3, 10)
+    assert (tmp_path / "traj_chain2.txt").exists()
+
+
+def test_integrate_sde_langevin_numpy_fallback(tmp_path):
+    pot = NumpyOnlyPot()
+    with pytest.warns(UserWarning, match="not jax-traceable"):
+        frames, _, vels = integrate_sde_langevin(
+            pot, n_steps=50, sampling_output_path=str(tmp_path),
+            X0=np.asarray([0.5]), step_size=0.01, report_interval=10,
+            seed=1, return_velocities=True, verbose=False,
+        )
+    assert frames.shape == vels.shape == (5, 1)
+    assert np.isfinite(frames).all()
 
 
 # ------------------------------------------------- multi-trajectory datasets
