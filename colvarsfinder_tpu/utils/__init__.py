@@ -18,9 +18,11 @@ from .enhanced import (
     MBARResult,
     MetadynamicsResult,
     PlumedHills,
+    REMDResult,
     UmbrellaResult,
     harmonic_restraint,
     integrate_sde_metadynamics,
+    integrate_sde_remd,
     integrate_sde_umbrella,
     mbar_weights,
     metad_frame_weights,
@@ -56,8 +58,10 @@ __all__ = [
     "MetadynamicsResult",
     "harmonic_restraint",
     "integrate_sde_metadynamics",
+    "integrate_sde_remd",
     "integrate_sde_umbrella",
     "mbar_weights",
+    "REMDResult",
     "UmbrellaResult",
     "PlumedHills",
     "read_plumed_hills",

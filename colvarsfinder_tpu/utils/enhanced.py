@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+from functools import partial
 from typing import Callable, Optional
 
 import numpy as np
@@ -41,10 +42,12 @@ __all__ = [
     "harmonic_restraint",
     "integrate_sde_metadynamics",
     "integrate_sde_umbrella",
+    "integrate_sde_remd",
     "MetadynamicsResult",
     "MBARResult",
     "mbar_weights",
     "UmbrellaResult",
+    "REMDResult",
     "PlumedHills",
     "read_plumed_hills",
     "read_plumed_colvar",
@@ -883,6 +886,348 @@ def integrate_sde_umbrella(
         beta=beta,
         dt=step_size * report_interval,
     )
+
+
+# ---------------------------------------------------------------------------
+# replica-exchange molecular dynamics (parallel tempering)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class REMDResult:
+    """Outcome of :func:`integrate_sde_remd` (K temperature slots).
+
+    ``frames[k]`` is the TEMPERATURE-SLOT trajectory at ``betas[k]`` —
+    slot k always samples the Boltzmann distribution at its own beta;
+    accepted exchanges teleport configurations between slots, so slot
+    trajectories are thermodynamically exact but kinetically
+    discontinuous at swap points (``swap_history`` records them; the
+    pooled :meth:`to_weighted_trajectory` turns each swap into a segment
+    boundary so time-lagged objectives never pair across a teleport).
+
+    Attributes:
+        frames: [K, n_reports, dim] recorded states per slot.
+        energies: [K, n_reports] potential energies of the recorded states.
+        betas: [K] inverse temperatures (slot order).
+        dt: time between recorded frames.
+        pair_attempts / pair_accepts: [K-1] exchange statistics for the
+            neighbor pairs (k, k+1).
+        swap_history: [n_reports, K] bool — True where slot k's
+            configuration was swapped just before recording frame j.
+    """
+
+    frames: np.ndarray
+    energies: np.ndarray
+    betas: np.ndarray
+    dt: float
+    pair_attempts: np.ndarray
+    pair_accepts: np.ndarray
+    swap_history: np.ndarray
+
+    @property
+    def n_replicas(self) -> int:
+        return len(self.betas)
+
+    @property
+    def pair_acceptance(self) -> np.ndarray:
+        """Acceptance rate per neighbor pair (nan where never attempted);
+        a well-designed ladder sits around 0.2-0.4 everywhere."""
+        with np.errstate(invalid="ignore"):
+            return np.where(
+                self.pair_attempts > 0,
+                self.pair_accepts / np.maximum(self.pair_attempts, 1),
+                np.nan,
+            )
+
+    def mbar(self, sys_beta: Optional[float] = None, **kwargs) -> MBARResult:
+        """Temperature-MBAR weights targeting ``sys_beta`` (default: the
+        coldest ladder beta): reduced bias energies
+        ``u_k(x) = (beta_k - sys_beta) V(x)`` over the pooled samples —
+        every slot contributes, hot slots downweighted exactly."""
+        target = float(self.betas.min() if sys_beta is None else sys_beta)
+        v_pooled = self.energies.reshape(-1)
+        u_kn = (self.betas[:, None] - target) * v_pooled[None, :]
+        return mbar_weights(
+            [e[:, None] for e in self.energies], u_kn=u_kn, **kwargs
+        )
+
+    def to_weighted_trajectory(
+        self,
+        sys_beta: Optional[float] = None,
+        mbar_result: Optional[MBARResult] = None,
+    ):
+        """Pool every slot into ONE training-ready
+        :class:`~colvarsfinder_tpu.utils.trajectory.WeightedTrajectory`:
+        frames concatenated, temperature-MBAR weights at ``sys_beta``
+        attached (pooled mean 1), and ``segment_starts`` marking both the
+        slot boundaries and every ACCEPTED exchange, so time-lagged
+        training pairs never span a configuration teleport."""
+        from .trajectory import WeightedTrajectory
+
+        mb = mbar_result if mbar_result is not None else self.mbar(sys_beta)
+        K, n, _ = self.frames.shape
+        traj = WeightedTrajectory(
+            trajectory=self.frames.reshape(-1, *self.frames.shape[2:]),
+            weights=np.concatenate(mb.weights),
+            dt=self.dt,
+            verbose=False,
+        )
+        starts = [np.arange(K) * n]
+        swap_j, swap_k = np.nonzero(self.swap_history)
+        if swap_j.size:
+            starts.append(swap_k * n + swap_j)
+        traj.segment_starts = np.unique(np.concatenate(starts))
+        return traj
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "grad_fn", "pot_v", "n_sub", "n_reports", "pre_steps",
+        "exchange_every_blocks",
+    ),
+)
+def _remd_scan(
+    grad_fn, pot_v, x0, key, step_size, betas,
+    n_sub, n_reports, pre_steps, exchange_every_blocks,
+):
+    """All K temperature slots as one scan: Euler–Maruyama blocks with the
+    per-slot noise scale sqrt(2 dt / beta_k), and a vectorized
+    even/odd-alternating neighbor-swap Metropolis attempt every
+    ``exchange_every_blocks`` report blocks (before the block's first
+    step). Same block-noise structure as sampling._em_scan."""
+    K = x0.shape[0]
+    noise_scale = jnp.sqrt(2.0 * step_size / betas)[:, None]
+    burn_key, main_key, ex_key = jax.random.split(key, 3)
+    i_arr = jnp.arange(K)
+
+    def em_step(x, xi):
+        return x - grad_fn(x) * step_size + noise_scale * xi
+
+    n_burn_blocks = -(-pre_steps // n_sub) if pre_steps else 0
+
+    def burn_block(x, i):
+        noise = jax.random.normal(
+            jax.random.fold_in(burn_key, i), (n_sub,) + x0.shape, x0.dtype
+        )
+
+        def body(j, xx):
+            take = i * n_sub + j < pre_steps
+            return jax.lax.cond(
+                take, lambda: em_step(xx, noise[j]), lambda: xx
+            )
+
+        return jax.lax.fori_loop(0, n_sub, body, x), None
+
+    x = x0
+    if n_burn_blocks:
+        x, _ = jax.lax.scan(burn_block, x, jnp.arange(n_burn_blocks))
+
+    def attempt_exchange(x, attempt):
+        vs = pot_v(x)  # [K]
+        parity = attempt % 2
+        partner = jnp.where((i_arr - parity) % 2 == 0, i_arr + 1, i_arr - 1)
+        valid = (partner >= 0) & (partner < K)
+        partner_c = jnp.clip(partner, 0, K - 1)
+        lo = jnp.minimum(i_arr, partner_c)
+        hi = jnp.maximum(i_arr, partner_c)
+        # swapping x_lo <-> x_hi between slots lo/hi changes the joint
+        # Gibbs exponent by (beta_lo - beta_hi)(V_lo - V_hi); accept in
+        # log space (exp can overflow when the move is downhill)
+        dlt = (betas[lo] - betas[hi]) * (vs[lo] - vs[hi])
+        u = jax.random.uniform(jax.random.fold_in(ex_key, attempt), (K,))
+        acc = valid & (jnp.log(u[lo]) < dlt)  # symmetric within a pair
+        x = x[jnp.where(acc, partner_c, i_arr)]
+        is_lo = valid & (i_arr == lo)
+        return x, acc, is_lo, is_lo & acc
+
+    zeros_b = jnp.zeros((K,), bool)
+
+    def report_block(carry, b):
+        x, att, accs = carry
+        do_ex = (b % exchange_every_blocks == 0)
+        x, moved, attempted, accepted = jax.lax.cond(
+            do_ex,
+            lambda: attempt_exchange(x, b // exchange_every_blocks),
+            lambda: (x, zeros_b, zeros_b, zeros_b),
+        )
+        att = att + attempted.astype(jnp.int32)
+        accs = accs + accepted.astype(jnp.int32)
+        noise = jax.random.normal(
+            jax.random.fold_in(main_key, b), (n_sub,) + x0.shape, x0.dtype
+        )
+        x = em_step(x, noise[0])
+        frame = x
+
+        def body(j, xx):
+            return em_step(xx, noise[j])
+
+        x = jax.lax.fori_loop(1, n_sub, body, x)
+        return (x, att, accs), (frame, moved)
+
+    counts0 = jnp.zeros((K,), jnp.int32)
+    (_, att, accs), (frames, moved) = jax.lax.scan(
+        report_block, (x, counts0, counts0), jnp.arange(n_reports)
+    )
+    return frames, moved, att, accs
+
+
+def integrate_sde_remd(
+    pot_obj,
+    betas,
+    n_steps: int,
+    sampling_output_path: Optional[str] = None,
+    X0: Optional[np.ndarray] = None,
+    pre_steps: int = 0,
+    step_size: float = 0.01,
+    report_interval: int = 100,
+    exchange_interval: Optional[int] = None,
+    seed: Optional[int] = None,
+    mesh=None,
+    verbose: bool = True,
+) -> REMDResult:
+    """Replica-exchange (parallel tempering) sampling — all K temperature
+    slots as ONE compiled, vmapped Euler–Maruyama scan with vectorized
+    neighbor-swap Metropolis attempts folded into the scan body.
+
+    Hot replicas cross barriers the target temperature cannot; accepted
+    swaps hand those configurations down the ladder, so the cold slot
+    explores every basin while still sampling its exact Boltzmann
+    distribution (swaps satisfy detailed balance:
+    ``P = min(1, exp((beta_a - beta_b)(V_a - V_b)))``, alternating
+    even/odd neighbor pairs). The reference ecosystem has no native
+    counterpart — this is the standard companion to its
+    higher-temperature reweighting workflow (``calc_weights`` with
+    ``sampling_beta != sys_beta``, reference utils.py:354-417),
+    generalized from one hot trajectory to a coupled ladder.
+
+    Args:
+        pot_obj: potential (``dim`` / ``beta`` / ``V``, jax-traceable;
+            ``gradV`` optional). ``pot_obj.beta`` is the conventional
+            target — include it in the ladder (usually as ``betas[0]``).
+        betas: [K] inverse-temperature ladder (any order; slot k stays at
+            ``betas[k]``). Geometric spacing between the target and the
+            hottest beta is the usual starting point; check
+            ``result.pair_acceptance`` (aim for ~0.2-0.4 per pair).
+        n_steps: integrator steps per slot.
+        exchange_interval: steps between swap attempts (must be a
+            multiple of ``report_interval``; default
+            ``10 * report_interval``).
+        sampling_output_path: when given, writes per-slot
+            ``traj_replica{k}.txt`` (t, x...) and ``replicas.csv``
+            (beta, pair acceptance).
+        X0: initial state [dim] shared by all slots, or per-slot
+            [K, dim].
+        mesh: optional :class:`jax.sharding.Mesh` — slots shard over the
+            mesh's first axis (K divisible by its size); the EM blocks
+            are collective-free, exchanges gather across devices.
+        pre_steps / step_size / report_interval / seed / verbose: as in
+            :func:`~colvarsfinder_tpu.utils.sampling.integrate_sde_overdamped`.
+
+    Returns:
+        :class:`REMDResult` — ``.frames[k]`` per-slot trajectories,
+        ``.pair_acceptance`` ladder diagnostics, ``.mbar()`` /
+        ``.to_weighted_trajectory()`` for a pooled training-ready dataset
+        (swap points become segment boundaries).
+    """
+    from .sampling import _batched_energy, _resolve_grad
+
+    betas = np.asarray(betas, dtype=np.float64).reshape(-1)
+    K = betas.shape[0]
+    if K < 2:
+        raise ValueError("replica exchange needs at least 2 betas")
+    if (betas <= 0).any():
+        raise ValueError("betas must be positive")
+    if n_steps < 1:
+        raise ValueError("n_steps must be >= 1")
+    if exchange_interval is None:
+        exchange_interval = 10 * report_interval
+    if exchange_interval % report_interval:
+        raise ValueError(
+            f"exchange_interval ({exchange_interval}) must be a multiple "
+            f"of report_interval ({report_interval})"
+        )
+    eeb = exchange_interval // report_interval
+    dim = pot_obj.dim
+
+    if seed is None:
+        seed = np.random.randint(0, 2**31 - 1)
+    key = jax.random.PRNGKey(seed)
+    if X0 is None:
+        key, sub = jax.random.split(key)
+        X0 = np.asarray(jax.random.normal(sub, (dim,)))
+    X0 = np.asarray(X0, dtype=np.float64)
+    if X0.ndim == 1:
+        X0 = np.broadcast_to(X0, (K, dim))
+    elif X0.shape != (K, dim):
+        raise ValueError(f"X0 must be [dim] or [K, dim]; got {X0.shape}")
+
+    grad_single = _resolve_grad(pot_obj)
+    grad_fn = jax.vmap(lambda x: jnp.asarray(grad_single(x)))
+    pot_v = jax.vmap(lambda x: jnp.asarray(pot_obj.V(x)).reshape(()))
+
+    n_reports = (n_steps - 1) // report_interval + 1
+    x0_dev = jnp.asarray(X0, jnp.float32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis0 = mesh.axis_names[0]
+        n_ax = int(mesh.shape[axis0])
+        if K % n_ax:
+            raise ValueError(
+                f"replica count {K} must be divisible by the size of mesh "
+                f"axis '{axis0}' ({n_ax}), which the slots shard over"
+            )
+        x0_dev = jax.device_put(
+            x0_dev, NamedSharding(mesh, PartitionSpec(axis0))
+        )
+    frames, moved, att, accs = _remd_scan(
+        grad_fn, pot_v, x0_dev, key,
+        jnp.float32(step_size), jnp.asarray(betas, jnp.float32),
+        int(report_interval), int(n_reports), int(pre_steps), int(eeb),
+    )
+    frames = np.asarray(frames).transpose(1, 0, 2)  # [K, n_reports, dim]
+    swap_history = np.asarray(moved)  # [n_reports, K]
+    att = np.asarray(att)[: K - 1]
+    accs = np.asarray(accs)[: K - 1]
+
+    energies = _batched_energy(pot_obj, frames)
+
+    result = REMDResult(
+        frames=frames.astype(np.float32),
+        energies=energies,
+        betas=betas,
+        dt=step_size * report_interval,
+        pair_attempts=att,
+        pair_accepts=accs,
+        swap_history=swap_history,
+    )
+
+    if sampling_output_path is not None:
+        os.makedirs(sampling_output_path, exist_ok=True)
+        times = np.arange(n_reports) * step_size * report_interval
+        for k in range(K):
+            np.savetxt(
+                os.path.join(sampling_output_path, f"traj_replica{k}.txt"),
+                np.column_stack([times, frames[k]]),
+                fmt="%.8g",
+            )
+        acc_rates = np.append(result.pair_acceptance, np.nan)
+        np.savetxt(
+            os.path.join(sampling_output_path, "replicas.csv"),
+            np.column_stack([betas, acc_rates]),
+            fmt="%.8g",
+            delimiter=",",
+            header="beta,pair_acceptance_up",
+            comments="",
+        )
+
+    if verbose:
+        print(
+            f"replica exchange: {K} slots x {n_reports} frames; "
+            f"pair acceptance {np.round(result.pair_acceptance, 3)}"
+        )
+    return result
 
 
 # ---------------------------------------------------------------------------
