@@ -41,6 +41,9 @@ examples eyeball scatter plots, e.g. dipeptide main.ipynb cell 21):
   on PCCA+ metastable sets: :math:`T(\\tau)^k` vs the model
   re-estimated at :math:`k\\tau` — the standard MSM validation,
   complementing the CV-autocorrelation-level :func:`ck_test`.
+* :func:`cv_sensitivity` — interpretability: which inputs (features,
+  atoms) drive each CV component, as std-scaled weighted-RMS input
+  gradients; ``aggregate='xyz'`` folds coordinates to per-atom scores.
 
 All three accept plain numpy inputs and the framework's CV callables
 (:class:`~colvarsfinder_tpu.export.ColvarModel`, deployed numpy CVs, or
@@ -61,6 +64,8 @@ __all__ = [
     "autocorrelation",
     "ck_test",
     "cv_consistency",
+    "cv_sensitivity",
+    "SensitivityResult",
     "free_energy_profile",
     "discretize",
     "implied_timescales",
@@ -1479,3 +1484,180 @@ def msm_ck_test(
         )
         est.append(project(model_k.transition_matrix, model_k.active))
     return MSMCKResult(lags_out, est, pred, sets)
+
+
+# ---------------------------------------------------------------------------
+# CV interpretability: input sensitivity / attribution
+# ---------------------------------------------------------------------------
+
+
+class SensitivityResult:
+    """Outcome of :func:`cv_sensitivity`.
+
+    Attributes:
+        sensitivity: [k, d] per-CV, per-input sensitivity scores
+            (weighted RMS gradient, optionally scaled by the input's
+            ensemble std so scores compare across inputs with different
+            natural scales).
+        relative: [k, d] rows normalized to sum 1 — the fraction of CV i's
+            response attributable to input d.
+        labels: input labels (user-provided or ``x0``..``x{d-1}`` /
+            ``atom0``.. when xyz-aggregated).
+        aggregated: whether xyz triplets were aggregated to atoms.
+    """
+
+    def __init__(self, sensitivity, relative, labels, aggregated):
+        self.sensitivity = sensitivity
+        self.relative = relative
+        self.labels = list(labels)
+        self.aggregated = aggregated
+
+    def top(self, cv_idx: int = 0, n: int = 5):
+        """The n most influential inputs of CV ``cv_idx`` as
+        (label, relative_importance) pairs, descending."""
+        order = np.argsort(self.relative[cv_idx])[::-1][:n]
+        return [(self.labels[i], float(self.relative[cv_idx, i])) for i in order]
+
+
+def cv_sensitivity(
+    cv_fn: Callable,
+    samples,
+    weights=None,
+    normalize: str = "std",
+    aggregate: str = "none",
+    labels: Optional[Sequence[str]] = None,
+    batch_size: int = 8192,
+) -> SensitivityResult:
+    r"""Which inputs drive each learned CV component (sensitivity
+    analysis, the standard interpretability diagnostic of the
+    CV-discovery literature — e.g. mlcolvar's `sensitivity_analysis`).
+
+    For CV components :math:`g_i` and inputs :math:`x_d`,
+
+    .. math::
+        s_{id} = \sigma_d\,\sqrt{\mathbb{E}_w\!\left[
+            \left(\partial g_i/\partial x_d\right)^2\right]}
+
+    — the weighted RMS input gradient over the provided ensemble, scaled
+    by the input's ensemble std :math:`\sigma_d` (``normalize='std'``;
+    ``'none'`` for raw gradient RMS) so that "this feature moves the CV"
+    accounts for how much the feature itself moves. Rows of ``relative``
+    sum to 1.
+
+    Per-sample gradients are taken as the Jacobian of the BATCHED
+    function's component sums (one jacrev of k sums, the same
+    formulation as the generator loss path — samples are independent,
+    so :math:`\partial \sum_n g_i(x_n)/\partial x_n` IS the per-sample
+    gradient), falling back to central finite differences for
+    non-traceable callables (e.g. a deployed numpy CV).
+
+    Args:
+        cv_fn: map from a batch of states ``[B, *state]`` to CV values
+            ``[B, k]`` (a :class:`~colvarsfinder_tpu.export.ColvarModel`,
+            ``task.colvar_model()``, or any callable — including the
+            numpy evaluator from
+            :func:`~colvarsfinder_tpu.deploy.load_numpy_cv`).
+        samples: [n, *state] representative frames (e.g. the training
+            trajectory or a subsample).
+        weights: optional per-frame weights (mean-1 convention not
+            required; normalized internally).
+        normalize: ``'std'`` (default) or ``'none'``.
+        aggregate: ``'none'`` or ``'xyz'`` — for coordinate states
+            [N, 3], L2-combine each atom's x/y/z into one score per atom.
+        labels: input labels (feature names, atom names). Defaults to
+            ``x{d}`` / ``atom{a}``.
+        batch_size: frames per gradient batch.
+
+    Returns:
+        :class:`SensitivityResult`.
+    """
+    samples = np.asarray(samples)
+    n = samples.shape[0]
+    state_shape = samples.shape[1:]
+    d_flat = int(np.prod(state_shape))
+    if weights is None:
+        w = np.full(n, 1.0 / n)
+    else:
+        w = np.asarray(weights, dtype=np.float64).reshape(-1)
+        if w.shape[0] != n:
+            raise ValueError(f"{w.shape[0]} weights for {n} samples")
+        w = w / w.sum()
+
+    def _jac_numpy(xb):
+        # central differences on the flattened input (deployment-artifact
+        # path; d is small in feature space)
+        x_flat = xb.reshape(xb.shape[0], -1).astype(np.float64)
+        f0 = np.asarray(cv_fn(xb))
+        k = f0.shape[-1]
+        J = np.empty((xb.shape[0], k, d_flat))
+        for di in range(d_flat):
+            eps = 1e-4 * max(1.0, np.abs(x_flat[:, di]).max())
+            xp, xm = x_flat.copy(), x_flat.copy()
+            xp[:, di] += eps
+            xm[:, di] -= eps
+            fp = np.asarray(cv_fn(xp.reshape(xb.shape).astype(xb.dtype)))
+            fm = np.asarray(cv_fn(xm.reshape(xb.shape).astype(xb.dtype)))
+            J[:, :, di] = (fp - fm) / (2 * eps)
+        return J
+
+    jac_fn = None
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        def _sums(xb):
+            return jnp.asarray(cv_fn(xb)).sum(axis=0)  # [k]
+
+        _jac_jax = jax.jit(jax.jacrev(_sums))
+
+        def jac_fn(xb):
+            J = _jac_jax(jnp.asarray(xb))  # [k, B, *state]
+            J = np.asarray(J).reshape(J.shape[0], xb.shape[0], d_flat)
+            return np.moveaxis(J, 0, 1)  # [B, k, d]
+
+        # probe traceability on a tiny slice before trusting the path
+        jac_fn(samples[:2])
+    except Exception:
+        jac_fn = _jac_numpy
+
+    acc = None
+    for lo in range(0, n, batch_size):
+        xb = samples[lo: lo + batch_size]
+        J = jac_fn(xb)  # [B, k, d]
+        contrib = np.einsum("b,bkd->kd", w[lo: lo + batch_size], J**2)
+        acc = contrib if acc is None else acc + contrib
+    sens = np.sqrt(acc)  # [k, d]
+
+    if normalize == "std":
+        flat = samples.reshape(n, -1).astype(np.float64)
+        mu = w @ flat
+        sigma = np.sqrt(np.maximum(w @ (flat - mu) ** 2, 0.0))
+        sens = sens * sigma[None, :]
+    elif normalize != "none":
+        raise ValueError("normalize must be 'std' or 'none'")
+
+    if aggregate == "xyz":
+        if len(state_shape) != 2 or state_shape[-1] != 3:
+            raise ValueError(
+                f"aggregate='xyz' needs [N, 3] states, got {state_shape}"
+            )
+        n_atoms = state_shape[0]
+        sens = np.sqrt(
+            (sens.reshape(sens.shape[0], n_atoms, 3) ** 2).sum(axis=-1)
+        )
+        default_labels = [f"atom{a}" for a in range(n_atoms)]
+    elif aggregate == "none":
+        default_labels = [f"x{di}" for di in range(d_flat)]
+    else:
+        raise ValueError("aggregate must be 'none' or 'xyz'")
+
+    if labels is None:
+        labels = default_labels
+    elif len(labels) != sens.shape[1]:
+        raise ValueError(
+            f"{len(labels)} labels for {sens.shape[1]} inputs"
+        )
+
+    totals = sens.sum(axis=1, keepdims=True)
+    relative = sens / np.where(totals > 0, totals, 1.0)
+    return SensitivityResult(sens, relative, labels, aggregate == "xyz")

@@ -39,6 +39,7 @@ __all__ = [
     "plot_cv_scatter",
     "plot_free_energy",
     "plot_ck_test",
+    "plot_cv_sensitivity",
     "plot_msm_ck",
     "plot_timescales",
 ]
@@ -385,3 +386,41 @@ def plot_msm_ck(result, axes=None):
                 ax.set_ylabel("probability")
     axes[0, 0].legend(frameon=False, fontsize=8)
     return axes
+
+
+def plot_cv_sensitivity(result, cv_idx=None, top_n: int = 20, ax=None):
+    """Horizontal bar chart of input importances from
+    :func:`colvarsfinder_tpu.analysis.cv_sensitivity`: the ``top_n``
+    inputs by total relative importance, one bar group per CV component.
+
+    Args:
+        result: a :class:`~colvarsfinder_tpu.analysis.SensitivityResult`.
+        cv_idx: int or list of CV components to show (default: all).
+        top_n: keep only the strongest inputs (by summed relative
+            importance across the shown components).
+        ax: existing axes (optional).
+    """
+    ax = _new_ax(ax)
+    rel = np.atleast_2d(np.asarray(result.relative))
+    if cv_idx is not None:
+        idx = [cv_idx] if np.isscalar(cv_idx) else list(cv_idx)
+        rel = rel[idx]
+        names = [f"CV {i + 1}" for i in idx]
+    else:
+        names = [f"CV {i + 1}" for i in range(rel.shape[0])]
+    order = np.argsort(rel.sum(axis=0))[::-1][:top_n][::-1]
+    y = np.arange(len(order), dtype=float)
+    h = 0.8 / rel.shape[0]
+    for i in range(rel.shape[0]):
+        ax.barh(
+            y + (i - (rel.shape[0] - 1) / 2) * h,
+            rel[i, order],
+            height=h,
+            color=_color(i),
+            label=names[i],
+        )
+    ax.set_yticks(y)
+    ax.set_yticklabels([result.labels[j] for j in order], fontsize=8)
+    ax.set_xlabel("relative importance")
+    ax.legend(frameon=False, fontsize=8)
+    return _style(ax)

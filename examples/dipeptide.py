@@ -290,6 +290,23 @@ def main():
     print(f"free-energy profile along CV_1: {n_wells} local minima, "
           f"barrier {np.nanmax(fes[np.isfinite(fes)]):.2f} kT")
 
+    # interpretability: per-atom attribution of CV_1. The rigid
+    # alignment couples every atom through the fitted rotation, so the
+    # response spreads beyond the four psi atoms — the diagnostic here
+    # is the RANKING, not exclusivity
+    from colvarsfinder_tpu.analysis import cv_sensitivity
+
+    sens = cv_sensitivity(
+        cv, raw[::10], weights=traj_obj.weights[::10], aggregate="xyz",
+        labels=list(input_ag.names),
+    )
+    top = sens.top(0, n=4)
+    print("CV_1 attribution (top heavy atoms):",
+          [(lbl, round(s, 3)) for lbl, s in top])
+    psi_share = sens.relative[0, psi_rel].sum()
+    print(f"psi-dihedral atoms carry {psi_share:.0%} of CV_1's response "
+          f"(uniform would be {len(psi_rel) / len(input_ag.names):.0%})")
+
     from colvarsfinder_tpu.export import export_colvar
 
     export_colvar(cv, raw[:1], os.path.join(args.outdir, "cv_artifact"))

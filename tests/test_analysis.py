@@ -954,3 +954,96 @@ class TestMSMCK:
         s = np.zeros(500, dtype=np.int64)  # single visited state
         with pytest.raises(ValueError, match="metastable set|active"):
             msm_ck_test(s, lag=1, n_sets=2)
+
+
+# ------------------------------------------------------------- sensitivity
+def test_cv_sensitivity_linear_oracle():
+    """For a linear CV g(x) = W x the jacobian is W everywhere, so
+    sensitivity with normalize='none' is exactly |W|, and 'std' scales
+    column d by std(x_d)."""
+    from colvarsfinder_tpu.analysis import cv_sensitivity
+
+    rng = np.random.default_rng(0)
+    W = np.array([[1.0, -2.0, 0.0], [0.5, 0.0, 3.0]])
+    X = rng.standard_normal((4000, 3)) * np.array([1.0, 2.0, 0.5])
+
+    res = cv_sensitivity(lambda x: x @ W.T, X, normalize="none")
+    np.testing.assert_allclose(res.sensitivity, np.abs(W), rtol=1e-5)
+    np.testing.assert_allclose(res.relative.sum(axis=1), 1.0, rtol=1e-9)
+
+    res_std = cv_sensitivity(lambda x: x @ W.T, X, normalize="std")
+    sigma = X.std(axis=0)
+    np.testing.assert_allclose(
+        res_std.sensitivity, np.abs(W) * sigma[None, :], rtol=2e-3
+    )
+
+
+def test_cv_sensitivity_numpy_fallback():
+    """A non-traceable callable (numpy deployment evaluator) falls back
+    to finite differences and matches the analytic jacobian."""
+    from colvarsfinder_tpu.analysis import cv_sensitivity
+
+    W = np.array([[2.0, -1.0]])
+
+    def np_cv(x):
+        x = np.asarray(x)  # breaks tracing; fine for numpy
+        if x.dtype.kind not in "fd":
+            raise TypeError("not traceable")
+        return np.tanh(x) @ W.T
+
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((500, 2)) * 0.3
+    res = cv_sensitivity(np_cv, X, normalize="none")
+    # d tanh = 1 - tanh^2; RMS over the ensemble
+    J = (1 - np.tanh(X) ** 2)[:, None, :] * W[None, :, :]
+    want = np.sqrt((J**2).mean(axis=0))
+    np.testing.assert_allclose(res.sensitivity, want, rtol=1e-3)
+
+
+def test_cv_sensitivity_xyz_aggregation():
+    """Coordinate CVs aggregate x/y/z per atom; untouched atoms score 0
+    and .top() ranks the used atom first."""
+    from colvarsfinder_tpu.analysis import cv_sensitivity
+
+    rng = np.random.default_rng(2)
+    X = rng.standard_normal((300, 4, 3)).astype(np.float32)
+
+    def cv(x):  # depends only on atom 1
+        return (x[:, 1, :] ** 2).sum(axis=-1, keepdims=True)
+
+    res = cv_sensitivity(cv, X, aggregate="xyz")
+    assert res.sensitivity.shape == (1, 4)
+    assert res.labels == ["atom0", "atom1", "atom2", "atom3"]
+    assert res.relative[0, 1] > 0.99
+    label, share = res.top(0, n=1)[0]
+    assert label == "atom1" and share > 0.99
+
+    with pytest.raises(ValueError, match="labels"):
+        cv_sensitivity(cv, X, aggregate="xyz", labels=["a", "b"])
+    with pytest.raises(ValueError, match="xyz"):
+        cv_sensitivity(lambda x: x[:, :1], np.zeros((5, 3)), aggregate="xyz")
+
+
+def test_cv_sensitivity_trained_model():
+    """The real surface: a ColvarModel with feature preprocessing —
+    feature labels attach and every score is finite."""
+    from colvarsfinder_tpu import ColvarModel
+    from colvarsfinder_tpu.analysis import cv_sensitivity
+    from colvarsfinder_tpu.models import EigenFunctions
+    from colvarsfinder_tpu.ops import Feature, FeatureLayer, PreprocessingANN
+
+    feat = FeatureLayer(
+        [
+            Feature("phi", "dihedral_rad", [0, 1, 2, 3]),
+            Feature("b", "bond", [0, 4]),
+        ]
+    )
+    pp = PreprocessingANN(None, feat)
+    cv = ColvarModel(pp, EigenFunctions([2, 8, 1], 2, seed=0))
+    rng = np.random.default_rng(3)
+    X = (rng.standard_normal((200, 5, 3)) * 0.5).astype(np.float32)
+    res = cv_sensitivity(cv, X, aggregate="xyz")
+    assert res.sensitivity.shape == (2, 5)
+    assert np.isfinite(res.sensitivity).all()
+    # atom 4 only enters through the bond feature; atoms 0-3 through both
+    assert (res.relative > 0).all()

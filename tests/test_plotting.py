@@ -153,3 +153,16 @@ def test_msm_ck_grid():
     assert axes.shape == (2, 2)
     for ax in axes.ravel():
         assert len(ax.get_lines()) == 2  # estimated + predicted
+
+
+def test_cv_sensitivity_plot():
+    rng = np.random.default_rng(5)
+    W = rng.standard_normal((2, 6))
+    X = rng.standard_normal((500, 6))
+    res = analysis.cv_sensitivity(lambda x: x @ W.T, X)
+    ax = plotting.plot_cv_sensitivity(res, top_n=4)
+    # 2 CV series x 4 kept inputs = 8 bars
+    assert len(ax.patches) == 8
+    assert len(ax.get_yticklabels()) == 4
+    ax2 = plotting.plot_cv_sensitivity(res, cv_idx=1)
+    assert len(ax2.patches) == 6
