@@ -37,6 +37,7 @@ from . import (
 from .checkpoint import load_torch_state_dict, save_torch_state_dict
 from .core import (
     AutoEncoderTask,
+    CommittorTask,
     EigenFunctionTask,
     RegAutoEncoderTask,
     TrainingTask,
@@ -83,6 +84,7 @@ __all__ = [
     "save_torch_state_dict",
     "TrainingTask",
     "AutoEncoderTask",
+    "CommittorTask",
     "EigenFunctionTask",
     "RegAutoEncoderTask",
     "AutoEncoder",

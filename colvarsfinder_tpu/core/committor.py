@@ -1,0 +1,388 @@
+r"""Committor-function training task (transition path theory).
+
+Beyond the reference's three loss families: learns the committor
+:math:`q(x) = P(\text{reach } B \text{ before } A \mid X_0 = x)` between
+two metastable sets — the provably optimal one-dimensional reaction
+coordinate — from the same weighted trajectory data the other tasks
+consume, by minimizing the variational (Dirichlet-form) objective with
+soft boundary penalties (see :func:`colvarsfinder_tpu.core.losses
+.committor_loss`). The per-sample input gradients reuse the generator
+eigenfunction path's single-jacrev-of-the-batch formulation, so the whole
+epoch compiles to the same one-dispatch ``lax.scan`` execution model as
+the other tasks (reference execution pattern being replaced:
+colvarsfinder/core.py:493-561's per-batch Python loop).
+
+The trained CV exposed by :meth:`CommittorTask.colvar_model` is the
+pre-sigmoid logit :math:`g(r(x))` — a monotone transform of :math:`q`
+with identical level sets, which keeps every deployment artifact
+(StableHLO / numpy / TorchScript / PLUMED) working unchanged; committor
+probabilities come from :meth:`CommittorTask.committor_values` or the
+callable :meth:`CommittorTask.committor_fn`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import default_dtype
+from ..export import ColvarModel
+from ..logging_utils import losses_to_dataframe, profile_trace
+from ..ops.features import as_pp_layer
+from .losses import committor_loss
+from .task import TrainingTask
+
+__all__ = ["CommittorTask"]
+
+_EPOCH_FN_CACHE: dict = {}
+
+_METRIC_COLS = ["loss", "dirichlet", "boundary_a", "boundary_b"]
+
+
+def _multi_epoch_fn(length: int, opt_name: str, unroll: bool):
+    from ..config import numerics_key
+
+    key = ("committor", length, numerics_key(), opt_name, unroll)
+    cached = _EPOCH_FN_CACHE.get(key)
+    if cached is not None:
+        return cached[0]
+    optimizer = TrainingTask.make_optimizer(opt_name)
+
+    def batch_metrics(model, pp_layer, diag_coeff, hyper, batch):
+        loss, (dirichlet, pa, pb) = committor_loss(
+            model, pp_layer, *batch, hyper, diag_coeff
+        )
+        return loss, jnp.stack([loss, dirichlet, pa, pb])
+
+    def loss_only(model, pp_layer, diag_coeff, hyper, batch):
+        return batch_metrics(model, pp_layer, diag_coeff, hyper, batch)[0]
+
+    if unroll:
+        def epoch_body(
+            model, opt_state, pp_layer, diag_coeff, hyper,
+            train_batches, test_batches,
+        ):
+            train_m = []
+            for batch in train_batches:
+                (loss, metrics), grads = jax.value_and_grad(
+                    batch_metrics, has_aux=True
+                )(model, pp_layer, diag_coeff, hyper, batch)
+                updates, opt_state = optimizer.update(grads, opt_state, model)
+                model = optax.apply_updates(model, updates)
+                train_m.append(metrics)
+            test_m = [
+                batch_metrics(model, pp_layer, diag_coeff, hyper, batch)[1]
+                for batch in test_batches
+            ]
+            return model, opt_state, jnp.stack(train_m), jnp.stack(test_m)
+    else:
+        def epoch_body(
+            model, opt_state, pp_layer, diag_coeff, hyper,
+            train_data, test_data,
+        ):
+            def train_step(carry, batch):
+                model, opt_state = carry
+                (loss, metrics), grads = jax.value_and_grad(
+                    batch_metrics, has_aux=True
+                )(model, pp_layer, diag_coeff, hyper, batch)
+                updates, opt_state = optimizer.update(grads, opt_state, model)
+                model = optax.apply_updates(model, updates)
+                return (model, opt_state), metrics
+
+            (model, opt_state), train_m = jax.lax.scan(
+                train_step, (model, opt_state), train_data
+            )
+
+            def eval_step(_, batch):
+                return None, batch_metrics(
+                    model, pp_layer, diag_coeff, hyper, batch
+                )[1]
+
+            _, test_m = jax.lax.scan(eval_step, None, test_data)
+            return model, opt_state, train_m, test_m
+
+    # value_and_grad(has_aux) differentiates `loss` only; silence the
+    # linter about loss_only (kept for symmetry with future fused paths)
+    del loss_only
+    return TrainingTask.compile_multi_epoch(
+        _EPOCH_FN_CACHE, key, length, epoch_body
+    )
+
+
+class CommittorTask(TrainingTask):
+    r"""Learn the committor between metastable sets A and B.
+
+    Args:
+        traj_obj: a :class:`~colvarsfinder_tpu.utils.WeightedTrajectory`
+            sampling the (possibly reweighted) Boltzmann distribution.
+            The trajectory should VISIT both sets; frames outside A and B
+            carry the Dirichlet term.
+        pp_layer: preprocessing layer ``r`` (gradients flow through it,
+            exactly as in the generator eigenfunction task).
+        model: scalar-output network ``g`` (e.g.
+            ``create_sequential_nn([d_r, 20, 20, 1])``); the committor is
+            ``sigmoid(g(r(x)))``.
+        model_path: checkpoint/metrics directory (same contract as the
+            other tasks).
+        region_a / region_b: the metastable sets — either boolean
+            arrays over the trajectory's frames, or callables mapping the
+            raw frame array [n, *state] to [n] booleans (evaluated once,
+            on the host). Both must be non-empty and disjoint.
+        alpha: boundary-penalty strength (traced: tasks differing only in
+            alpha share compiled programs). Large enough that the
+            boundary terms dominate the Dirichlet term near A/B.
+        beta: inverse temperature of the target dynamics.
+        diag_coeff: optional [d] diffusion diagonal (as in
+            :class:`~colvarsfinder_tpu.core.EigenFunctionTask`'s
+            generator mode).
+        (remaining arguments as in the other tasks)
+
+    Attributes:
+        train_loss_df / test_loss_df: per-epoch dataframes with columns
+            ``loss, dirichlet, boundary_a, boundary_b``.
+    """
+
+    PREBATCH_UNROLL_LIMIT = 32
+
+    def __init__(
+        self,
+        traj_obj,
+        pp_layer,
+        model,
+        model_path,
+        region_a,
+        region_b,
+        alpha: float = 100.0,
+        beta: float = 1.0,
+        diag_coeff=None,
+        learning_rate: float = 0.01,
+        load_model_filename=None,
+        save_model_every_step: int = 10,
+        batch_size: int = 1000,
+        num_epochs: int = 10,
+        test_ratio: float = 0.2,
+        optimizer_name: str = "Adam",
+        device=None,
+        plot_class=None,
+        plot_frequency: int = 0,
+        verbose: bool = True,
+        debug_mode: bool = True,
+        **kwargs,
+    ):
+        pp_layer = as_pp_layer(pp_layer)
+        super().__init__(
+            traj_obj, pp_layer, model, model_path, learning_rate,
+            load_model_filename, save_model_every_step, 1,
+            batch_size, num_epochs, test_ratio, optimizer_name, device,
+            plot_class, plot_frequency, verbose, debug_mode, **kwargs,
+        )
+        self.alpha = float(alpha)
+        self.beta = float(beta)
+        self.diag_coeff = (
+            None if diag_coeff is None
+            else jnp.asarray(np.asarray(diag_coeff), dtype=default_dtype())
+        )
+        self.init_model_and_optimizer()
+        self._unroll = False
+
+        self._traj = np.asarray(traj_obj.trajectory, dtype=default_dtype())
+        self._weights = np.asarray(traj_obj.weights, dtype=default_dtype())
+        n = self._traj.shape[0]
+
+        # output must be scalar (one committor)
+        out = jax.eval_shape(
+            lambda x: self.model(self.preprocessing_layer(x)),
+            jax.ShapeDtypeStruct((1,) + self._traj.shape[1:], self._traj.dtype),
+        )
+        if int(np.prod(out.shape[1:])) != 1:
+            raise ValueError(
+                f"committor model must have one output, got shape "
+                f"{out.shape[1:]}"
+            )
+
+        self._mask_a = self._resolve_region(region_a, n, "region_a")
+        self._mask_b = self._resolve_region(region_b, n, "region_b")
+        if (self._mask_a * self._mask_b).any():
+            raise ValueError("region_a and region_b overlap")
+
+        if self.verbose:
+            print(
+                f"\ncommittor task: {n} frames, "
+                f"{int(self._mask_a.sum())} in A, "
+                f"{int(self._mask_b.sum())} in B\n",
+                flush=True,
+            )
+
+    def _resolve_region(self, region, n: int, name: str) -> np.ndarray:
+        if callable(region):
+            mask = np.asarray(region(self._traj)).reshape(-1)
+        else:
+            mask = np.asarray(region).reshape(-1)
+        if mask.shape[0] != n:
+            raise ValueError(
+                f"{name} yields {mask.shape[0]} values for {n} frames"
+            )
+        mask = mask.astype(bool)
+        if not mask.any():
+            raise ValueError(
+                f"{name} matches no trajectory frame — the committor "
+                "boundary condition cannot be imposed"
+            )
+        return mask.astype(default_dtype())
+
+    # ------------------------------------------------------------------
+    def colvar_model(self) -> ColvarModel:
+        r"""The logit-committor CV ``g(r(x))`` (same level sets as q;
+        every deployment artifact applies)."""
+        return ColvarModel(self.preprocessing_layer, self.model)
+
+    def reg_model(self):
+        return None
+
+    def committor_fn(self):
+        """Callable ``q(X) = sigmoid(g(r(X)))`` on raw state batches."""
+        cv = self.colvar_model()
+
+        def q(X):
+            return jax.nn.sigmoid(jnp.asarray(cv(X)))[:, 0]
+
+        return q
+
+    def committor_values(self, X) -> np.ndarray:
+        """Committor probabilities on raw states [n, *state] -> [n]."""
+        return np.asarray(self.committor_fn()(jnp.asarray(X)))
+
+    # ------------------------------------------------------------------
+    def _prepare_data(self):
+        cached = getattr(self, "_prepared_data_cache", None)
+        if cached is not None:
+            return cached
+        n = self._traj.shape[0]
+        train_idx, test_idx = self._make_split(n)
+
+        train_b = self._make_batches(
+            np.arange(len(train_idx)), self.batch_size
+        )
+        test_b = self._make_batches(np.arange(len(test_idx)), self.batch_size)
+
+        def gather(idx):
+            return (
+                self._traj[idx], self._weights[idx],
+                self._mask_a[idx], self._mask_b[idx],
+            )
+
+        tr = gather(train_idx)
+        te = gather(test_idx)
+
+        unroll = len(train_b) + len(test_b) <= self.PREBATCH_UNROLL_LIMIT
+        self._unroll = unroll
+        if unroll:
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_frames
+
+                place = lambda t: shard_frames(t, self.mesh)  # noqa: E731
+            else:
+                place = self._place_batched
+            data_args = (
+                place(tuple(tuple(a[row] for a in tr) for row in train_b)),
+                place(tuple(tuple(a[row] for a in te) for row in test_b)),
+            )
+        else:
+            def stack(arrs, rows):
+                return tuple(
+                    self._place_batched(
+                        a[rows.reshape(-1)].reshape(
+                            rows.shape + a.shape[1:]
+                        )
+                    )
+                    for a in arrs
+                )
+
+            data_args = (stack(tr, train_b), stack(te, test_b))
+        self._prepared_data_cache = (data_args, unroll, train_b, test_b)
+        return self._prepared_data_cache
+
+    def _hyper(self):
+        dt = default_dtype()
+        return (jnp.asarray(self.alpha, dt), jnp.asarray(self.beta, dt))
+
+    def train(self):
+        r"""Train the committor (same chunked one-dispatch execution model
+        as the other tasks)."""
+        data_args, unroll, train_b, test_b = self._prepare_data()
+
+        model = self._place_replicated(self._protect(self.model))
+        opt_state = self._place_replicated(self._protect(self.opt_state))
+        pp_dev = self._place_replicated(self.preprocessing_layer)
+
+        self._print_train_banner(train_b, test_b)
+
+        self.loss_list = []
+        min_loss = float("inf")
+        train_means, test_means = [], []
+
+        import time as _time
+
+        self.epoch_times = []
+        with profile_trace(self.profile_dir):
+            epoch = 0
+            while epoch < self.num_epochs:
+                chunk = self._next_chunk(epoch)
+                _t0 = _time.perf_counter()
+                model, opt_state, train_ms, test_ms = _multi_epoch_fn(
+                    chunk, self.optimizer_name.lower(), unroll
+                )(
+                    model, opt_state, pp_dev, self.diag_coeff,
+                    self._hyper(), *data_args,
+                )
+                train_ms, test_ms = jax.device_get((train_ms, test_ms))
+                chunk_time = (_time.perf_counter() - _t0) / chunk
+                self.model = model
+                self.opt_state = opt_state
+
+                for j in range(chunk):
+                    e = epoch + j
+                    tm, sm = train_ms[j], test_ms[j]  # [nb, 4]
+                    self.loss_list.append([tm, sm])
+                    train_means.append(tm.mean(axis=0))
+                    test_means.append(sm.mean(axis=0))
+                    for ci, col in enumerate(_METRIC_COLS):
+                        self.writer.add_scalar(
+                            f"{col}/train", train_means[-1][ci], e
+                        )
+                        self.writer.add_scalar(
+                            f"{col}/test", test_means[-1][ci], e
+                        )
+                    self.epoch_times.append(chunk_time)
+                epoch += chunk
+                e = epoch - 1
+                self._print_progress(
+                    epoch, float(train_means[-1][0]), chunk_time
+                )
+
+                if (
+                    self.save_model_every_step > 0
+                    and e % self.save_model_every_step
+                    == self.save_model_every_step - 1
+                ):
+                    self.save_model(e)
+                    # best on last-batch train loss (house convention,
+                    # matching the preserved reference quirk)
+                    last_loss = float(train_ms[-1, -1, 0])
+                    if last_loss < min_loss:
+                        min_loss = last_loss
+                        self.save_model(e, "best")
+
+                if (
+                    self.plot_frequency > 0
+                    and e % self.plot_frequency == self.plot_frequency - 1
+                    and self.plot_class is not None
+                ):
+                    self.plot_class.plot(self.colvar_model(), epoch=e)
+
+        self.model = model
+        self.opt_state = opt_state
+        self.train_loss_df = losses_to_dataframe(train_means, _METRIC_COLS)
+        self.test_loss_df = losses_to_dataframe(test_means, _METRIC_COLS)

@@ -45,6 +45,7 @@ __all__ = [
     "weighted_mse_loss",
     "weighted_mse_lagged_loss",
     "eigen_loss",
+    "committor_loss",
     "EigenAux",
     "enc_grad_loss",
     "enc_norm_loss",
@@ -381,3 +382,56 @@ def reg_eigen_loss(
     penalty = penalty + _pairwise_cov_penalty(y, weight, tot_weight, means, num_reg)
 
     return eig_vals, non_penalty, penalty, cvec
+
+
+def committor_loss(
+    model, pp_layer, X, weight, mask_a, mask_b, hyper, diag_coeff=None
+):
+    r"""Variational committor loss (transition path theory).
+
+    The committor :math:`q(x) = P(\text{hit } B \text{ before } A \mid x)`
+    of overdamped Langevin dynamics minimizes the Dirichlet form over
+    functions pinned to 0 on A and 1 on B; with soft boundary penalties
+    (Khoo, Lu & Ying 2019; Li, Lin & Ren 2019 formulation):
+
+    .. math::
+        \mathcal{L} = \frac{\mathbb{E}_w\!\left[\sum_d a_d
+            (\partial_d q)^2\right]}{\beta}
+        + \alpha\,\mathbb{E}_w\!\left[\mathbf{1}_A\, q^2\right]
+        + \alpha\,\mathbb{E}_w\!\left[\mathbf{1}_B (1 - q)^2\right],
+        \qquad q = \sigma(g(r(x)))
+
+    with the trajectory's Boltzmann weights :math:`w` estimating the
+    equilibrium expectations and the sigmoid enforcing :math:`q \in
+    (0, 1)`. Reuses the generator objective's per-sample input-gradient
+    formulation (one jacrev of the batched sum, through the
+    preprocessing layer).
+
+    Args:
+        model: scalar-output network ``g`` ([B, d_r] -> [B, 1]).
+        pp_layer: preprocessing ``r`` (gradients flow through it).
+        X: raw states [B, *state].
+        weight: [B] frame weights.
+        mask_a / mask_b: [B] float indicators of the A / B sets.
+        hyper: traced ``(alpha, beta)`` — boundary-penalty strength and
+            inverse temperature (sweeps over alpha share the compiled
+            program).
+        diag_coeff: optional [d] diffusion diagonal ``a`` (flattened
+            state dims), as in the generator eigenfunction objective.
+
+    Returns:
+        ``(loss, (dirichlet, penalty_a, penalty_b))`` — all scalars.
+    """
+    alpha, beta = hyper
+
+    def q_batched(Xb):
+        return jax.nn.sigmoid(model(pp_layer(Xb)))  # [B, 1]
+
+    tot_weight = weight.sum()
+    grad_sq = _per_sample_input_grad_sq(q_batched, X, 1, diag_coeff)  # [B,1]
+    dirichlet = (grad_sq[:, 0] * weight).sum() / (beta * tot_weight)
+    q = q_batched(X)[:, 0]
+    pen_a = (weight * mask_a * q**2).sum() / tot_weight
+    pen_b = (weight * mask_b * (1.0 - q) ** 2).sum() / tot_weight
+    loss = dirichlet + alpha * (pen_a + pen_b)
+    return loss, (dirichlet, pen_a, pen_b)

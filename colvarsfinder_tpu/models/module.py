@@ -292,6 +292,20 @@ class Sequential:
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         return mlp_apply(self.params, x, self.activation)
 
+    def get_params_of_cv(self, cv_idx: int):
+        """Named parameters of the network as one CV (for scalar-output
+        heads like the committor's logit net; same dump format as
+        EigenFunctions.get_params_of_cv)."""
+        if cv_idx != 0:
+            raise IndexError(
+                f"Sequential is a single CV; got cv_idx={cv_idx}"
+            )
+        param_vec = []
+        for i, layer in enumerate(self.params):
+            param_vec.append([f"{i + 1}.weight", layer["weight"]])
+            param_vec.append([f"{i + 1}.bias", layer["bias"]])
+        return param_vec
+
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self):
         return (self.params,), (self.activation, tuple(self.layer_dims))

@@ -1,0 +1,142 @@
+"""Committor task (core/committor.py): the learned q matches the analytic
+1-D committor, respects the boundary conditions, and the task surface
+(dataframes, checkpoints, CV export) behaves like the other tasks.
+
+Oracle: for overdamped Langevin in 1-D, the committor between
+A = (-inf, -a] and B = [b, inf) is
+
+    q(x) = int_{-a}^{x} exp(beta V(s)) ds / int_{-a}^{b} exp(beta V(s)) ds
+
+(the unique harmonic function of the generator with q(-a)=0, q(b)=1).
+"""
+
+import numpy as np
+import pytest
+
+from colvarsfinder_tpu import CommittorTask, create_sequential_nn
+from colvarsfinder_tpu.utils import WeightedTrajectory, integrate_sde_overdamped
+
+BETA = 2.0
+A_EDGE, B_EDGE = -0.8, 0.8
+
+
+def _V(x):
+    return (x**2 - 1.0) ** 2
+
+
+class DoubleWell1D:
+    dim = 1
+    beta = BETA
+
+    def V(self, x):
+        return (x[0] ** 2 - 1.0) ** 2
+
+
+def _analytic_q(xs):
+    grid = np.linspace(A_EDGE, B_EDGE, 4001)
+    integrand = np.exp(BETA * _V(grid))
+    cum = np.concatenate([[0.0], np.cumsum(
+        0.5 * (integrand[1:] + integrand[:-1]) * np.diff(grid)
+    )])
+    q = np.interp(np.clip(xs, A_EDGE, B_EDGE), grid, cum / cum[-1])
+    return q
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("committor"))
+    frames, _ = integrate_sde_overdamped(
+        DoubleWell1D(), n_steps=400_000, sampling_output_path=out,
+        X0=np.array([1.0]), step_size=0.005, report_interval=10,
+        pre_steps=2_000, seed=4, verbose=False,
+    )
+    traj = WeightedTrajectory(
+        trajectory=frames.astype(np.float32), dt=0.05, verbose=False
+    )
+    model = create_sequential_nn([1, 20, 20, 1], seed=0)
+    task = CommittorTask(
+        traj, None, model, out,
+        region_a=lambda X: X[:, 0] < A_EDGE,
+        region_b=lambda X: X[:, 0] > B_EDGE,
+        alpha=300.0, beta=BETA,
+        learning_rate=0.005, batch_size=8_000, num_epochs=600,
+        save_model_every_step=300, verbose=False, seed=0,
+    )
+    task.train()
+    return task
+
+
+def test_matches_analytic_committor(trained):
+    xs = np.linspace(-0.75, 0.75, 41)
+    q = trained.committor_values(xs[:, None].astype(np.float32))
+    q_true = _analytic_q(xs)
+    rmse = np.sqrt(np.mean((q - q_true) ** 2))
+    assert rmse < 0.06, f"committor RMSE {rmse:.3f} vs analytic"
+    # monotone increasing along the reaction coordinate
+    assert (np.diff(q) > -0.01).all()
+
+
+def test_boundary_conditions(trained):
+    xa = np.linspace(-1.3, -0.85, 10)[:, None].astype(np.float32)
+    xb = np.linspace(0.85, 1.3, 10)[:, None].astype(np.float32)
+    assert trained.committor_values(xa).mean() < 0.08
+    assert trained.committor_values(xb).mean() > 0.92
+
+
+def test_task_surface(trained):
+    df = trained.train_loss_df
+    assert list(df.columns) == [
+        "loss", "dirichlet", "boundary_a", "boundary_b"
+    ]
+    assert len(df) == 600
+    # loss decreases substantially
+    assert df["loss"].iloc[-1] < 0.3 * df["loss"].iloc[0]
+    # logit CV and committor probabilities are consistent
+    xs = np.array([[-0.5], [0.0], [0.5]], dtype=np.float32)
+    cv = np.asarray(trained.colvar_model()(xs))[:, 0]
+    q = trained.committor_values(xs)
+    np.testing.assert_allclose(1.0 / (1.0 + np.exp(-cv)), q, atol=1e-6)
+
+
+def test_region_validation(tmp_path):
+    rng = np.random.default_rng(0)
+    traj = WeightedTrajectory(
+        trajectory=rng.standard_normal((100, 1)).astype(np.float32),
+        dt=0.1, verbose=False,
+    )
+    model = create_sequential_nn([1, 8, 1], seed=1)
+    mk = lambda **kw: CommittorTask(  # noqa: E731
+        traj, None, model, str(tmp_path), verbose=False, **kw
+    )
+    with pytest.raises(ValueError, match="no trajectory frame"):
+        mk(region_a=lambda X: X[:, 0] > 99.0, region_b=lambda X: X[:, 0] > 0)
+    with pytest.raises(ValueError, match="overlap"):
+        mk(region_a=lambda X: X[:, 0] > 0, region_b=lambda X: X[:, 0] > -1)
+    with pytest.raises(ValueError, match="values for"):
+        mk(region_a=np.zeros(5, bool), region_b=lambda X: X[:, 0] > 0)
+    model2 = create_sequential_nn([1, 8, 2], seed=1)
+    with pytest.raises(ValueError, match="one output"):
+        CommittorTask(
+            traj, None, model2, str(tmp_path),
+            region_a=lambda X: X[:, 0] < -1, region_b=lambda X: X[:, 0] > 1,
+            verbose=False,
+        )
+
+
+def test_precomputed_boolean_regions(tmp_path):
+    """Regions as boolean arrays (e.g. from an MSM PCCA+ assignment)."""
+    rng = np.random.default_rng(1)
+    x = np.concatenate([
+        rng.normal(-1, 0.1, 200), rng.normal(1, 0.1, 200),
+        rng.normal(0, 0.3, 100),
+    ])[:, None].astype(np.float32)
+    traj = WeightedTrajectory(trajectory=x, dt=0.1, verbose=False)
+    model = create_sequential_nn([1, 8, 1], seed=2)
+    task = CommittorTask(
+        traj, None, model, str(tmp_path),
+        region_a=x[:, 0] < -0.5, region_b=x[:, 0] > 0.5,
+        num_epochs=3, batch_size=100, save_model_every_step=0,
+        verbose=False, seed=1,
+    )
+    task.train()
+    assert np.isfinite(task.train_loss_df["loss"]).all()
