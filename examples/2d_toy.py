@@ -178,6 +178,33 @@ def main():
     print(f"[RegAE]    final train loss {task.train_loss_df['loss'].iloc[-1]:.6f} "
           f"({time.time()-t0:.1f}s)")
 
+    # --- 3e. committor between the two outer wells (beyond the
+    # reference): wells sit at theta = -2pi/3 (A) and +2pi/3 (B); by the
+    # symmetry of the middle channel, q ~ 0.5 at the theta=0 well ---
+    from colvarsfinder_tpu import CommittorTask, create_sequential_nn
+
+    theta_traj = np.arctan2(traj.trajectory[:, 1], traj.trajectory[:, 0])
+    task = CommittorTask(
+        traj, None, create_sequential_nn([2, 20, 20, 1], seed=30),
+        os.path.join(args.outdir, "committor"),
+        region_a=np.abs(theta_traj + 2 * math.pi / 3) < 0.3,
+        region_b=np.abs(theta_traj - 2 * math.pi / 3) < 0.3,
+        alpha=300.0, beta=pot.beta,
+        **{**common, "num_epochs": 8 * args.epochs},
+    )
+    t0 = time.time()
+    task.train()
+    wells = np.array(
+        [[np.cos(a), np.sin(a)] for a in (-2 * math.pi / 3, 0.0, 2 * math.pi / 3)],
+        dtype=np.float32,
+    )
+    qw = task.committor_values(wells)
+    print(f"[Committor] q(A well)={qw[0]:.3f} q(mid)={qw[1]:.3f} "
+          f"q(B well)={qw[2]:.3f} ({time.time()-t0:.1f}s; the symmetric "
+          f"channel puts the mid well near 0.5, up to sampling asymmetry)")
+    assert qw[0] < 0.15 and qw[2] > 0.85, "committor boundary conditions"
+    assert 0.25 < qw[1] < 0.75, "mid-well committor should be intermediate"
+
     # --- 4. export the CV model of the AE run ---
     cv = task.colvar_model()
     grid = np.stack(
