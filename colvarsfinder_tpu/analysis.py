@@ -1583,20 +1583,25 @@ def cv_sensitivity(
             raise ValueError(f"{w.shape[0]} weights for {n} samples")
         w = w / w.sum()
 
+    def _out2d(vals, B):
+        # accept [B, k] and plain [B] CV outputs (e.g. committor_fn)
+        vals = np.asarray(vals)
+        return vals.reshape(B, -1)
+
     def _jac_numpy(xb):
         # central differences on the flattened input (deployment-artifact
         # path; d is small in feature space)
-        x_flat = xb.reshape(xb.shape[0], -1).astype(np.float64)
-        f0 = np.asarray(cv_fn(xb))
-        k = f0.shape[-1]
-        J = np.empty((xb.shape[0], k, d_flat))
+        B = xb.shape[0]
+        x_flat = xb.reshape(B, -1).astype(np.float64)
+        k = _out2d(cv_fn(xb), B).shape[1]
+        J = np.empty((B, k, d_flat))
         for di in range(d_flat):
             eps = 1e-4 * max(1.0, np.abs(x_flat[:, di]).max())
             xp, xm = x_flat.copy(), x_flat.copy()
             xp[:, di] += eps
             xm[:, di] -= eps
-            fp = np.asarray(cv_fn(xp.reshape(xb.shape).astype(xb.dtype)))
-            fm = np.asarray(cv_fn(xm.reshape(xb.shape).astype(xb.dtype)))
+            fp = _out2d(cv_fn(xp.reshape(xb.shape).astype(xb.dtype)), B)
+            fm = _out2d(cv_fn(xm.reshape(xb.shape).astype(xb.dtype)), B)
             J[:, :, di] = (fp - fm) / (2 * eps)
         return J
 
@@ -1606,7 +1611,8 @@ def cv_sensitivity(
         import jax.numpy as jnp
 
         def _sums(xb):
-            return jnp.asarray(cv_fn(xb)).sum(axis=0)  # [k]
+            vals = jnp.asarray(cv_fn(xb))
+            return vals.reshape(xb.shape[0], -1).sum(axis=0)  # [k]
 
         _jac_jax = jax.jit(jax.jacrev(_sums))
 

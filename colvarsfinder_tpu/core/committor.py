@@ -56,9 +56,6 @@ def _multi_epoch_fn(length: int, opt_name: str, unroll: bool):
         )
         return loss, jnp.stack([loss, dirichlet, pa, pb])
 
-    def loss_only(model, pp_layer, diag_coeff, hyper, batch):
-        return batch_metrics(model, pp_layer, diag_coeff, hyper, batch)[0]
-
     if unroll:
         def epoch_body(
             model, opt_state, pp_layer, diag_coeff, hyper,
@@ -103,9 +100,6 @@ def _multi_epoch_fn(length: int, opt_name: str, unroll: bool):
             _, test_m = jax.lax.scan(eval_step, None, test_data)
             return model, opt_state, train_m, test_m
 
-    # value_and_grad(has_aux) differentiates `loss` only; silence the
-    # linter about loss_only (kept for symmetry with future fused paths)
-    del loss_only
     return TrainingTask.compile_multi_epoch(
         _EPOCH_FN_CACHE, key, length, epoch_body
     )
@@ -266,6 +260,19 @@ class CommittorTask(TrainingTask):
             np.arange(len(train_idx)), self.batch_size
         )
         test_b = self._make_batches(np.arange(len(test_idx)), self.batch_size)
+
+        # both boundary sets must survive the split and drop_last batching
+        # — a training stream with no A (or B) frames zeroes that penalty
+        # and the loss happily minimizes to a silently wrong committor
+        used = np.asarray(train_idx)[np.asarray(train_b).reshape(-1)]
+        for name, mask in (("region_a", self._mask_a),
+                           ("region_b", self._mask_b)):
+            if not mask[used].any():
+                raise ValueError(
+                    f"no {name} frame lands in the training batches "
+                    f"(test_ratio/batch_size ate them all) — enlarge the "
+                    f"region, lower test_ratio, or add boundary samples"
+                )
 
         def gather(idx):
             return (

@@ -324,6 +324,10 @@ def write_plumed_cv(
     )
     if mode is None:
         mode = "features" if features_ok else "positions"
+    elif mode not in ("features", "positions"):
+        raise ValueError(
+            f"mode must be 'features' or 'positions', got {mode!r}"
+        )
     elif mode == "features" and not features_ok:
         raise ValueError(
             "mode='features' needs a pure feature-map preprocessing layer "

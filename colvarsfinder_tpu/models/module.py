@@ -293,18 +293,13 @@ class Sequential:
         return mlp_apply(self.params, x, self.activation)
 
     def get_params_of_cv(self, cv_idx: int):
-        """Named parameters of the network as one CV (for scalar-output
-        heads like the committor's logit net; same dump format as
-        EigenFunctions.get_params_of_cv)."""
-        if cv_idx != 0:
-            raise IndexError(
-                f"Sequential is a single CV; got cv_idx={cv_idx}"
-            )
-        param_vec = []
-        for i, layer in enumerate(self.params):
-            param_vec.append([f"{i + 1}.weight", layer["weight"]])
-            param_vec.append([f"{i + 1}.bias", layer["bias"]])
-        return param_vec
+        """Named parameters of output ``cv_idx`` as one CV (for direct
+        heads like the committor's logit net; same dump format and
+        last-layer slicing as the encoder-based models)."""
+        from .ae import _sliced_cv_params
+
+        encoded_dim = int(self.params[-1]["weight"].shape[0])
+        return _sliced_cv_params(self, cv_idx, encoded_dim)
 
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self):

@@ -403,7 +403,7 @@ def plot_cv_sensitivity(result, cv_idx=None, top_n: int = 20, ax=None):
     ax = _new_ax(ax)
     rel = np.atleast_2d(np.asarray(result.relative))
     if cv_idx is not None:
-        idx = [cv_idx] if np.isscalar(cv_idx) else list(cv_idx)
+        idx = [int(cv_idx)] if np.ndim(cv_idx) == 0 else list(cv_idx)
         rel = rel[idx]
         names = [f"CV {i + 1}" for i in idx]
     else:

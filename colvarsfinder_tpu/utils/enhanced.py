@@ -703,14 +703,15 @@ class UmbrellaResult:
 
         mb = mbar_result if mbar_result is not None else self.mbar()
         n = self.frames.shape[1]
-        traj = WeightedTrajectory(
+        # boundaries go through the constructor so the zero-weight frame
+        # filter (MBAR weights can underflow to 0.0) remaps them
+        return WeightedTrajectory(
             trajectory=self.frames.reshape(-1, *self.frames.shape[2:]),
             weights=np.concatenate(mb.weights),
             dt=self.dt,
             verbose=False,
+            segment_starts=np.arange(self.n_windows) * n,
         )
-        traj.segment_starts = np.arange(self.n_windows) * n
-        return traj
 
 
 def integrate_sde_umbrella(
@@ -941,10 +942,11 @@ class REMDResult:
 
     def mbar(self, sys_beta: Optional[float] = None, **kwargs) -> MBARResult:
         """Temperature-MBAR weights targeting ``sys_beta`` (default: the
-        coldest ladder beta): reduced bias energies
+        coldest ladder temperature, i.e. the LARGEST beta): reduced bias
+        energies
         ``u_k(x) = (beta_k - sys_beta) V(x)`` over the pooled samples —
         every slot contributes, hot slots downweighted exactly."""
-        target = float(self.betas.min() if sys_beta is None else sys_beta)
+        target = float(self.betas.max() if sys_beta is None else sys_beta)
         v_pooled = self.energies.reshape(-1)
         u_kn = (self.betas[:, None] - target) * v_pooled[None, :]
         return mbar_weights(
@@ -966,18 +968,20 @@ class REMDResult:
 
         mb = mbar_result if mbar_result is not None else self.mbar(sys_beta)
         K, n, _ = self.frames.shape
-        traj = WeightedTrajectory(
-            trajectory=self.frames.reshape(-1, *self.frames.shape[2:]),
-            weights=np.concatenate(mb.weights),
-            dt=self.dt,
-            verbose=False,
-        )
         starts = [np.arange(K) * n]
         swap_j, swap_k = np.nonzero(self.swap_history)
         if swap_j.size:
             starts.append(swap_k * n + swap_j)
-        traj.segment_starts = np.unique(np.concatenate(starts))
-        return traj
+        # boundaries go through the constructor so the zero-weight frame
+        # filter (temperature-MBAR weights of hot-slot energy spikes can
+        # underflow to 0.0) remaps them to the surviving frames
+        return WeightedTrajectory(
+            trajectory=self.frames.reshape(-1, *self.frames.shape[2:]),
+            weights=np.concatenate(mb.weights),
+            dt=self.dt,
+            verbose=False,
+            segment_starts=np.unique(np.concatenate(starts)),
+        )
 
 
 @partial(

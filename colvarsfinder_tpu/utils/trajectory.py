@@ -65,6 +65,7 @@ class WeightedTrajectory:
         trajectory: Optional[np.ndarray] = None,
         weights: Optional[np.ndarray] = None,
         dt: Optional[float] = None,
+        segment_starts=None,
     ):
         self.segment_starts = None
         if universe is not None:
@@ -111,6 +112,13 @@ class WeightedTrajectory:
             self.n_frames = data_block.shape[0]
             self.trajectory = data_block[:, 1:]
             self.dt = data_block[1, 0] - data_block[0, 0]
+
+        if segment_starts is not None:
+            # explicit source boundaries (pooled windows/slots): set BEFORE
+            # the weight filter below so zero-weight frame drops remap them
+            self.segment_starts = np.unique(
+                np.asarray(segment_starts, dtype=np.int64)
+            )
 
         if weights is not None:
             w = np.asarray(weights, dtype=np.float64)

@@ -184,7 +184,7 @@ def main():
     from colvarsfinder_tpu import CommittorTask, create_sequential_nn
 
     theta_traj = np.arctan2(traj.trajectory[:, 1], traj.trajectory[:, 0])
-    task = CommittorTask(
+    ctask = CommittorTask(
         traj, None, create_sequential_nn([2, 20, 20, 1], seed=30),
         os.path.join(args.outdir, "committor"),
         region_a=np.abs(theta_traj + 2 * math.pi / 3) < 0.3,
@@ -193,12 +193,12 @@ def main():
         **{**common, "num_epochs": 8 * args.epochs},
     )
     t0 = time.time()
-    task.train()
+    ctask.train()
     wells = np.array(
         [[np.cos(a), np.sin(a)] for a in (-2 * math.pi / 3, 0.0, 2 * math.pi / 3)],
         dtype=np.float32,
     )
-    qw = task.committor_values(wells)
+    qw = ctask.committor_values(wells)
     print(f"[Committor] q(A well)={qw[0]:.3f} q(mid)={qw[1]:.3f} "
           f"q(B well)={qw[2]:.3f} ({time.time()-t0:.1f}s; the symmetric "
           f"channel puts the mid well near 0.5, up to sampling asymmetry)")

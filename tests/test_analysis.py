@@ -1047,3 +1047,26 @@ def test_cv_sensitivity_trained_model():
     assert np.isfinite(res.sensitivity).all()
     # atom 4 only enters through the bond feature; atoms 0-3 through both
     assert (res.relative > 0).all()
+
+
+def test_cv_sensitivity_1d_output():
+    """Review fix: a [B]-shaped CV (e.g. committor_fn) is promoted to
+    [B, 1] on both the jax and finite-difference paths."""
+    from colvarsfinder_tpu.analysis import cv_sensitivity
+
+    W = np.array([1.0, -3.0])
+    rng = np.random.default_rng(4)
+    X = rng.standard_normal((400, 2))
+
+    res_jax = cv_sensitivity(lambda x: x @ W, X, normalize="none")
+    np.testing.assert_allclose(res_jax.sensitivity, np.abs(W)[None], rtol=1e-5)
+
+    def np_cv(x):
+        x = np.asarray(x)
+        if x.dtype.kind not in "fd":
+            raise TypeError("not traceable")
+        return x @ W  # [B]
+
+    res_np = cv_sensitivity(np_cv, X, normalize="none")
+    assert res_np.sensitivity.shape == (1, 2)
+    np.testing.assert_allclose(res_np.sensitivity, np.abs(W)[None], rtol=1e-4)

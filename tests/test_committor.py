@@ -140,3 +140,22 @@ def test_precomputed_boolean_regions(tmp_path):
     )
     task.train()
     assert np.isfinite(task.train_loss_df["loss"]).all()
+
+
+def test_boundary_frames_must_reach_training(tmp_path):
+    """Review fix: a region that survives globally but lands entirely in
+    the test split (or the drop_last remainder) is rejected — otherwise
+    its penalty is silently zero and q collapses."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((40, 1)).astype(np.float32)
+    traj = WeightedTrajectory(trajectory=x, dt=0.1, verbose=False)
+    model = create_sequential_nn([1, 8, 1], seed=0)
+    task = CommittorTask(
+        traj, None, model, str(tmp_path),
+        region_a=np.arange(40) < 5, region_b=np.arange(40) >= 35,
+        num_epochs=1, batch_size=8, verbose=False, seed=0,
+    )
+    # force a split whose training half contains no A frame
+    task._make_split = lambda n: (np.arange(8, 40), np.arange(8))
+    with pytest.raises(ValueError, match="training batches"):
+        task._prepare_data()

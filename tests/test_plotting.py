@@ -166,3 +166,13 @@ def test_cv_sensitivity_plot():
     assert len(ax.get_yticklabels()) == 4
     ax2 = plotting.plot_cv_sensitivity(res, cv_idx=1)
     assert len(ax2.patches) == 6
+
+
+def test_cv_sensitivity_plot_numpy_index():
+    """Review fix: numpy integer cv_idx (np.argmax output) is accepted."""
+    rng = np.random.default_rng(6)
+    res = analysis.cv_sensitivity(
+        lambda x: x @ rng.standard_normal((2, 3)).T, rng.standard_normal((50, 3))
+    )
+    ax = plotting.plot_cv_sensitivity(res, cv_idx=np.int64(1))
+    assert len(ax.patches) == 3

@@ -327,3 +327,10 @@ def test_metad_sigma_count_mismatch(tmp_path):
     save_numpy_cv(cv, str(tmp_path))
     with pytest.raises(ValueError, match="sigma"):
         write_plumed_metad(str(tmp_path), sigma=[0.1, 0.2, 0.3], height=1.0)
+
+
+def test_unknown_mode_rejected(tmp_path):
+    cv = _feature_cv()
+    save_numpy_cv(cv, str(tmp_path))
+    with pytest.raises(ValueError, match="'features' or 'positions'"):
+        write_plumed_cv(str(tmp_path), mode="feature")

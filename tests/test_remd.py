@@ -144,3 +144,38 @@ def test_mesh_sharded_replicas():
         integrate_sde_remd(
             Harmonic1D(), np.geomspace(4.0, 0.5, 6), mesh=mesh, **kw
         )
+
+
+def test_mbar_default_targets_coldest():
+    """Review fix: the default MBAR target is the COLDEST temperature
+    (largest beta), matching the docstring."""
+    res = integrate_sde_remd(
+        Harmonic1D(), [4.0, 1.0, 0.5], n_steps=20_000, step_size=0.02,
+        report_interval=10, exchange_interval=100, seed=13, verbose=False,
+    )
+    mb_default = res.mbar()
+    mb_cold = res.mbar(sys_beta=4.0)
+    for a, b in zip(mb_default.weights, mb_cold.weights):
+        np.testing.assert_allclose(a, b)
+    # pooled, default-target variance matches the beta=4 oracle (1/beta)
+    traj = res.to_weighted_trajectory()
+    x, w = traj.trajectory[:, 0], traj.weights
+    var = np.average(x**2, weights=w) - np.average(x, weights=w) ** 2
+    np.testing.assert_allclose(var, 0.25, rtol=0.12)
+
+
+def test_segment_starts_survive_zero_weight_filter():
+    """Review fix: pooled segment boundaries pass through the constructor
+    so WeightedTrajectory's zero-weight frame filter remaps them."""
+    rng = np.random.default_rng(0)
+    frames = rng.standard_normal((12, 1)).astype(np.float32)
+    w = np.ones(12)
+    w[2] = 0.0   # dropped by the (w > 0) filter
+    w[7] = 0.0
+    traj = WeightedTrajectory(
+        trajectory=frames, weights=w, dt=0.1, verbose=False,
+        segment_starts=np.array([0, 4, 8]),
+    )
+    assert traj.n_frames == 10
+    # boundaries 4 and 8 shift left past the dropped frames 2 and 7
+    np.testing.assert_array_equal(traj.segment_starts, [0, 3, 6])
