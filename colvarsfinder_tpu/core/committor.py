@@ -105,6 +105,15 @@ def _multi_epoch_fn(length: int, opt_name: str, unroll: bool):
     )
 
 
+def _multi_epoch_impl(length: int, opt_name: str, unroll: bool):
+    """Un-jitted multi-epoch program (for the replica-ensemble vmap)."""
+    from ..config import numerics_key
+
+    _multi_epoch_fn(length, opt_name, unroll)  # populate the cache
+    key = ("committor", length, numerics_key(), opt_name, unroll)
+    return _EPOCH_FN_CACHE[key][1]
+
+
 class CommittorTask(TrainingTask):
     r"""Learn the committor between metastable sets A and B.
 
@@ -249,6 +258,12 @@ class CommittorTask(TrainingTask):
         return np.asarray(self.committor_fn()(jnp.asarray(X)))
 
     # ------------------------------------------------------------------
+    def _static_config(self):
+        """Hashable tuple of everything baked into the compiled epoch
+        program (alpha/beta/lr are traced; valid after
+        :meth:`_prepare_data` decided the batch layout)."""
+        return (self.optimizer_name.lower(), self._unroll)
+
     def _prepare_data(self):
         cached = getattr(self, "_prepared_data_cache", None)
         if cached is not None:

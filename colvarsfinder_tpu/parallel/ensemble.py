@@ -209,6 +209,9 @@ class _Plan(NamedTuple):
 def _plan_for(task) -> _Plan:
     from ..core.autoencoder import AutoEncoderTask
     from ..core.autoencoder import _multi_epoch_impl as _ae_impl
+    from ..core.committor import _METRIC_COLS as _COM_COLS
+    from ..core.committor import CommittorTask
+    from ..core.committor import _multi_epoch_impl as _com_impl
     from ..core.eigenfunction import EigenFunctionTask
     from ..core.eigenfunction import _multi_epoch_impl as _eig_impl
     from ..core.regautoencoder import RegAutoEncoderTask
@@ -244,6 +247,14 @@ def _plan_for(task) -> _Plan:
             + tuple(data_args),
             loss_names, True, False,
         )
+    if isinstance(task, CommittorTask):
+        data_args, _, _, _ = task._prepare_data()
+        return _Plan(
+            _com_impl(epochs, *task._static_config()),
+            (task.preprocessing_layer, task.diag_coeff, task._hyper())
+            + tuple(data_args),
+            list(_COM_COLS), False, False,
+        )
     if isinstance(task, AutoEncoderTask):
         data_args, _, _, _ = task._prepare_data()
         return _Plan(
@@ -253,8 +264,8 @@ def _plan_for(task) -> _Plan:
         )
     raise TypeError(
         f"unsupported task type {type(task).__name__} for ensemble "
-        "training (expected EigenFunctionTask, AutoEncoderTask, or "
-        "RegAutoEncoderTask)"
+        "training (expected EigenFunctionTask, AutoEncoderTask, "
+        "RegAutoEncoderTask, or CommittorTask)"
     )
 
 
@@ -289,8 +300,9 @@ def train_replica_ensemble(
 ) -> None:
     """Train R same-shaped task replicas in one vmapped program.
 
-    Supports all three task families (:class:`EigenFunctionTask`,
-    :class:`AutoEncoderTask`, :class:`RegAutoEncoderTask`); all tasks
+    Supports all four task families (:class:`EigenFunctionTask`,
+    :class:`AutoEncoderTask`, :class:`RegAutoEncoderTask`,
+    :class:`CommittorTask`); all tasks
     must be of the SAME family and share the same static configuration
     (lags, optimizer name, gate pattern, data layout, trajectory/batch
     shapes). Models, preprocessing-layer constants, data, splits, AND
@@ -438,6 +450,7 @@ _EIG_HYPER_IX = {"alpha": 0, "eig_weights": 1, "beta": 2}
 _REGAE_HYPER_IX = {
     "alpha": 0, "gamma": 1, "eta": 2, "eig_weights": 3, "beta": 4,
 }
+_COMMITTOR_HYPER_IX = {"alpha": 0, "beta": 1}
 
 
 def adopt_sweep_result(task, result: SweepResult):
@@ -453,15 +466,19 @@ def adopt_sweep_result(task, result: SweepResult):
     task.opt_state = jax.tree.map(jnp.asarray, result.opt_state)
     if result.cvec is not None:
         task._cvec = np.asarray(result.cvec)
-    attr_of = {  # task attribute behind each sweepable hyperparameter
-        "learning_rate": "learning_rate", "eig_weights": "_eig_w",
-        "beta": "_beta",
-        "alpha": "_alpha" if not hasattr(task, "gamma") else "alpha",
-        "gamma": "gamma", "eta": "eta",
+    attr_of = {  # task attribute candidates per sweepable hyperparameter
+        "learning_rate": ("learning_rate",),
+        "eig_weights": ("_eig_w",),
+        "beta": ("_beta", "beta"),
+        # RegAE stores plain `alpha`; eigen `_alpha`; committor `alpha`
+        "alpha": ("alpha",) if hasattr(task, "gamma") else ("_alpha", "alpha"),
+        "gamma": ("gamma",), "eta": ("eta",),
     }
     for name, value in result.hyperparams.items():
-        attr = attr_of.get(name)
-        if attr is not None and hasattr(task, attr):
+        attr = next(
+            (a for a in attr_of.get(name, ()) if hasattr(task, a)), None
+        )
+        if attr is not None:
             old = getattr(task, attr)
             if isinstance(old, list) and old:
                 value = [type(old[0])(v) for v in np.asarray(value).reshape(-1)]
@@ -575,9 +592,10 @@ def train_hyperparameter_sweep(
             values. Supported names: ``learning_rate`` (all tasks);
             ``alpha``, ``eig_weights``, ``beta`` (EigenFunctionTask);
             ``alpha``, ``gamma``, ``eta``, ``eig_weights``, ``beta``
-            (RegAutoEncoderTask). For RegAutoEncoderTask the values must
-            not toggle a term's on/off gate (a zero gamma cannot become
-            nonzero across replicas — gates are compiled static).
+            (RegAutoEncoderTask); ``alpha``, ``beta`` (CommittorTask).
+            For RegAutoEncoderTask the values must not toggle a term's
+            on/off gate (a zero gamma cannot become nonzero across
+            replicas — gates are compiled static).
         models: optional length-R list of model pytrees (same
             architecture) for per-replica initializations; default is R
             copies of ``task.model``.
@@ -666,12 +684,16 @@ def train_hyperparameter_sweep(
             )
         return out
 
+    from ..core.committor import CommittorTask
+
     plan = _plan_for(task)
     has_hyper = not plan.metrics_2d  # AE takes no hyper tuple
-    hyper_ix = (
-        _REGAE_HYPER_IX if isinstance(task, RegAutoEncoderTask)
-        else _EIG_HYPER_IX
-    )
+    if isinstance(task, RegAutoEncoderTask):
+        hyper_ix = _REGAE_HYPER_IX
+    elif isinstance(task, CommittorTask):
+        hyper_ix = _COMMITTOR_HYPER_IX
+    else:
+        hyper_ix = _EIG_HYPER_IX
     for name in grid:
         if name == "learning_rate":
             continue

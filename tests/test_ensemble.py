@@ -730,3 +730,66 @@ def test_sweep_vamp_scores_heldout_frames_and_regae(tmp_path):
     )
     assert held_scores.shape == (2,) and np.all(np.isfinite(held_scores))
     assert not np.allclose(held_scores, default_scores)
+
+
+def _committor_task(tmp_path, traj, tag, alpha=50.0, lr=0.01, seed=0):
+    from colvarsfinder_tpu import CommittorTask, create_sequential_nn
+
+    return CommittorTask(
+        traj, None, create_sequential_nn([2, 10, 1], seed=7),
+        str(tmp_path / tag),
+        region_a=traj.trajectory[:, 0] < -0.5,
+        region_b=traj.trajectory[:, 0] > 0.5,
+        alpha=alpha, beta=1.0, learning_rate=lr, seed=seed, **COMMON,
+    )
+
+
+def test_sweep_committor_matches_individual(tmp_path):
+    """CommittorTask sweeps alpha/learning_rate through the same vmapped
+    machinery as the other families."""
+    traj = _traj(9)
+    task = _committor_task(tmp_path, traj, "com")
+    lrs, alphas = [0.005, 0.02, 0.05], [20.0, 50.0, 200.0]
+    results = train_hyperparameter_sweep(
+        task, {"learning_rate": lrs, "alpha": alphas}
+    )
+    assert len(results) == 3
+    for r, (lr, alpha) in enumerate(zip(lrs, alphas)):
+        solo = _committor_task(tmp_path, traj, f"com_solo{r}",
+                               alpha=alpha, lr=lr)
+        solo.train()
+        np.testing.assert_allclose(
+            results[r].train_loss_df.to_numpy(),
+            solo.train_loss_df.to_numpy(),
+            rtol=1e-4, atol=1e-6,
+        )
+        assert list(results[r].train_loss_df.columns) == [
+            "loss", "dirichlet", "boundary_a", "boundary_b"
+        ]
+
+    # adopt a winner: the committor task's plain-float attrs are set
+    from colvarsfinder_tpu.parallel import adopt_sweep_result
+
+    adopt_sweep_result(task, results[2])
+    assert task.alpha == alphas[2]
+    assert task.learning_rate == lrs[2]
+
+
+def test_ensemble_committor(tmp_path):
+    """Replica-ensemble training of CommittorTask matches task.train()."""
+    traj = _traj(11)
+    tasks = [
+        _committor_task(tmp_path, traj, f"ce{r}", alpha=a, seed=0)
+        for r, a in enumerate([20.0, 80.0])
+    ]
+    solo = [
+        _committor_task(tmp_path, traj, f"ce_solo{r}", alpha=a, seed=0)
+        for r, a in enumerate([20.0, 80.0])
+    ]
+    train_replica_ensemble(tasks)
+    for t, s in zip(tasks, solo):
+        s.train()
+        np.testing.assert_allclose(
+            t.train_loss_df.to_numpy(), s.train_loss_df.to_numpy(),
+            rtol=1e-4, atol=1e-6,
+        )
