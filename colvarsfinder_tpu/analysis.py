@@ -65,6 +65,8 @@ __all__ = [
     "ck_test",
     "cv_consistency",
     "cv_sensitivity",
+    "committor_self_consistency",
+    "CommittorCheck",
     "SensitivityResult",
     "free_energy_profile",
     "discretize",
@@ -1667,3 +1669,116 @@ def cv_sensitivity(
     totals = sens.sum(axis=1, keepdims=True)
     relative = sens / np.where(totals > 0, totals, 1.0)
     return SensitivityResult(sens, relative, labels, aggregate == "xyz")
+
+
+class CommittorCheck:
+    """Outcome of :func:`committor_self_consistency`.
+
+    Attributes:
+        bin_centers: mean predicted committor per interior bin (the
+            model's own labels), [m].
+        msm_committor: the MSM-estimated committor of each bin, [m]
+            (nan where the bin is unvisited / unreachable).
+        counts: interior frames per bin.
+        max_deviation / rmse: |prediction - MSM estimate| over the
+            populated bins, weighted by counts for the rmse.
+    """
+
+    def __init__(self, bin_centers, msm_committor, counts):
+        self.bin_centers = bin_centers
+        self.msm_committor = msm_committor
+        self.counts = counts
+        ok = np.isfinite(msm_committor) & (counts > 0)
+        dev = np.abs(bin_centers[ok] - msm_committor[ok])
+        self.max_deviation = float(dev.max()) if dev.size else float("nan")
+        w = counts[ok]
+        self.rmse = (
+            float(np.sqrt(np.average(dev**2, weights=w)))
+            if dev.size else float("nan")
+        )
+
+    def __repr__(self):
+        return (
+            f"CommittorCheck(max_deviation={self.max_deviation:.4f}, "
+            f"rmse={self.rmse:.4f}, bins={len(self.bin_centers)})"
+        )
+
+
+def committor_self_consistency(
+    q_values,
+    in_a,
+    in_b,
+    lag: int,
+    n_bins: int = 20,
+    weights=None,
+    segment_starts=None,
+) -> CommittorCheck:
+    r"""Validate a predicted committor against the trajectory's own
+    dynamics (the self-consistency test of transition path theory).
+
+    The committor is the unique function with :math:`q = 0` on A,
+    :math:`q = 1` on B whose projected dynamics reproduce itself: if the
+    prediction is right, the Markov-state-model committor of the
+    "frames where the model predicts :math:`q \approx c`" bin is again
+    :math:`c`. This estimates exactly that — discretize the interior
+    frames by predicted q, fold all A / B frames into two boundary
+    states, estimate an MSM at ``lag``, solve its discrete committor
+    between the boundary states, and compare per bin. A systematically
+    shifted or distorted reaction coordinate shows up as per-bin
+    deviation even when it is monotone in the true committor.
+
+    This complements :class:`~colvarsfinder_tpu.core.CommittorTask`'s
+    training loss (which can be low for a wrong q when the boundary
+    sampling is thin) with a purely data-driven estimate — and works for
+    ANY predicted committor (trained here, or imported).
+
+    Args:
+        q_values: [n] predicted committor per frame
+            (``task.committor_values(traj.trajectory)``).
+        in_a / in_b: [n] boolean masks of the A / B sets (the task's
+            regions).
+        lag: MSM estimation lag in frames — use the data's decorrelation
+            scale (e.g. the training ``lag_idx`` of a companion
+            eigenfunction task); too-small lags see non-Markovian memory.
+        n_bins: interior committor bins on [0, 1].
+        weights / segment_starts: as in :func:`msm` (boundaries keep
+            lagged pairs within one contiguous source).
+
+    Returns:
+        :class:`CommittorCheck` — `max_deviation` well below ~0.1 over
+        the populated bins indicates a self-consistent committor.
+    """
+    q = np.asarray(q_values, dtype=np.float64).reshape(-1)
+    in_a = np.asarray(in_a, dtype=bool).reshape(-1)
+    in_b = np.asarray(in_b, dtype=bool).reshape(-1)
+    n = q.shape[0]
+    if in_a.shape[0] != n or in_b.shape[0] != n:
+        raise ValueError("q_values, in_a, in_b must have equal length")
+    if (in_a & in_b).any():
+        raise ValueError("in_a and in_b overlap")
+    if not in_a.any() or not in_b.any():
+        raise ValueError("both boundary sets must be non-empty")
+
+    edges = np.linspace(0.0, 1.0, n_bins + 1)
+    bin_idx = np.clip(np.digitize(q, edges) - 1, 0, n_bins - 1)
+    a_state, b_state = n_bins, n_bins + 1
+    assignments = np.where(in_a, a_state, np.where(in_b, b_state, bin_idx))
+
+    model = msm(
+        assignments, lag, n_states=n_bins + 2, weights=weights,
+        segment_starts=segment_starts,
+    )
+    q_msm = model.committor([a_state], [b_state])[:n_bins]
+
+    interior = ~(in_a | in_b)
+    w = np.ones(n) if weights is None else np.asarray(weights, float)
+    counts = np.bincount(bin_idx[interior], minlength=n_bins).astype(float)
+    sums = np.bincount(
+        bin_idx[interior], weights=(q * w)[interior], minlength=n_bins
+    )
+    wsum = np.bincount(
+        bin_idx[interior], weights=w[interior], minlength=n_bins
+    )
+    with np.errstate(invalid="ignore"):
+        centers = np.where(wsum > 0, sums / np.maximum(wsum, 1e-300), np.nan)
+    return CommittorCheck(centers, q_msm, counts)

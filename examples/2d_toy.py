@@ -205,6 +205,19 @@ def main():
     assert qw[0] < 0.15 and qw[2] > 0.85, "committor boundary conditions"
     assert 0.25 < qw[1] < 0.75, "mid-well committor should be intermediate"
 
+    # self-consistency (docs/validation.md section 8): the MSM committor
+    # of the q-bins must reproduce the predicted labels
+    from colvarsfinder_tpu.analysis import committor_self_consistency
+
+    chk = committor_self_consistency(
+        ctask.committor_values(traj.trajectory),
+        np.abs(theta_traj + 2 * math.pi / 3) < 0.3,
+        np.abs(theta_traj - 2 * math.pi / 3) < 0.3,
+        lag=2, n_bins=10, weights=traj.weights,
+    )
+    print(f"[Committor] self-consistency max deviation "
+          f"{chk.max_deviation:.3f} (<= ~0.1 passes)")
+
     # --- 4. export the CV model of the AE run ---
     cv = task.colvar_model()
     grid = np.stack(

@@ -159,3 +159,37 @@ def test_boundary_frames_must_reach_training(tmp_path):
     task._make_split = lambda n: (np.arange(8, 40), np.arange(8))
     with pytest.raises(ValueError, match="training batches"):
         task._prepare_data()
+
+
+def test_self_consistency_check(trained, tmp_path):
+    """The trained committor passes analysis.committor_self_consistency
+    (MSM committor of the q-bins reproduces the predicted labels), and a
+    deliberately distorted coordinate fails it."""
+    from colvarsfinder_tpu.analysis import committor_self_consistency
+
+    frames, _ = integrate_sde_overdamped(
+        DoubleWell1D(), n_steps=400_000, sampling_output_path=str(tmp_path),
+        X0=np.array([1.0]), step_size=0.005, report_interval=10,
+        pre_steps=2_000, seed=17, verbose=False,
+    )
+    x = frames.astype(np.float32)
+    in_a = x[:, 0] < A_EDGE
+    in_b = x[:, 0] > B_EDGE
+
+    q_good = trained.committor_values(x)
+    good = committor_self_consistency(q_good, in_a, in_b, lag=5, n_bins=10)
+    assert good.max_deviation < 0.12, repr(good)
+
+    # distorted coordinate: monotone in x (so naive ordering looks fine)
+    # but with the transition shifted off the barrier — self-consistency
+    # must flag it
+    q_bad = 1.0 / (1.0 + np.exp(-8.0 * (x[:, 0] - 0.5)))
+    bad = committor_self_consistency(q_bad, in_a, in_b, lag=5, n_bins=10)
+    assert bad.max_deviation > 2 * good.max_deviation, (good, bad)
+
+    with pytest.raises(ValueError, match="overlap"):
+        committor_self_consistency(q_good, in_a, in_a, lag=5)
+    with pytest.raises(ValueError, match="non-empty"):
+        committor_self_consistency(
+            q_good, np.zeros(len(x), bool), in_b, lag=5
+        )
