@@ -40,6 +40,7 @@ __all__ = [
     "plot_free_energy",
     "plot_ck_test",
     "plot_cv_sensitivity",
+    "plot_committor_check",
     "plot_msm_ck",
     "plot_timescales",
 ]
@@ -422,5 +423,27 @@ def plot_cv_sensitivity(result, cv_idx=None, top_n: int = 20, ax=None):
     ax.set_yticks(y)
     ax.set_yticklabels([result.labels[j] for j in order], fontsize=8)
     ax.set_xlabel("relative importance")
+    ax.legend(frameon=False, fontsize=8)
+    return _style(ax)
+
+
+def plot_committor_check(chk, ax=None):
+    """Committor self-consistency panel from
+    :func:`colvarsfinder_tpu.analysis.committor_self_consistency`: the
+    MSM-estimated committor of each predicted-q bin against the model's
+    own labels — points on the diagonal = self-consistent."""
+    ax = _new_ax(ax)
+    ok = np.isfinite(chk.msm_committor) & (chk.counts > 0)
+    ax.plot([0, 1], [0, 1], color="0.6", linewidth=1.0, linestyle="--",
+            label="self-consistent")
+    ax.plot(
+        np.asarray(chk.bin_centers)[ok], np.asarray(chk.msm_committor)[ok],
+        color=_color(0), marker="o", markersize=4, linewidth=1.6,
+        label=f"MSM estimate (max dev {chk.max_deviation:.3f})",
+    )
+    ax.set_xlabel("predicted committor (bin mean)")
+    ax.set_ylabel("MSM committor of the bin")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
     ax.legend(frameon=False, fontsize=8)
     return _style(ax)

@@ -176,3 +176,16 @@ def test_cv_sensitivity_plot_numpy_index():
     )
     ax = plotting.plot_cv_sensitivity(res, cv_idx=np.int64(1))
     assert len(ax.patches) == 3
+
+
+def test_committor_check_plot():
+    from colvarsfinder_tpu.analysis import CommittorCheck
+
+    chk = CommittorCheck(
+        np.linspace(0.05, 0.95, 10),
+        np.linspace(0.05, 0.95, 10) + 0.02,
+        np.full(10, 20.0),
+    )
+    ax = plotting.plot_committor_check(chk)
+    assert len(ax.lines) == 2
+    assert "max dev" in ax.get_legend().get_texts()[1].get_text()
