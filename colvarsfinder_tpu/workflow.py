@@ -115,6 +115,8 @@ def adaptive_cv_discovery(
     reweight_method: str = "tiwary",
     pool_rounds: bool = True,
     warm_start: bool = False,
+    bootstrap: str = "unbiased",
+    remd_betas=None,
     output_path: Optional[str] = None,
     seed: int = 0,
     verbose: bool = True,
@@ -155,6 +157,17 @@ def adaptive_cv_discovery(
             round's trained weights instead of ``make_task``'s fresh
             init (requires ``make_task`` to build the same architecture
             every round). The optimizer state always starts fresh.
+        bootstrap: round-0 sampling strategy — ``'unbiased'`` (default:
+            one chain at the target temperature) or ``'remd'`` (replica
+            exchange: ``unbiased_steps`` per temperature slot, pooled
+            with temperature-MBAR weights targeting ``pot_obj.beta``).
+            Use ``'remd'`` when the target temperature cannot cross its
+            own barriers — the round-0 CV then already sees every basin
+            instead of relying on the metadynamics rounds to discover
+            them.
+        remd_betas: the ladder for ``bootstrap='remd'`` (default: four
+            geometric rungs from ``pot_obj.beta`` down to
+            ``pot_obj.beta / 8``).
         output_path: directory for sampler text outputs and per-round
             task model dirs your ``make_task`` may use; a temporary
             directory when omitted.
@@ -180,27 +193,65 @@ def adaptive_cv_discovery(
     os.makedirs(output_path, exist_ok=True)
     dt = step_size * frame_interval
 
-    if verbose:
-        print(
-            f"[adaptive] round 0: unbiased sampling "
-            f"({unbiased_steps} steps)"
+    if bootstrap == "remd":
+        from .utils import integrate_sde_remd
+
+        betas = (
+            np.geomspace(pot_obj.beta, pot_obj.beta / 8.0, 4)
+            if remd_betas is None
+            else np.asarray(remd_betas, dtype=np.float64).reshape(-1)
         )
-    frames, _energies = integrate_sde_overdamped(
-        pot_obj,
-        unbiased_steps,
-        os.path.join(output_path, "round0"),
-        X0=X0,
-        pre_steps=pre_steps,
-        step_size=step_size,
-        report_interval=frame_interval,
-        seed=seed,
-        verbose=False,
-    )
-    segment = WeightedTrajectory(
-        trajectory=np.asarray(frames, dtype=np.float32),
-        dt=dt,
-        verbose=False,
-    )
+        if verbose:
+            print(
+                f"[adaptive] round 0: replica-exchange bootstrap "
+                f"({len(betas)} slots x {unbiased_steps} steps, "
+                f"betas {np.round(betas, 3)})"
+            )
+        res = integrate_sde_remd(
+            pot_obj,
+            betas,
+            unbiased_steps,
+            os.path.join(output_path, "round0"),
+            X0=X0,
+            pre_steps=pre_steps,
+            step_size=step_size,
+            report_interval=frame_interval,
+            exchange_interval=10 * frame_interval,
+            seed=seed,
+            verbose=False,
+        )
+        if verbose:
+            print(
+                "[adaptive] round 0: pair acceptance "
+                f"{np.round(res.pair_acceptance, 3)}"
+            )
+        segment = res.to_weighted_trajectory(sys_beta=float(pot_obj.beta))
+    elif bootstrap == "unbiased":
+        if verbose:
+            print(
+                f"[adaptive] round 0: unbiased sampling "
+                f"({unbiased_steps} steps)"
+            )
+        frames, _energies = integrate_sde_overdamped(
+            pot_obj,
+            unbiased_steps,
+            os.path.join(output_path, "round0"),
+            X0=X0,
+            pre_steps=pre_steps,
+            step_size=step_size,
+            report_interval=frame_interval,
+            seed=seed,
+            verbose=False,
+        )
+        segment = WeightedTrajectory(
+            trajectory=np.asarray(frames, dtype=np.float32),
+            dt=dt,
+            verbose=False,
+        )
+    else:
+        raise ValueError(
+            f"bootstrap must be 'unbiased' or 'remd', got {bootstrap!r}"
+        )
 
     rounds: List[AdaptiveRound] = []
     segments: List[WeightedTrajectory] = [segment]

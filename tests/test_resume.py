@@ -54,3 +54,39 @@ def test_resume_continues_exactly(tmp_path):
         t_full.train_loss_df["loss"].to_numpy()[2:],
         rtol=1e-5,
     )
+
+
+def test_resume_committor_task(tmp_path):
+    """Full-state resume covers the committor family too (same optimizer
+    moments => identical continuation)."""
+    from colvarsfinder_tpu import CommittorTask, create_sequential_nn
+
+    traj = _traj()
+    x0 = traj.trajectory[:, 0]
+    regions = dict(region_a=x0 < -0.8, region_b=x0 > 0.8)
+
+    t_full = CommittorTask(
+        traj, None, create_sequential_nn([2, 8, 1], seed=1),
+        **regions, alpha=50.0, **_kw(tmp_path, "cfull", 4),
+    )
+    t_full.train()
+
+    t_a = CommittorTask(
+        traj, None, create_sequential_nn([2, 8, 1], seed=1),
+        **regions, alpha=50.0, **_kw(tmp_path, "ca", 2),
+    )
+    t_a.train()
+    ckpt = str(tmp_path / "cstate.npz")
+    t_a.save_training_state(2, ckpt)
+
+    t_b = CommittorTask(
+        traj, None, create_sequential_nn([2, 8, 1], seed=99),
+        **regions, alpha=50.0, **_kw(tmp_path, "cb", 2),
+    )
+    assert t_b.load_training_state(ckpt) == 2
+    t_b.train()
+    np.testing.assert_allclose(
+        t_b.train_loss_df["loss"].to_numpy(),
+        t_full.train_loss_df["loss"].to_numpy()[2:],
+        rtol=1e-5,
+    )

@@ -177,3 +177,37 @@ def test_warm_start_carries_weights(tmp_path):
     assert any(not np.array_equal(a, b) for a, b in zip(r1_initial, r1_final))
     for r in res.rounds:
         assert np.isfinite(r.task.train_loss_df["loss"]).all()
+
+
+def test_remd_bootstrap_sees_both_wells(tmp_path):
+    """bootstrap='remd': the round-0 dataset already covers both wells
+    (the unbiased bootstrap stays trapped at beta=6), carries
+    temperature-MBAR weights, and pools with slot/swap boundaries."""
+    res = adaptive_cv_discovery(
+        DoubleWell2D(),
+        _make_task(tmp_path),
+        n_rounds=1,
+        X0=np.array([-1.0, 0.0]),
+        unbiased_steps=30_000,
+        step_size=0.005,
+        frame_interval=50,
+        bootstrap="remd",
+        remd_betas=[6.0, 2.0, 0.8],
+        output_path=str(tmp_path / "sampling"),
+        seed=3,
+        verbose=False,
+    )
+    seg = res.rounds[0].segment
+    x1, w = seg.trajectory[:, 0], seg.weights
+    frac_right = float(np.average(x1 > 0, weights=w))
+    assert 0.1 < frac_right < 0.9  # both wells in the weighted ensemble
+    np.testing.assert_allclose(w.mean(), 1.0, rtol=1e-6)
+    assert seg.segment_starts is not None and len(seg.segment_starts) >= 3
+    assert np.isfinite(res.task.train_loss_df["loss"]).all()
+
+    with pytest.raises(ValueError, match="bootstrap"):
+        adaptive_cv_discovery(
+            DoubleWell2D(), _make_task(tmp_path), n_rounds=1,
+            unbiased_steps=100, bootstrap="nope", verbose=False,
+            output_path=str(tmp_path / "s2"),
+        )
