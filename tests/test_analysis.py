@@ -1070,3 +1070,37 @@ def test_cv_sensitivity_1d_output():
     res_np = cv_sensitivity(np_cv, X, normalize="none")
     assert res_np.sensitivity.shape == (1, 2)
     np.testing.assert_allclose(res_np.sensitivity, np.abs(W)[None], rtol=1e-4)
+
+
+def test_tpt_rate_two_state_exact():
+    """For a 2-state chain the TPT rate is the exact escape rate p/dt,
+    and equals 1/mfpt(A -> B)."""
+    from colvarsfinder_tpu.analysis import msm
+
+    p, q = 0.05, 0.2
+    rng = np.random.default_rng(0)
+    n = 200_000
+    s = np.empty(n, dtype=np.int64)
+    s[0] = 0
+    u = rng.uniform(size=n)
+    for t in range(1, n):
+        if s[t - 1] == 0:
+            s[t] = 1 if u[t] < p else 0
+        else:
+            s[t] = 0 if u[t] < q else 1
+    model = msm(s, lag=1, reversible=True)
+    dt = 0.5
+    k = model.tpt_rate([0], [1], dt=dt)
+    np.testing.assert_allclose(k, p / dt, rtol=0.05)
+    m = model.mfpt([1], dt=dt)
+    np.testing.assert_allclose(k, 1.0 / m[0], rtol=0.05)
+
+
+def test_tpt_rate_validation():
+    from colvarsfinder_tpu.analysis import msm
+
+    s = np.array([0, 1, 0, 1, 2, 1, 0, 2, 1, 0] * 50)
+    model = msm(s, lag=1)
+    with pytest.raises(ValueError, match="disjoint"):
+        model.tpt_rate([0], [0])
+    assert model.tpt_rate([0], [2]) > 0
