@@ -812,17 +812,21 @@ class MSMResult:
         Discrete TPT (Metzner, Schütte & Vanden-Eijnden 2009): with the
         forward committor :math:`q^+` (:meth:`committor`) and — on the
         reversible estimator this class builds — the backward committor
-        :math:`q^- = 1 - q^+`, the reactive flux and rate are
+        :math:`q^- = 1 - q^+`, the total reactive flux is the flux across
+        A's boundary (flux conservation makes any complete cut
+        equivalent; summing the edge currents of EVERY edge instead would
+        count each multi-hop reactive path once per hop):
 
         .. math::
-            F = \sum_{i \ne j} \pi_i\, q^-_i\, T_{ij}\, q^+_j,
+            F = \sum_{i \in A} \pi_i \sum_j T_{ij}\, q^+_j,
             \qquad
             k_{AB} = \frac{F}{\tau \sum_i \pi_i q^-_i}
 
         with :math:`\tau` the estimation lag (``lag * dt``). For a
         two-state system this reduces to the exact escape rate; in
-        general it complements :meth:`mfpt` (the rate counts reactive
-        events per time spent "last in A").
+        general it counts reactive events per time spent "last in A"
+        (validated against brute-force reactive-event counting on a
+        sampled multi-state chain, tests/test_analysis.py).
 
         Args:
             A, B: disjoint state sets (as in :meth:`committor`).
@@ -832,19 +836,15 @@ class MSMResult:
             the rate (1/time); ``nan`` when A is unreachable.
         """
         q_plus = self.committor(A, B)
+        A, _ = self._sets(A, B)
         ok = np.isfinite(q_plus)
         if not ok.any():
             return float("nan")
-        q_minus = 1.0 - q_plus  # reversible estimator: detailed balance
+        q_minus = np.where(ok, 1.0 - q_plus, 0.0)  # reversible estimator
         pi = self.stationary
-        T = self.transition_matrix
-        idx = np.flatnonzero(ok)
-        Tk = T[np.ix_(idx, idx)].copy()
-        np.fill_diagonal(Tk, 0.0)
-        F = np.einsum(
-            "i,i,ij,j->", pi[idx], q_minus[idx], Tk, q_plus[idx]
-        )
-        denom = float((pi[idx] * q_minus[idx]).sum()) * self.lag * float(dt)
+        qp = np.where(ok, q_plus, 0.0)
+        F = float((pi[A] * (self.transition_matrix[A] @ qp)).sum())
+        denom = float((pi * q_minus).sum()) * self.lag * float(dt)
         return float(F / denom) if denom > 0 else float("nan")
 
     def pcca(self, n: int) -> np.ndarray:
@@ -1721,7 +1721,8 @@ class CommittorCheck:
             model's own labels), [m].
         msm_committor: the MSM-estimated committor of each bin, [m]
             (nan where the bin is unvisited / unreachable).
-        counts: interior frames per bin.
+        counts: weighted interior population per bin (frame counts when
+            no weights were given).
         max_deviation / rmse: |prediction - MSM estimate| over the
             populated bins, weighted by counts for the rmse.
     """
@@ -1730,7 +1731,16 @@ class CommittorCheck:
         self.bin_centers = bin_centers
         self.msm_committor = msm_committor
         self.counts = counts
-        ok = np.isfinite(msm_committor) & (counts > 0)
+        # gate and weight by the STATISTICAL population (counts carries
+        # the weighted bin mass): bins populated only by ~zero-weight
+        # frames (e.g. hot-replica spikes in a temperature-MBAR pool)
+        # have no usable statistics and must not drive the score
+        tiny = 1e-9 * max(float(np.sum(counts)), 1.0)
+        ok = (
+            np.isfinite(msm_committor)
+            & np.isfinite(bin_centers)
+            & (counts > tiny)
+        )
         dev = np.abs(bin_centers[ok] - msm_committor[ok])
         self.max_deviation = float(dev.max()) if dev.size else float("nan")
         w = counts[ok]
@@ -1814,7 +1824,9 @@ def committor_self_consistency(
 
     interior = ~(in_a | in_b)
     w = np.ones(n) if weights is None else np.asarray(weights, float)
-    counts = np.bincount(bin_idx[interior], minlength=n_bins).astype(float)
+    counts = np.bincount(
+        bin_idx[interior], weights=w[interior], minlength=n_bins
+    )
     sums = np.bincount(
         bin_idx[interior], weights=(q * w)[interior], minlength=n_bins
     )

@@ -14,7 +14,7 @@ each replica still shard over the mesh's data axis.
 Two entry points:
 
 * :func:`train_replica_ensemble` — R separately-constructed tasks (any of
-  the three task families), each with its own data/split/model; data is
+  the four task families), each with its own data/split/model; data is
   stacked per replica. Hyperparameters (lr, loss constants) MAY differ
   across replicas — they are traced, not baked into the program.
 * :func:`train_hyperparameter_sweep` — ONE task + a grid of
@@ -584,7 +584,7 @@ def train_hyperparameter_sweep(
     costs little more wall-clock than one run.
 
     Args:
-        task: a constructed task (any of the three families). Its data,
+        task: a constructed task (any of the four families). Its data,
             split, and static configuration are used for every replica;
             its own hyperparameter values are the defaults a grid entry
             overrides.
@@ -1001,7 +1001,7 @@ def train_architecture_ensemble(
     tasks differ only in (traced) parameters.
 
     Args:
-        tasks: the task variants (any mix of the three families and any
+        tasks: the task variants (any mix of the four families and any
             architectures; same-architecture tasks may differ in model
             init, data, splits, and traced hyperparameters).
         mesh: optional ensemble-parallel mesh, applied to groups whose

@@ -226,6 +226,12 @@ def adaptive_cv_discovery(
                 f"{np.round(res.pair_acceptance, 3)}"
             )
         segment = res.to_weighted_trajectory(sys_beta=float(pot_obj.beta))
+        # restart point for the first biased round: the final frame of
+        # the slot CLOSEST TO THE TARGET beta — the pooled segment is
+        # slot-major, so its last frame belongs to the hottest slot (an
+        # 8x-hotter configuration by default, a bad metadynamics start)
+        cold = int(np.argmin(np.abs(betas - float(pot_obj.beta))))
+        bootstrap_restart = np.asarray(res.frames[cold, -1], np.float64)
     elif bootstrap == "unbiased":
         if verbose:
             print(
@@ -248,6 +254,7 @@ def adaptive_cv_discovery(
             dt=dt,
             verbose=False,
         )
+        bootstrap_restart = None
     else:
         raise ValueError(
             f"bootstrap must be 'unbiased' or 'remd', got {bootstrap!r}"
@@ -282,7 +289,10 @@ def adaptive_cv_discovery(
             def cv_head0(x):
                 return cv_prev(x).reshape(-1)[:1]
 
-            start = segments[-1].trajectory[-1]
+            if r == 1 and bootstrap_restart is not None:
+                start = bootstrap_restart
+            else:
+                start = segments[-1].trajectory[-1]
             metad = integrate_sde_metadynamics(
                 pot_obj,
                 cv_head0,

@@ -1104,3 +1104,46 @@ def test_tpt_rate_validation():
     with pytest.raises(ValueError, match="disjoint"):
         model.tpt_rate([0], [0])
     assert model.tpt_rate([0], [2]) > 0
+
+
+def test_tpt_rate_multistate_counting_oracle():
+    """Review fix: with interior states the rate must equal the
+    brute-force count of reactive A->B events per time spent 'last in
+    A' — the earlier all-edges flux over-counted each multi-hop path
+    once per hop (3-13x on chains like this)."""
+    from colvarsfinder_tpu.analysis import msm
+
+    # 4-state birth-death chain with a soft interior barrier
+    T = np.array([
+        [0.90, 0.10, 0.00, 0.00],
+        [0.30, 0.55, 0.15, 0.00],
+        [0.00, 0.15, 0.55, 0.30],
+        [0.00, 0.00, 0.10, 0.90],
+    ])
+    rng = np.random.default_rng(1)
+    n = 400_000
+    s = np.empty(n, dtype=np.int64)
+    s[0] = 0
+    for t in range(1, n):
+        s[t] = rng.choice(4, p=T[s[t - 1]])
+
+    A, B = [0], [3]
+    dt = 1.0
+    model = msm(s, lag=1, reversible=True)
+    k = model.tpt_rate(A, B, dt=dt)
+
+    # brute force: b_t = 1 when the chain last visited A (not B);
+    # a reactive event = entering B while b is set
+    b = np.zeros(n, dtype=bool)
+    events = 0
+    last_a = s[0] == 0
+    for t in range(n):
+        if s[t] == 0:
+            last_a = True
+        elif s[t] == 3:
+            if last_a:
+                events += 1
+            last_a = False
+        b[t] = last_a
+    k_count = events / (n * dt * b.mean())
+    np.testing.assert_allclose(k, k_count, rtol=0.1)
