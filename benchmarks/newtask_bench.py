@@ -61,6 +61,58 @@ def bench_committor(n_frames=20_000, d=30, batch=20_000, epochs=300):
     return sps
 
 
+def bench_committor_gram_ab(n_frames=20_000, epochs=100):
+    """Gram vs vjp Dirichlet path on a molecular preprocessing layer
+    (Kabsch alignment + position features, d_r=30) — interleaved within
+    one process (tunnel drift rule, CLAUDE.md)."""
+    from colvarsfinder_tpu import CommittorTask, create_sequential_nn
+    from colvarsfinder_tpu.ops import (
+        AlignmentLayer,
+        Feature,
+        FeatureLayer,
+        PreprocessingANN,
+    )
+    from colvarsfinder_tpu.utils import WeightedTrajectory
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((10, 3)).astype(np.float32)
+    frames = base[None] + 0.1 * rng.standard_normal(
+        (n_frames, 10, 3)
+    ).astype(np.float32)
+    traj = WeightedTrajectory(trajectory=frames, dt=0.1, verbose=False)
+    align = AlignmentLayer(base, align_indices=list(range(10)))
+    feat = FeatureLayer([Feature("p", "position", list(range(10)))])
+    pp = PreprocessingANN(align, feat)
+    x0 = frames[:, 0, 0]
+
+    def build(gram):
+        return CommittorTask(
+            traj, pp,
+            create_sequential_nn([pp.output_dimension, 20, 20, 20, 1],
+                                 seed=0),
+            tempfile.mkdtemp(prefix="cvf_comgram_"),
+            region_a=x0 < np.quantile(x0, 0.2),
+            region_b=x0 > np.quantile(x0, 0.8),
+            alpha=100.0, beta=1.0, gram_pp=gram,
+            batch_size=n_frames, num_epochs=epochs,
+            save_model_every_step=0, test_ratio=0.2, verbose=False, seed=0,
+        )
+
+    tasks = {name: build(g) for name, g in (("vjp", False), ("gram", True))}
+    for t in tasks.values():
+        t.train()  # compile + warm
+    best = {name: float("inf") for name in tasks}
+    for _ in range(3):  # interleaved
+        for name, t in tasks.items():
+            t0 = time.perf_counter()
+            t.train()
+            best[name] = min(best[name], time.perf_counter() - t0)
+    for name in ("vjp", "gram"):
+        print(f"committor[{name:4s}] molecular pp d_r=30: "
+              f"{epochs / best[name]:8.1f} epochs/s")
+    print(f"gram speedup: {best['vjp'] / best['gram']:.2f}x")
+
+
 def bench_samplers(n_steps=500_000, chains=32):
     """Overdamped vs BAOAB vs REMD(K=8) device step rates."""
     from colvarsfinder_tpu.utils import (
@@ -117,7 +169,9 @@ if __name__ == "__main__":
     args = ap.parse_args()
     if args.quick:
         bench_committor(n_frames=2_000, d=10, batch=2_000, epochs=20)
+        bench_committor_gram_ab(n_frames=2_000, epochs=10)
         bench_samplers(n_steps=20_000, chains=4)
     else:
         bench_committor()
+        bench_committor_gram_ab()
         bench_samplers()

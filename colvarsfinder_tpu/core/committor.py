@@ -41,19 +41,26 @@ _EPOCH_FN_CACHE: dict = {}
 _METRIC_COLS = ["loss", "dirichlet", "boundary_a", "boundary_b"]
 
 
-def _multi_epoch_fn(length: int, opt_name: str, unroll: bool):
+def _multi_epoch_fn(length: int, opt_name: str, unroll: bool,
+                    gram: bool = False):
     from ..config import numerics_key
 
-    key = ("committor", length, numerics_key(), opt_name, unroll)
+    key = ("committor", length, numerics_key(), opt_name, unroll, gram)
     cached = _EPOCH_FN_CACHE.get(key)
     if cached is not None:
         return cached[0]
     optimizer = TrainingTask.make_optimizer(opt_name)
 
     def batch_metrics(model, pp_layer, diag_coeff, hyper, batch):
-        loss, (dirichlet, pa, pb) = committor_loss(
-            model, pp_layer, *batch, hyper, diag_coeff
-        )
+        if gram:
+            H, M, w, a, b = batch
+            loss, (dirichlet, pa, pb) = committor_loss(
+                model, pp_layer, H, w, a, b, hyper, None, pp_gram=M
+            )
+        else:
+            loss, (dirichlet, pa, pb) = committor_loss(
+                model, pp_layer, *batch, hyper, diag_coeff
+            )
         return loss, jnp.stack([loss, dirichlet, pa, pb])
 
     if unroll:
@@ -105,12 +112,13 @@ def _multi_epoch_fn(length: int, opt_name: str, unroll: bool):
     )
 
 
-def _multi_epoch_impl(length: int, opt_name: str, unroll: bool):
+def _multi_epoch_impl(length: int, opt_name: str, unroll: bool,
+                      gram: bool = False):
     """Un-jitted multi-epoch program (for the replica-ensemble vmap)."""
     from ..config import numerics_key
 
-    _multi_epoch_fn(length, opt_name, unroll)  # populate the cache
-    key = ("committor", length, numerics_key(), opt_name, unroll)
+    _multi_epoch_fn(length, opt_name, unroll, gram)  # populate the cache
+    key = ("committor", length, numerics_key(), opt_name, unroll, gram)
     return _EPOCH_FN_CACHE[key][1]
 
 
@@ -140,6 +148,11 @@ class CommittorTask(TrainingTask):
         diag_coeff: optional [d] diffusion diagonal (as in
             :class:`~colvarsfinder_tpu.core.EigenFunctionTask`'s
             generator mode).
+        gram_pp: precompute the preprocessing layer's per-batch
+            input-jacobian Gram so the per-step Dirichlet term is a
+            quadratic form in the model-only jacobian (the generator
+            gram path; default: on for a non-identity preprocessing
+            layer under the unrolled layout).
         (remaining arguments as in the other tasks)
 
     Attributes:
@@ -148,6 +161,7 @@ class CommittorTask(TrainingTask):
     """
 
     PREBATCH_UNROLL_LIMIT = 32
+    GRAM_AUTO_LIMIT_BYTES = 4 << 30
 
     def __init__(
         self,
@@ -160,6 +174,7 @@ class CommittorTask(TrainingTask):
         alpha: float = 100.0,
         beta: float = 1.0,
         diag_coeff=None,
+        gram_pp: bool | None = None,
         learning_rate: float = 0.01,
         load_model_filename=None,
         save_model_every_step: int = 10,
@@ -189,6 +204,23 @@ class CommittorTask(TrainingTask):
         )
         self.init_model_and_optimizer()
         self._unroll = False
+        # Gram-path Dirichlet term (losses.committor_loss pp_gram): the
+        # preprocessing input-jacobian Gram is loop-invariant, so it is
+        # precomputed per batch and the per-step Dirichlet term becomes
+        # a quadratic form in the model-only jacobian — the same lever
+        # as the generator eigen loss's gram_pp. Default: on for a
+        # non-identity preprocessing layer under the unrolled layout
+        # (resolved in _prepare_data).
+        from ..ops.features import Identity
+
+        if gram_pp is None:
+            self._gram_requested = not isinstance(
+                self.preprocessing_layer, Identity
+            )
+        else:
+            self._gram_requested = bool(gram_pp)
+        self._gram_explicit = gram_pp is not None
+        self._gram = False
 
         self._traj = np.asarray(traj_obj.trajectory, dtype=default_dtype())
         self._weights = np.asarray(traj_obj.weights, dtype=default_dtype())
@@ -262,7 +294,7 @@ class CommittorTask(TrainingTask):
         """Hashable tuple of everything baked into the compiled epoch
         program (alpha/beta/lr are traced; valid after
         :meth:`_prepare_data` decided the batch layout)."""
-        return (self.optimizer_name.lower(), self._unroll)
+        return (self.optimizer_name.lower(), self._unroll, self._gram)
 
     def _prepare_data(self):
         cached = getattr(self, "_prepared_data_cache", None)
@@ -300,6 +332,33 @@ class CommittorTask(TrainingTask):
 
         unroll = len(train_b) + len(test_b) <= self.PREBATCH_UNROLL_LIMIT
         self._unroll = unroll
+
+        # resolve the Gram Dirichlet path (same conditions as the eigen
+        # task's generator gram_pp: unrolled layout + the per-batch M
+        # tensors fit in HBM)
+        self._gram = self._gram_requested and unroll
+        state_shape = tuple(self._traj.shape[1:])
+        tot_dim = int(np.prod(state_shape))
+        if self._gram:
+            d_r = int(np.prod(jax.eval_shape(
+                self.preprocessing_layer,
+                jax.ShapeDtypeStruct((1,) + state_shape, self._traj.dtype),
+            ).shape[1:]))
+            n_rows = sum(len(np.asarray(r).reshape(-1))
+                         for r in list(train_b) + list(test_b))
+            m_bytes = n_rows * d_r * d_r * self._traj.itemsize
+            if m_bytes > self.GRAM_AUTO_LIMIT_BYTES:
+                self._gram = False
+        if self._gram_requested and self._gram_explicit and not self._gram:
+            import warnings
+
+            warnings.warn(
+                "gram_pp=True could not be honored (it requires the "
+                "unrolled prebatched layout and per-batch Gram tensors "
+                "within GRAM_AUTO_LIMIT_BYTES); training backprops "
+                "through the preprocessing layer instead"
+            )
+
         if unroll:
             if self.mesh is not None:
                 from ..parallel.mesh import shard_frames
@@ -307,10 +366,35 @@ class CommittorTask(TrainingTask):
                 place = lambda t: shard_frames(t, self.mesh)  # noqa: E731
             else:
                 place = self._place_batched
-            data_args = (
-                place(tuple(tuple(a[row] for a in tr) for row in train_b)),
-                place(tuple(tuple(a[row] for a in te) for row in test_b)),
-            )
+            if self._gram:
+                from .eigenfunction import _gram_fn
+
+                gf = _gram_fn(state_shape, tot_dim)
+                diag_d = (
+                    jnp.ones((tot_dim,), default_dtype())
+                    if self.diag_coeff is None else self.diag_coeff
+                )
+
+                def pack(arrs, row):
+                    Xf = jnp.asarray(
+                        arrs[0][row].reshape(len(row), -1)
+                    )
+                    H, M = gf(self.preprocessing_layer, diag_d, Xf)
+                    return (H, M, arrs[1][row], arrs[2][row], arrs[3][row])
+
+                data_args = (
+                    place(tuple(pack(tr, row) for row in train_b)),
+                    place(tuple(pack(te, row) for row in test_b)),
+                )
+            else:
+                data_args = (
+                    place(tuple(
+                        tuple(a[row] for a in tr) for row in train_b
+                    )),
+                    place(tuple(
+                        tuple(a[row] for a in te) for row in test_b
+                    )),
+                )
         else:
             def stack(arrs, rows):
                 return tuple(
@@ -354,7 +438,7 @@ class CommittorTask(TrainingTask):
                 chunk = self._next_chunk(epoch)
                 _t0 = _time.perf_counter()
                 model, opt_state, train_ms, test_ms = _multi_epoch_fn(
-                    chunk, self.optimizer_name.lower(), unroll
+                    chunk, self.optimizer_name.lower(), unroll, self._gram
                 )(
                     model, opt_state, pp_dev, self.diag_coeff,
                     self._hyper(), *data_args,

@@ -385,7 +385,8 @@ def reg_eigen_loss(
 
 
 def committor_loss(
-    model, pp_layer, X, weight, mask_a, mask_b, hyper, diag_coeff=None
+    model, pp_layer, X, weight, mask_a, mask_b, hyper, diag_coeff=None,
+    pp_gram=None,
 ):
     r"""Variational committor loss (transition path theory).
 
@@ -418,19 +419,41 @@ def committor_loss(
             program).
         diag_coeff: optional [d] diffusion diagonal ``a`` (flattened
             state dims), as in the generator eigenfunction objective.
+        pp_gram: optional precomputed per-sample preprocessing Gram
+            matrices [B, d_r, d_r] (same contract as :func:`eigen_loss`:
+            ``X`` must then be the feature batch and ``diag_coeff`` is
+            already folded into the Gram).
 
     Returns:
         ``(loss, (dirichlet, penalty_a, penalty_b))`` — all scalars.
     """
     alpha, beta = hyper
-
-    def q_batched(Xb):
-        return jax.nn.sigmoid(model(pp_layer(Xb)))  # [B, 1]
-
     tot_weight = weight.sum()
-    grad_sq = _per_sample_input_grad_sq(q_batched, X, 1, diag_coeff)  # [B,1]
-    dirichlet = (grad_sq[:, 0] * weight).sum() / (beta * tot_weight)
-    q = q_batched(X)[:, 0]
+
+    if pp_gram is not None:
+        # Gram path (same contract as eigen_loss's): X is the
+        # PRECOMPUTED feature batch H and pp_gram the per-sample
+        # M = J_pp diag(a) J_pp^T. With q = sigma(z), z = g(h):
+        # sum_d a_d (dq/dx_d)^2 = sigma'(z)^2 * G M G^T, G = dz/dh.
+        from ..config import matmul_precision
+
+        z = model(X)[:, 0]
+        G = jax.jacrev(lambda h: model(h).sum(axis=0))(X)[0]  # [B, d_r]
+        q = jax.nn.sigmoid(z)
+        sp = q * (1.0 - q)  # sigma'(z)
+        grad_sq_vec = sp**2 * jnp.einsum(
+            "bi,bij,bj->b", G, pp_gram, G, precision=matmul_precision()
+        )
+    else:
+        def q_batched(Xb):
+            return jax.nn.sigmoid(model(pp_layer(Xb)))  # [B, 1]
+
+        grad_sq = _per_sample_input_grad_sq(
+            q_batched, X, 1, diag_coeff
+        )  # [B, 1]
+        grad_sq_vec = grad_sq[:, 0]
+        q = q_batched(X)[:, 0]
+    dirichlet = (grad_sq_vec * weight).sum() / (beta * tot_weight)
     pen_a = (weight * mask_a * q**2).sum() / tot_weight
     pen_b = (weight * mask_b * (1.0 - q) ** 2).sum() / tot_weight
     loss = dirichlet + alpha * (pen_a + pen_b)

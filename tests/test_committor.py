@@ -193,3 +193,63 @@ def test_self_consistency_check(trained, tmp_path):
         committor_self_consistency(
             q_good, np.zeros(len(x), bool), in_b, lag=5
         )
+
+
+def test_gram_path_matches_vjp_path(tmp_path):
+    """The Gram Dirichlet path (pp input-jacobian precomputed per batch)
+    trains identically to backpropagating through the preprocessing
+    layer — on a molecular pp (Kabsch alignment + features), where the
+    path actually pays off."""
+    from colvarsfinder_tpu.ops import (
+        AlignmentLayer, Feature, FeatureLayer, PreprocessingANN,
+    )
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((6, 3)).astype(np.float32)
+    frames = base[None] + 0.15 * rng.standard_normal(
+        (600, 6, 3)
+    ).astype(np.float32)
+    traj = WeightedTrajectory(
+        trajectory=frames, weights=rng.uniform(0.5, 1.5, 600),
+        dt=0.1, verbose=False,
+    )
+    align = AlignmentLayer(base[:4], align_indices=[0, 1, 2, 3])
+    feat = FeatureLayer([
+        Feature("p", "position", [0, 2]),
+        Feature("d", "dihedral", [0, 1, 2, 3]),
+    ])
+    pp = PreprocessingANN(align, feat)
+    r0 = np.asarray(pp(frames[:1]))[0, 0]  # projected coordinate proxy
+    del r0
+
+    x_proxy = frames[:, 0, 0]  # region definition on a raw coordinate
+    kw = dict(
+        region_a=x_proxy < np.quantile(x_proxy, 0.15),
+        region_b=x_proxy > np.quantile(x_proxy, 0.85),
+        alpha=50.0, beta=1.0, batch_size=200, num_epochs=4,
+        save_model_every_step=0, verbose=False, seed=0,
+    )
+
+    def run(gram):
+        model = create_sequential_nn([pp.output_dimension, 10, 1], seed=3)
+        t = CommittorTask(
+            traj, pp, model, str(tmp_path / f"g{gram}"),
+            gram_pp=gram, **kw,
+        )
+        t.train()
+        return t
+
+    t_gram, t_vjp = run(True), run(False)
+    assert t_gram._gram and not t_vjp._gram
+    np.testing.assert_allclose(
+        t_gram.train_loss_df.to_numpy(),
+        t_vjp.train_loss_df.to_numpy(),
+        rtol=2e-4, atol=1e-6,
+    )
+    # default: auto-on for a non-identity pp
+    t_auto = CommittorTask(
+        traj, pp, create_sequential_nn([pp.output_dimension, 10, 1], seed=3),
+        str(tmp_path / "auto"), **kw,
+    )
+    t_auto._prepare_data()
+    assert t_auto._gram
