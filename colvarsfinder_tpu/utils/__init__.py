@@ -13,6 +13,7 @@ from .io import (
     write_dcd,
     write_gro,
 )
+from .lammps import LAMMPSFrames, read_lammpstrj, write_lammpstrj
 from .enhanced import (
     BiasedPotential,
     MBARResult,
@@ -65,6 +66,9 @@ __all__ = [
     "UmbrellaResult",
     "PlumedHills",
     "read_plumed_hills",
+    "read_lammpstrj",
+    "write_lammpstrj",
+    "LAMMPSFrames",
     "read_plumed_colvar",
     "metad_frame_weights",
     "Topology",

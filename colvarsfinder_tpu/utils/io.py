@@ -374,7 +374,7 @@ class Universe:
     ``mda.Universe('top.gro', 'md_center.xtc')``).
 
     Couples a topology file (.gro or .pdb) with a trajectory file (.xtc,
-    .trr, .dcd, .nc, or none — topology coordinates become a single
+    .trr, .dcd, .nc, .lammpstrj, or none — topology coordinates become a single
     frame), or with a LIST of trajectory files (independent launches,
     restart chains — formats may be mixed): frames are concatenated and
     ``trajectory.segment_starts`` records the file boundaries, which
@@ -473,10 +473,18 @@ class Universe:
             from .netcdf import read_netcdf
 
             coords, dt, _times = read_netcdf(path)
+        elif ext in (".lammpstrj", ".dump"):
+            from .lammps import read_lammpstrj
+
+            # biomolecular LAMMPS dumps (units real/metal) are Angstrom;
+            # the returned "dt" counts TIMESTEPs — pass dt_ps to Universe
+            # to set the real spacing (or call read_lammpstrj directly
+            # for lj-unit dumps)
+            coords, dt, _times = read_lammpstrj(path, length_scale=0.1)
         else:
             raise ValueError(
                 f"unsupported trajectory format '{ext}' "
-                "(supported: .xtc, .trr, .dcd, .nc)"
+                "(supported: .xtc, .trr, .dcd, .nc, .lammpstrj)"
             )
         return coords, dt
 
