@@ -231,10 +231,10 @@ class CommittorTask(TrainingTask):
             lambda x: self.model(self.preprocessing_layer(x)),
             jax.ShapeDtypeStruct((1,) + self._traj.shape[1:], self._traj.dtype),
         )
-        if int(np.prod(out.shape[1:])) != 1:
+        if len(out.shape) != 2 or int(out.shape[1]) != 1:
             raise ValueError(
-                f"committor model must have one output, got shape "
-                f"{out.shape[1:]}"
+                f"committor model must map [B, d_r] -> [B, 1], got output "
+                f"shape {out.shape}"
             )
 
         self._mask_a = self._resolve_region(region_a, n, "region_a")

@@ -386,12 +386,16 @@ class Universe:
 
     Args:
         topology_file: path to a .gro or .pdb file
-        trajectory_file: optional path to a .xtc, .trr, .dcd, or Amber
-            .nc trajectory, or a list of such paths (all must share the
-            topology's atom count and agree on the frame spacing unless
-            ``dt_ps`` overrides it)
-        dt_ps: override the frame spacing (ps) when the trajectory file has
-            none (e.g. single-frame or zero-time XTC files)
+        trajectory_file: optional path to a .xtc, .trr, .dcd, Amber
+            .nc, or LAMMPS .lammpstrj/.dump trajectory, or a list of such
+            paths (all must share the topology's atom count and agree on
+            the frame spacing unless ``dt_ps`` overrides it)
+        dt_ps: override the frame spacing (ps) when the trajectory file
+            has none — single-frame or zero-time XTC files, and ALWAYS
+            for LAMMPS dumps (their TIMESTEP counters are step counts,
+            not time; without ``dt_ps`` the spacing silently defaults
+            to 1 ps). Note this is the FULL spacing between stored
+            frames, unlike ``read_lammpstrj``'s per-step ``dt_ps``.
     """
 
     def __init__(
@@ -477,14 +481,15 @@ class Universe:
             from .lammps import read_lammpstrj
 
             # biomolecular LAMMPS dumps (units real/metal) are Angstrom;
-            # the returned "dt" counts TIMESTEPs — pass dt_ps to Universe
-            # to set the real spacing (or call read_lammpstrj directly
-            # for lj-unit dumps)
-            coords, dt, _times = read_lammpstrj(path, length_scale=0.1)
+            # TIMESTEP counters are NOT time, so report "no timing info"
+            # (dt = -1): Universe then requires/uses dt_ps for the frame
+            # spacing. Call read_lammpstrj directly for lj-unit dumps.
+            coords, _step_dt, _times = read_lammpstrj(path, length_scale=0.1)
+            dt = -1.0
         else:
             raise ValueError(
                 f"unsupported trajectory format '{ext}' "
-                "(supported: .xtc, .trr, .dcd, .nc, .lammpstrj)"
+                "(supported: .xtc, .trr, .dcd, .nc, .lammpstrj, .dump)"
             )
         return coords, dt
 

@@ -94,6 +94,8 @@ def _read_full(path: str, length_scale: float) -> LAMMPSFrames:
         n_atoms = int(lines[i + 3].split()[0])
         if not lines[i + 4].startswith("ITEM: BOX BOUNDS"):
             raise ValueError(f"{path}: missing BOX BOUNDS at line {i + 5}")
+        bounds_flags = lines[i + 4].split()[3:]
+        triclinic = any(t in ("xy", "xz", "yz") for t in bounds_flags)
         box = np.array(
             [
                 [float(v) for v in lines[i + 5 + a].split()[:2]]
@@ -116,21 +118,43 @@ def _read_full(path: str, length_scale: float) -> LAMMPSFrames:
                 f"{path}: no coordinate columns found in {cols} "
                 "(need x y z / xu yu zu / xs ys zs / xsu ysu zsu)"
             )
+        # triclinic cells: scaled columns need the tilt transform
+        # x = xlo + xs*lx + ys*xy + zs*xz (with TRUE lo/hi, not the
+        # dumped bound values) and wrapped x y z + image flags need the
+        # tilt vectors to unwrap — refuse rather than silently corrupt
+        unwrap_ix = None
+        if names == ("x", "y", "z") and all(
+            nm in col_ix for nm in ("ix", "iy", "iz")
+        ):
+            unwrap_ix = [col_ix[nm] for nm in ("ix", "iy", "iz")]
+        if triclinic and (scaled or unwrap_ix is not None):
+            raise ValueError(
+                f"{path}: triclinic BOX BOUNDS ({' '.join(bounds_flags)}) "
+                "with scaled or wrapped+image-flag coordinates is not "
+                "supported — dump unscaled unwrapped coordinates "
+                "(xu yu zu) instead"
+            )
         block = lines[i + 9: i + 9 + n_atoms]
-        data = np.array(
-            [row.split() for row in block], dtype=object
-        )
-        if data.shape[0] != n_atoms:
+        rows = [r.split() for r in block]
+        if len(rows) != n_atoms or any(len(r) != len(cols) for r in rows):
             raise ValueError(
                 f"{path}: truncated frame at step {step} "
-                f"({data.shape[0]}/{n_atoms} atom rows)"
+                f"({sum(len(r) == len(cols) for r in rows)}/{n_atoms} "
+                "complete atom rows)"
             )
+        data = np.array(rows, dtype=object)
         fids = data[:, col_ix["id"]].astype(np.int64)
         order = np.argsort(fids, kind="stable")
         xyz = data[:, cix].astype(np.float64)[order]
         if scaled:
             lo, hi = box[:, 0], box[:, 1]
             xyz = lo[None, :] + xyz * (hi - lo)[None, :]
+        elif unwrap_ix is not None:
+            # periodic-wrapped coordinates + image flags: unwrap so
+            # molecules stay whole across box faces
+            imgs = data[:, unwrap_ix].astype(np.float64)[order]
+            lo, hi = box[:, 0], box[:, 1]
+            xyz = xyz + imgs * (hi - lo)[None, :]
         if ids0 is None:
             ids0 = fids[order]
             types0 = (

@@ -115,9 +115,35 @@ def test_region_validation(tmp_path):
     with pytest.raises(ValueError, match="values for"):
         mk(region_a=np.zeros(5, bool), region_b=lambda X: X[:, 0] > 0)
     model2 = create_sequential_nn([1, 8, 2], seed=1)
-    with pytest.raises(ValueError, match="one output"):
+    with pytest.raises(ValueError, match=r"\[B, 1\]"):
         CommittorTask(
             traj, None, model2, str(tmp_path),
+            region_a=lambda X: X[:, 0] < -1, region_b=lambda X: X[:, 0] > 1,
+            verbose=False,
+        )
+
+    import jax
+
+    @jax.tree_util.register_pytree_node_class
+    class SqueezedNet:
+        """A [B]-output model (review fix: rank-1 outputs must be
+        rejected at construction, not crash inside the jitted trace)."""
+
+        def __call__(self, x):
+            import jax.numpy as jnp
+
+            return jnp.sum(x, axis=-1)  # [B]
+
+        def tree_flatten(self):
+            return (), None
+
+        @classmethod
+        def tree_unflatten(cls, aux, children):
+            return cls()
+
+    with pytest.raises(ValueError, match=r"\[B, 1\]"):
+        CommittorTask(
+            traj, None, SqueezedNet(), str(tmp_path),
             region_a=lambda X: X[:, 0] < -1, region_b=lambda X: X[:, 0] > 1,
             verbose=False,
         )
@@ -219,8 +245,6 @@ def test_gram_path_matches_vjp_path(tmp_path):
         Feature("d", "dihedral", [0, 1, 2, 3]),
     ])
     pp = PreprocessingANN(align, feat)
-    r0 = np.asarray(pp(frames[:1]))[0, 0]  # projected coordinate proxy
-    del r0
 
     x_proxy = frames[:, 0, 0]  # region definition on a raw coordinate
     kw = dict(

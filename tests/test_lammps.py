@@ -138,3 +138,89 @@ def test_universe_entry(tmp_path):
     np.testing.assert_allclose(got, x_nm, atol=1e-5)
     wt = WeightedTrajectory(universe=u, verbose=False)
     assert wt.n_frames == 6
+
+
+def test_triclinic_guards(tmp_path):
+    """Review fix: triclinic cells with scaled or wrapped+image-flag
+    coordinates are refused (the orthogonal unscale/unwrap math would
+    silently corrupt them); cartesian unwrapped columns still read."""
+    hdr = (
+        "ITEM: TIMESTEP\n0\nITEM: NUMBER OF ATOMS\n1\n"
+        "ITEM: BOX BOUNDS xy xz yz pp pp pp\n"
+        "0 10 0.5\n0 10 0.2\n0 10 0.1\n"
+    )
+    bad = str(tmp_path / "tri_scaled.lammpstrj")
+    with open(bad, "w") as f:
+        f.write(hdr + "ITEM: ATOMS id type xs ys zs\n1 1 0.5 0.5 0.5\n")
+    with pytest.raises(ValueError, match="triclinic"):
+        read_lammpstrj(bad)
+
+    bad2 = str(tmp_path / "tri_img.lammpstrj")
+    with open(bad2, "w") as f:
+        f.write(
+            hdr + "ITEM: ATOMS id type x y z ix iy iz\n"
+            "1 1 1.0 1.0 1.0 1 0 0\n"
+        )
+    with pytest.raises(ValueError, match="triclinic"):
+        read_lammpstrj(bad2)
+
+    ok = str(tmp_path / "tri_xu.lammpstrj")
+    with open(ok, "w") as f:
+        f.write(hdr + "ITEM: ATOMS id type xu yu zu\n1 1 11.0 2.0 3.0\n")
+    coords, _, _ = read_lammpstrj(ok)
+    np.testing.assert_allclose(coords[0, 0], [11.0, 2.0, 3.0], atol=1e-6)
+
+
+def test_image_flags_unwrap(tmp_path):
+    """Review fix: wrapped x y z + ix iy iz image flags unwrap through
+    the (orthogonal) box so molecules stay whole."""
+    path = str(tmp_path / "img.lammpstrj")
+    with open(path, "w") as f:
+        f.write(
+            "ITEM: TIMESTEP\n0\nITEM: NUMBER OF ATOMS\n2\n"
+            "ITEM: BOX BOUNDS pp pp pp\n0 10\n0 20\n-5 5\n"
+            "ITEM: ATOMS id type x y z ix iy iz\n"
+            "1 1 9.5 1.0 4.0 0 0 0\n"
+            "2 1 0.5 1.0 -4.0 1 0 1\n"
+        )
+    coords, _, _ = read_lammpstrj(path)
+    np.testing.assert_allclose(coords[0, 0], [9.5, 1.0, 4.0], atol=1e-6)
+    # atom 2 crossed +x and +z: 0.5 + 10, -4 + 10
+    np.testing.assert_allclose(coords[0, 1], [10.5, 1.0, 6.0], atol=1e-6)
+
+
+def test_midrow_truncation_detected(tmp_path):
+    """Review fix: a frame cut mid-row raises the truncation error, not
+    a ragged-array IndexError."""
+    path = str(tmp_path / "rag.lammpstrj")
+    with open(path, "w") as f:
+        f.write(
+            "ITEM: TIMESTEP\n0\nITEM: NUMBER OF ATOMS\n2\n"
+            "ITEM: BOX BOUNDS pp pp pp\n0 1\n0 1\n0 1\n"
+            "ITEM: ATOMS id type x y z\n"
+            "1 1 0.1 0.2 0.3\n"
+            "2 1 0.4 0.5\n"  # cut mid-row
+        )
+    with pytest.raises(ValueError, match="truncated"):
+        read_lammpstrj(path)
+
+
+def test_universe_lammps_dt_semantics(tmp_path):
+    """Review fix: LAMMPS TIMESTEP counters never masquerade as ps —
+    without dt_ps the Universe falls back to the documented 1 ps default
+    (dt <= 0 'no timing info' convention), and lammps files do not vote
+    in the multi-file spacing check."""
+    from colvarsfinder_tpu.utils import Topology, Universe
+    from colvarsfinder_tpu.utils.io import write_gro
+
+    x = _coords(4, 3, seed=5)
+    top = Topology(names=["C1", "C2", "C3"], resids=[1] * 3,
+                   resnames=["MOL"] * 3, positions=x[0])
+    gro = str(tmp_path / "top.gro")
+    write_gro(gro, top)
+    trj = str(tmp_path / "run.lammpstrj")
+    write_lammpstrj(trj, x, steps=np.arange(4) * 500, length_scale=10.0)
+    u = Universe(gro, trj)  # no dt_ps
+    assert u.trajectory.dt == pytest.approx(1.0)  # NOT 500
+    u2 = Universe(gro, trj, dt_ps=2.5)
+    assert u2.trajectory.dt == pytest.approx(2.5)
