@@ -41,16 +41,7 @@ _EPOCH_FN_CACHE: dict = {}
 _METRIC_COLS = ["loss", "dirichlet", "boundary_a", "boundary_b"]
 
 
-def _multi_epoch_fn(length: int, opt_name: str, unroll: bool,
-                    gram: bool = False):
-    from ..config import numerics_key
-
-    key = ("committor", length, numerics_key(), opt_name, unroll, gram)
-    cached = _EPOCH_FN_CACHE.get(key)
-    if cached is not None:
-        return cached[0]
-    optimizer = TrainingTask.make_optimizer(opt_name)
-
+def _batch_metrics_fn(gram: bool):
     def batch_metrics(model, pp_layer, diag_coeff, hyper, batch):
         if gram:
             H, M, w, a, b = batch
@@ -62,6 +53,20 @@ def _multi_epoch_fn(length: int, opt_name: str, unroll: bool,
                 model, pp_layer, *batch, hyper, diag_coeff
             )
         return loss, jnp.stack([loss, dirichlet, pa, pb])
+
+    return batch_metrics
+
+
+def _multi_epoch_fn(length: int, opt_name: str, unroll: bool,
+                    gram: bool = False):
+    from ..config import numerics_key
+
+    key = ("committor", length, numerics_key(), opt_name, unroll, gram)
+    cached = _EPOCH_FN_CACHE.get(key)
+    if cached is not None:
+        return cached[0]
+    optimizer = TrainingTask.make_optimizer(opt_name)
+    batch_metrics = _batch_metrics_fn(gram)
 
     if unroll:
         def epoch_body(
@@ -112,6 +117,39 @@ def _multi_epoch_fn(length: int, opt_name: str, unroll: bool,
     )
 
 
+def _stream_fns(opt_name: str):
+    """Jitted per-batch ``(step, eval)`` pair for the STREAMING layout
+    (trajectories larger than HBM) — vjp Dirichlet path only (the gram
+    precompute is a device-resident layout); the step donates
+    model/opt_state."""
+    from ..config import numerics_key
+
+    key = ("committor_stream", numerics_key(), opt_name)
+    cached = _EPOCH_FN_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    optimizer = TrainingTask.make_optimizer(opt_name)
+    batch_metrics = _batch_metrics_fn(False)
+
+    def step(model, opt_state, pp_layer, diag_coeff, hyper, batch):
+        (loss, metrics), grads = jax.value_and_grad(
+            batch_metrics, has_aux=True
+        )(model, pp_layer, diag_coeff, hyper, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, model)
+        model = optax.apply_updates(model, updates)
+        return model, opt_state, metrics
+
+    def eval_one(model, pp_layer, diag_coeff, hyper, batch):
+        return batch_metrics(model, pp_layer, diag_coeff, hyper, batch)[1]
+
+    fns = (jax.jit(step, donate_argnums=(0, 1)), jax.jit(eval_one))
+    while len(_EPOCH_FN_CACHE) >= TrainingTask.EPOCH_FN_CACHE_MAX:
+        _EPOCH_FN_CACHE.pop(next(iter(_EPOCH_FN_CACHE)))
+    _EPOCH_FN_CACHE[key] = fns
+    return fns
+
+
 def _multi_epoch_impl(length: int, opt_name: str, unroll: bool,
                       gram: bool = False):
     """Un-jitted multi-epoch program (for the replica-ensemble vmap)."""
@@ -153,6 +191,12 @@ class CommittorTask(TrainingTask):
             quadratic form in the model-only jacobian (the generator
             gram path; default: on for a non-identity preprocessing
             layer under the unrolled layout).
+        streaming: host/disk-resident data layout for trajectories
+            larger than HBM (works directly on a ``np.memmap``): batches
+            are gathered on the host and transferred just-in-time into a
+            jitted donated step (vjp Dirichlet path; gram requires the
+            device-resident layout). Default: auto above
+            ``STREAMING_AUTO_LIMIT_BYTES``.
         (remaining arguments as in the other tasks)
 
     Attributes:
@@ -175,6 +219,7 @@ class CommittorTask(TrainingTask):
         beta: float = 1.0,
         diag_coeff=None,
         gram_pp: bool | None = None,
+        streaming: bool | None = None,
         learning_rate: float = 0.01,
         load_model_filename=None,
         save_model_every_step: int = 10,
@@ -222,14 +267,26 @@ class CommittorTask(TrainingTask):
         self._gram_explicit = gram_pp is not None
         self._gram = False
 
-        self._traj = np.asarray(traj_obj.trajectory, dtype=default_dtype())
+        # asanyarray: a np.memmap stays a memmap for the streaming layout
+        raw = np.asanyarray(traj_obj.trajectory)
+        traj_bytes = (
+            int(np.prod(raw.shape, dtype=np.int64))
+            * np.dtype(default_dtype()).itemsize
+        )
+        self._streaming = self._resolve_streaming(streaming, traj_bytes)
+        self._traj = (
+            raw if self._streaming
+            else np.asarray(raw, dtype=default_dtype())
+        )
         self._weights = np.asarray(traj_obj.weights, dtype=default_dtype())
         n = self._traj.shape[0]
 
         # output must be scalar (one committor)
         out = jax.eval_shape(
             lambda x: self.model(self.preprocessing_layer(x)),
-            jax.ShapeDtypeStruct((1,) + self._traj.shape[1:], self._traj.dtype),
+            jax.ShapeDtypeStruct(
+                (1,) + self._traj.shape[1:], default_dtype()
+            ),
         )
         if len(out.shape) != 2 or int(out.shape[1]) != 1:
             raise ValueError(
@@ -321,22 +378,15 @@ class CommittorTask(TrainingTask):
                     f"region, lower test_ratio, or add boundary samples"
                 )
 
-        def gather(idx):
-            return (
-                self._traj[idx], self._weights[idx],
-                self._mask_a[idx], self._mask_b[idx],
-            )
-
-        tr = gather(train_idx)
-        te = gather(test_idx)
-
         unroll = len(train_b) + len(test_b) <= self.PREBATCH_UNROLL_LIMIT
         self._unroll = unroll
 
         # resolve the Gram Dirichlet path (same conditions as the eigen
         # task's generator gram_pp: unrolled layout + the per-batch M
-        # tensors fit in HBM)
-        self._gram = self._gram_requested and unroll
+        # tensors fit in HBM; streaming keeps data host-side, so no gram)
+        self._gram = (
+            self._gram_requested and unroll and not self._streaming
+        )
         state_shape = tuple(self._traj.shape[1:])
         tot_dim = int(np.prod(state_shape))
         if self._gram:
@@ -358,6 +408,26 @@ class CommittorTask(TrainingTask):
                 "within GRAM_AUTO_LIMIT_BYTES); training backprops "
                 "through the preprocessing layer instead"
             )
+
+        if self._streaming:
+            # STREAMING layout: trajectory stays host-resident (no
+            # whole-split gathered copy); batches are gathered
+            # just-in-time in train()
+            self._unroll = False
+            self._stream_split = (
+                np.asarray(train_idx), np.asarray(test_idx)
+            )
+            self._prepared_data_cache = (None, False, train_b, test_b)
+            return self._prepared_data_cache
+
+        def gather(idx):
+            return (
+                self._traj[idx], self._weights[idx],
+                self._mask_a[idx], self._mask_b[idx],
+            )
+
+        tr = gather(train_idx)
+        te = gather(test_idx)
 
         if unroll:
             if self.mesh is not None:
@@ -410,6 +480,17 @@ class CommittorTask(TrainingTask):
         self._prepared_data_cache = (data_args, unroll, train_b, test_b)
         return self._prepared_data_cache
 
+    def _stream_pack(self, split: int, rows):
+        """Host gather of one batch for the streaming layout (split 0 =
+        train, 1 = test); casts memmap frames to the compute dtype."""
+        sel = self._stream_split[split][np.asarray(rows)]
+        return (
+            np.asarray(self._traj[sel], dtype=default_dtype()),
+            self._weights[sel],
+            self._mask_a[sel],
+            self._mask_b[sel],
+        )
+
     def _hyper(self):
         dt = default_dtype()
         return (jnp.asarray(self.alpha, dt), jnp.asarray(self.beta, dt))
@@ -437,12 +518,28 @@ class CommittorTask(TrainingTask):
             while epoch < self.num_epochs:
                 chunk = self._next_chunk(epoch)
                 _t0 = _time.perf_counter()
-                model, opt_state, train_ms, test_ms = _multi_epoch_fn(
-                    chunk, self.optimizer_name.lower(), unroll, self._gram
-                )(
-                    model, opt_state, pp_dev, self.diag_coeff,
-                    self._hyper(), *data_args,
-                )
+                if self._streaming:
+                    step_fn, eval_fn = _stream_fns(
+                        self.optimizer_name.lower()
+                    )
+                    model, opt_state, train_ms, test_ms = (
+                        self._stream_epochs(
+                            chunk, model, opt_state,
+                            (pp_dev, self.diag_coeff, self._hyper()),
+                            step_fn, eval_fn,
+                            lambda rows: self._stream_pack(0, rows),
+                            lambda rows: self._stream_pack(1, rows),
+                            train_b, test_b,
+                        )
+                    )
+                else:
+                    model, opt_state, train_ms, test_ms = _multi_epoch_fn(
+                        chunk, self.optimizer_name.lower(), unroll,
+                        self._gram,
+                    )(
+                        model, opt_state, pp_dev, self.diag_coeff,
+                        self._hyper(), *data_args,
+                    )
                 train_ms, test_ms = jax.device_get((train_ms, test_ms))
                 chunk_time = (_time.perf_counter() - _t0) / chunk
                 self.model = model

@@ -277,3 +277,44 @@ def test_gram_path_matches_vjp_path(tmp_path):
     )
     t_auto._prepare_data()
     assert t_auto._gram
+
+
+def test_streaming_matches_device_layout(tmp_path):
+    """streaming=True (host/memmap-resident trajectory, just-in-time
+    batch gathers) trains identically to the device-resident layout."""
+    from numpy.lib.format import open_memmap
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((600, 2)).astype(np.float32)
+    mm_path = str(tmp_path / "traj.npy")
+    mm = open_memmap(mm_path, mode="w+", dtype=np.float32, shape=x.shape)
+    mm[:] = x
+    mm.flush()
+
+    def run(traj_arr, streaming, tag):
+        traj = WeightedTrajectory(trajectory=traj_arr, dt=0.1, verbose=False)
+        t = CommittorTask(
+            traj, None, create_sequential_nn([2, 8, 1], seed=0),
+            str(tmp_path / tag),
+            region_a=x[:, 0] < -0.8, region_b=x[:, 0] > 0.8,
+            alpha=50.0, streaming=streaming, num_epochs=4, batch_size=100,
+            save_model_every_step=0, verbose=False, seed=0,
+        )
+        t.train()
+        return t
+
+    t_dev = run(x, False, "dev")
+    t_str = run(np.load(mm_path, mmap_mode="r"), True, "str")
+    assert t_str._streaming and not t_dev._streaming
+    # the streaming trajectory stays a memmap on the host
+    assert isinstance(t_str._traj, np.memmap)
+    np.testing.assert_allclose(
+        t_str.train_loss_df.to_numpy(),
+        t_dev.train_loss_df.to_numpy(),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        t_str.test_loss_df.to_numpy(),
+        t_dev.test_loss_df.to_numpy(),
+        rtol=1e-4, atol=1e-6,
+    )
