@@ -27,3 +27,18 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _bounded_compiler_state():
+    """Drop accumulated jit executables between test modules.
+
+    Past ~400 tests of retained executables the XLA CPU compiler starts
+    segfaulting inside backend_compile on the suite's larger unrolled
+    programs (observed three times, at whichever late module compiles
+    next — test_workflow twice, test_umbrella once; every module passes
+    in isolation). Clearing per module re-compiles shared programs but
+    keeps the compiler's memory bounded and the suite deterministic.
+    """
+    jax.clear_caches()
+    yield

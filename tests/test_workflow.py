@@ -10,20 +10,6 @@ import jax
 import jax.numpy as jnp
 
 
-@pytest.fixture(scope="module", autouse=True)
-def _fresh_compiler_state():
-    """The adaptive-loop fixture compiles some of the suite's largest
-    unrolled programs (15-epoch x 6-batch bodies); at the end of a full
-    suite run the accumulated jit executables have pushed the XLA CPU
-    compiler into a state where that compile can segfault (observed
-    twice at tests/test_workflow.py::result -> eigenfunction.train ->
-    backend_compile; the module passes in isolation and in tail-only
-    runs). Dropping the accumulated executables first keeps the
-    compiler within its comfort zone at the cost of recompiling this
-    module's programs."""
-    jax.clear_caches()
-    yield
-
 from colvarsfinder_tpu.core import EigenFunctionTask
 from colvarsfinder_tpu.models import EigenFunctions
 from colvarsfinder_tpu.workflow import adaptive_cv_discovery
