@@ -1799,6 +1799,11 @@ def committor_self_consistency(
     Returns:
         :class:`CommittorCheck` — `max_deviation` well below ~0.1 over
         the populated bins indicates a self-consistent committor.
+        Caveat: the check covers POPULATED interior bins only, so it
+        cannot flag a committor collapsed near the global crossing
+        probability (one populated bin, trivially consistent) — pair it
+        with the boundary means ``E[q | A]`` / ``E[1-q | B]``, as
+        :func:`~colvarsfinder_tpu.parallel.sweep_committor_checks` does.
     """
     q = np.asarray(q_values, dtype=np.float64).reshape(-1)
     in_a = np.asarray(in_a, dtype=bool).reshape(-1)

@@ -52,6 +52,7 @@ __all__ = [
     "SweepResult",
     "adopt_sweep_result",
     "sweep_vamp_scores",
+    "sweep_committor_checks",
     "ExploreResult",
     "explore_then_finetune",
     "train_architecture_ensemble",
@@ -567,6 +568,104 @@ def sweep_vamp_scores(
             segment_starts=segment_starts,
         )
     return scores
+
+
+def sweep_committor_checks(
+    task,
+    results,
+    lag: int,
+    frames=None,
+    weights=None,
+    in_a=None,
+    in_b=None,
+    n_bins: int = 20,
+    batch_size: int = 65536,
+    segment_starts=None,
+) -> np.ndarray:
+    """Rank committor-sweep replicas by MSM self-consistency — the
+    committor counterpart of :func:`sweep_vamp_scores` (final losses are
+    NOT comparable across ``alpha`` values, since alpha reweights the
+    boundary terms against the Dirichlet term).
+
+    Each replica's predicted committor is evaluated frame-ordered and
+    scored as the MAX of (a) the interior MSM self-consistency deviation
+    (:func:`colvarsfinder_tpu.analysis.committor_self_consistency`) and
+    (b) the weighted-mean boundary violations ``E[q | A]`` and
+    ``E[1-q | B]`` — (b) is essential: a committor collapsed to the
+    global crossing probability populates one interior bin and trivially
+    passes (a), but fails its boundary conditions massively. LOWER is
+    better; adopt ``results[np.argmin(devs)]`` with
+    :func:`adopt_sweep_result`.
+
+    Args:
+        task: the :class:`~colvarsfinder_tpu.core.CommittorTask` the
+            sweep was run on (its region masks define the MSM boundary
+            states).
+        results: list of :class:`SweepResult` (or a single result).
+        lag: MSM estimation lag in frames (the data's decorrelation
+            scale — see ``committor_self_consistency``).
+        frames / weights / segment_starts: optional held-out
+            frame-ordered states; default to the task's trajectory.
+        in_a / in_b: [n] boolean A/B masks for ``frames`` (required with
+            ``frames``; default to the task's own masks otherwise).
+        n_bins: interior committor bins.
+        batch_size: CV-evaluation chunk size.
+
+    Returns:
+        ``[R]`` numpy array of ``max_deviation`` scores, in ``results``
+        order (nan where a replica's committor leaves every interior
+        bin unpopulated).
+    """
+    import copy
+
+    from ..analysis import committor_self_consistency
+    from ..core.committor import CommittorTask
+
+    if not isinstance(task, CommittorTask):
+        raise TypeError(
+            "sweep_committor_checks needs a CommittorTask (its region "
+            f"masks define the boundary states); got {type(task).__name__}"
+        )
+    if frames is None:
+        frames = task.traj_obj.trajectory
+        in_a = np.asarray(task._mask_a, bool)
+        in_b = np.asarray(task._mask_b, bool)
+        if weights is None:
+            weights = task.traj_obj.weights
+        if segment_starts is None:
+            segment_starts = getattr(task.traj_obj, "segment_starts", None)
+    elif in_a is None or in_b is None:
+        raise ValueError(
+            "pass in_a and in_b boolean masks along with held-out frames"
+        )
+    frames = np.asarray(frames)
+    in_a = np.asarray(in_a, bool)
+    in_b = np.asarray(in_b, bool)
+    if isinstance(results, SweepResult):
+        results = [results]
+    proxy = copy.copy(task)
+    dev_chunks = [
+        jnp.asarray(frames[s : s + batch_size])
+        for s in range(0, frames.shape[0], batch_size)
+    ]
+    devs = np.empty(len(results))
+    for i, res in enumerate(results):
+        adopt_sweep_result(proxy, res)
+        cv = proxy.colvar_model()
+        logits = np.concatenate([np.asarray(cv(c))[:, 0] for c in dev_chunks])
+        q = 1.0 / (1.0 + np.exp(-logits))
+        chk = committor_self_consistency(
+            q, in_a, in_b, lag=lag, n_bins=n_bins, weights=weights,
+            segment_starts=segment_starts,
+        )
+        w = (
+            np.ones(len(q)) if weights is None
+            else np.asarray(weights, float)
+        )
+        bnd_a = float(np.average(q[in_a], weights=w[in_a]))
+        bnd_b = float(np.average(1.0 - q[in_b], weights=w[in_b]))
+        devs[i] = max(chk.max_deviation, bnd_a, bnd_b)
+    return devs
 
 
 def train_hyperparameter_sweep(

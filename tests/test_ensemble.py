@@ -793,3 +793,48 @@ def test_ensemble_committor(tmp_path):
             t.train_loss_df.to_numpy(), s.train_loss_df.to_numpy(),
             rtol=1e-4, atol=1e-6,
         )
+
+
+def test_sweep_committor_checks(tmp_path):
+    """Alpha grids are not loss-comparable; sweep_committor_checks ranks
+    replicas by MSM self-consistency of their predicted committor."""
+    from colvarsfinder_tpu.parallel import sweep_committor_checks
+
+    # a two-well series so the committor is learnable at all
+    rng = np.random.default_rng(2)
+    n = 1200
+    x = np.empty((n, 2), np.float32)
+    state = -1.0
+    for t in range(n):
+        state = np.clip(
+            state + 0.25 * (-4 * state * (state**2 - 1)) * 0.05
+            + 0.45 * rng.standard_normal(), -1.8, 1.8,
+        )
+        x[t] = (state, 0.1 * rng.standard_normal())
+    traj = WeightedTrajectory(trajectory=x, dt=0.1, verbose=False)
+    task = _committor_task(tmp_path, traj, "csc", alpha=50.0)
+    # reuse helper but with the two-well regions
+    from colvarsfinder_tpu import CommittorTask, create_sequential_nn
+
+    task = CommittorTask(
+        traj, None, create_sequential_nn([2, 10, 1], seed=7),
+        str(tmp_path / "csc2"),
+        region_a=x[:, 0] < -0.9, region_b=x[:, 0] > 0.9,
+        alpha=50.0, beta=1.0, learning_rate=0.02, seed=0,
+        **{**COMMON, "num_epochs": 30},
+    )
+    results = train_hyperparameter_sweep(
+        task, {"alpha": [0.01, 50.0, 200.0]}
+    )
+    devs = sweep_committor_checks(task, results, lag=3, n_bins=8)
+    assert devs.shape == (3,)
+    assert np.isfinite(devs).all()
+    # a near-zero alpha cannot pin the boundaries -> visibly worse
+    # self-consistency than the properly-penalized replicas
+    assert devs[0] > min(devs[1], devs[2])
+
+    with pytest.raises(TypeError, match="CommittorTask"):
+        eig = _make_tasks(tmp_path, "nope", n_replicas=1)[0]
+        sweep_committor_checks(eig, results, lag=3)
+    with pytest.raises(ValueError, match="in_a and in_b"):
+        sweep_committor_checks(task, results, lag=3, frames=x[:100])
