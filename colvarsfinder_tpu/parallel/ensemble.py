@@ -973,6 +973,7 @@ class ExploreResult(NamedTuple):
 
 def explore_then_finetune(
     task, grid: dict, *, models=None, metric: str = "train",
+    metric_lag: int | None = None,
     finetune_epochs: int | None = None, compute_dtype: str = "bfloat16",
     bf16_style: str | None = None, chunk_size: int | None = None,
     mesh=None,
@@ -1001,15 +1002,20 @@ def explore_then_finetune(
         grid: hyperparameter grid, as for
             :func:`train_hyperparameter_sweep`.
         models: optional per-replica initial models (as for the sweep).
-        metric: ``'train'`` (default), ``'test'``, or ``'vamp'`` —
-            what ranks the replicas. ``'train'``/``'test'`` pick the
-            lowest final loss (``'test'`` falls back to the train loss
-            when the task has no test split). ``'vamp'`` picks the
-            highest :func:`sweep_vamp_scores` VAMP-2 at the task's
-            training lag — use it whenever the grid varies loss
-            constants (``alpha``/``eig_weights``/``gamma``/...), whose
-            losses are not mutually comparable. Requires a task with a
-            positive training lag.
+        metric: ``'train'`` (default), ``'test'``, ``'vamp'``, or
+            ``'committor'`` — what ranks the replicas.
+            ``'train'``/``'test'`` pick the lowest final loss
+            (``'test'`` falls back to the train loss when the task has
+            no test split). ``'vamp'`` picks the highest
+            :func:`sweep_vamp_scores` VAMP-2 at the task's training lag
+            — use it whenever the grid varies loss constants
+            (``alpha``/``eig_weights``/``gamma``/...), whose losses are
+            not mutually comparable; requires a positive training lag.
+            ``'committor'`` (CommittorTask only) picks the lowest
+            :func:`sweep_committor_checks` score at ``metric_lag``
+            frames.
+        metric_lag: MSM lag in frames for ``metric='committor'``
+            (required there; unused otherwise).
         finetune_epochs: epochs for the float32 fine-tune; defaults to
             the task's own ``num_epochs``.
         compute_dtype: dtype for the exploration sweep (default
@@ -1026,12 +1032,19 @@ def explore_then_finetune(
         task, grid, models=models, chunk_size=chunk_size, mesh=mesh,
         compute_dtype=compute_dtype, bf16_style=bf16_style,
     )
-    if metric not in ("train", "test", "vamp"):
+    if metric not in ("train", "test", "vamp", "committor"):
         raise ValueError(
-            f"metric must be 'train', 'test', or 'vamp'; got {metric!r}"
+            f"metric must be 'train', 'test', 'vamp', or 'committor'; "
+            f"got {metric!r}"
         )
     if metric == "vamp":
         best = int(np.argmax(sweep_vamp_scores(task, results)))
+    elif metric == "committor":
+        if metric_lag is None:
+            raise ValueError("metric='committor' needs metric_lag= (frames)")
+        best = int(np.argmin(
+            sweep_committor_checks(task, results, lag=int(metric_lag))
+        ))
     else:
         finals = []
         for r in results:

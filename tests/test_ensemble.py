@@ -838,3 +838,47 @@ def test_sweep_committor_checks(tmp_path):
         sweep_committor_checks(eig, results, lag=3)
     with pytest.raises(ValueError, match="in_a and in_b"):
         sweep_committor_checks(task, results, lag=3, frames=x[:100])
+
+
+def test_explore_then_finetune_committor_metric(tmp_path):
+    """metric='committor' adopts the sweep_committor_checks argmin and
+    fine-tunes it at float32."""
+    from colvarsfinder_tpu import CommittorTask, create_sequential_nn
+    from colvarsfinder_tpu.parallel import (
+        explore_then_finetune,
+        sweep_committor_checks,
+    )
+
+    rng = np.random.default_rng(4)
+    n = 1000
+    x = np.empty((n, 2), np.float32)
+    state = -1.0
+    for t in range(n):
+        state = np.clip(
+            state + 0.25 * (-4 * state * (state**2 - 1)) * 0.05
+            + 0.45 * rng.standard_normal(), -1.8, 1.8,
+        )
+        x[t] = (state, 0.1 * rng.standard_normal())
+    traj = WeightedTrajectory(trajectory=x, dt=0.1, verbose=False)
+    task = CommittorTask(
+        traj, None, create_sequential_nn([2, 10, 1], seed=7),
+        str(tmp_path / "etf"),
+        region_a=x[:, 0] < -0.9, region_b=x[:, 0] > 0.9,
+        alpha=50.0, beta=1.0, learning_rate=0.02, seed=0,
+        **{**COMMON, "num_epochs": 20},
+    )
+    grid = {"alpha": [0.01, 50.0, 200.0]}
+    res = explore_then_finetune(
+        task, grid, metric="committor", metric_lag=3,
+        compute_dtype="float32", finetune_epochs=5,
+    )
+    # the collapsed alpha~0 replica must not win
+    assert res.best_index != 0
+    assert task.alpha == grid["alpha"][res.best_index]
+    assert np.isfinite(task.train_loss_df["loss"]).all()
+
+    with pytest.raises(ValueError, match="metric_lag"):
+        explore_then_finetune(
+            task, grid, metric="committor", compute_dtype="float32",
+            finetune_epochs=1,
+        )
