@@ -13,6 +13,7 @@ from .io import (
     write_dcd,
     write_gro,
 )
+from .h5md import read_h5md, write_h5md
 from .lammps import LAMMPSFrames, read_lammpstrj, write_lammpstrj
 from .enhanced import (
     BiasedPotential,
@@ -67,6 +68,8 @@ __all__ = [
     "PlumedHills",
     "read_plumed_hills",
     "read_lammpstrj",
+    "read_h5md",
+    "write_h5md",
     "write_lammpstrj",
     "LAMMPSFrames",
     "read_plumed_colvar",

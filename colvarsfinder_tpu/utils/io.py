@@ -374,7 +374,8 @@ class Universe:
     ``mda.Universe('top.gro', 'md_center.xtc')``).
 
     Couples a topology file (.gro or .pdb) with a trajectory file (.xtc,
-    .trr, .dcd, .nc, .lammpstrj, or none — topology coordinates become a single
+    .trr, .dcd, .nc, .lammpstrj, .h5, or none — topology coordinates become a
+    single
     frame), or with a LIST of trajectory files (independent launches,
     restart chains — formats may be mixed): frames are concatenated and
     ``trajectory.segment_starts`` records the file boundaries, which
@@ -477,6 +478,10 @@ class Universe:
             from .netcdf import read_netcdf
 
             coords, dt, _times = read_netcdf(path)
+        elif ext in (".h5", ".h5md"):
+            from .h5md import read_h5md
+
+            coords, dt, _times = read_h5md(path)
         elif ext in (".lammpstrj", ".dump"):
             from .lammps import read_lammpstrj
 
@@ -489,7 +494,7 @@ class Universe:
         else:
             raise ValueError(
                 f"unsupported trajectory format '{ext}' "
-                "(supported: .xtc, .trr, .dcd, .nc, .lammpstrj, .dump)"
+                "(supported: .xtc, .trr, .dcd, .nc, .lammpstrj, .dump, .h5)"
             )
         return coords, dt
 
