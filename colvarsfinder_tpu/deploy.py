@@ -135,9 +135,43 @@ def _np_dihedral_cos_sin(ra, rb, rc, rd):
     return c / norm, s / norm
 
 
-def _np_eval_feature(ftype: str, idx, x: np.ndarray) -> np.ndarray:
+def _np_switch(r, sw):
+    """RATIONAL switching value (mirror of ops.features.switching_rational,
+    incl. the series evaluation at the removable x = 1 singularity)."""
+    r0, d0, nn, mm = sw["r0"], sw["d0"], sw["nn"], sw["mm"]
+    x = np.maximum((r - d0) / r0, 0.0)
+    near1 = np.abs(x - 1.0) < 1e-8
+    xs = np.where(near1, 0.5, x)
+    s = (1.0 - xs**nn) / (1.0 - xs**mm)
+    return np.where(near1, nn / mm + nn * (nn - mm) / (2.0 * mm) * (x - 1.0), s)
+
+
+def _np_switch_dr(r, sw):
+    """ds/dr of the RATIONAL switch (0 in the clamped region r <= d0)."""
+    r0, d0, nn, mm = sw["r0"], sw["d0"], sw["nn"], sw["mm"]
+    x = np.maximum((r - d0) / r0, 0.0)
+    near1 = np.abs(x - 1.0) < 1e-8
+    xs = np.where(near1, 0.5, x)
+    den = 1.0 - xs**mm
+    ds = (-nn * xs ** (nn - 1) * den + mm * xs ** (mm - 1) * (1.0 - xs**nn)) / (
+        den * den
+    )
+    ds = np.where(near1, nn * (nn - mm) / (2.0 * mm), ds)
+    return np.where(r - d0 <= 0.0, 0.0, ds) / r0
+
+
+def _switch_pairs(idx):
+    return np.asarray(idx, dtype=np.int64).reshape(-1, 2)
+
+
+def _np_eval_feature(ftype: str, idx, x: np.ndarray, sw=None) -> np.ndarray:
     if ftype == "position":
         return x[:, np.asarray(idx), :].reshape(x.shape[0], -1)
+    if ftype in ("contact", "coordination"):
+        p = _switch_pairs(idx)
+        r = np.linalg.norm(x[:, p[:, 1], :] - x[:, p[:, 0], :], axis=-1)
+        s = _np_switch(r, sw)  # [B, P]
+        return s.sum(axis=1, keepdims=True) if ftype == "coordination" else s
     a = x[:, idx[0], :]
     b = x[:, idx[1], :]
     if ftype == "bond":
@@ -179,7 +213,7 @@ def _eval_node(node: dict, params: dict, x: np.ndarray) -> np.ndarray:
         )
     if kind == "features":
         feats = [
-            _np_eval_feature(f["type"], f["atom_indices"], x)
+            _np_eval_feature(f["type"], f["atom_indices"], x, f.get("params"))
             for f in node["features"]
         ]
         return np.concatenate(feats, axis=1)
@@ -392,8 +426,25 @@ def _vjp_alignment(node, params, x):
     return out, vjp
 
 
-def _vjp_feature(ftype: str, idx, x: np.ndarray):
+def _vjp_feature(ftype: str, idx, x: np.ndarray, sw=None):
     """(out, per-feature vjp into a [K, B, N, 3] accumulator)."""
+    if ftype in ("contact", "coordination"):
+        p = _switch_pairs(idx)
+        d = x[:, p[:, 1], :] - x[:, p[:, 0], :]  # [B, P, 3]
+        r = np.linalg.norm(d, axis=-1)
+        s = _np_switch(r, sw)
+        du = _np_switch_dr(r, sw)[..., None] * (d / r[..., None])  # ds/dr_j
+        out = s.sum(axis=1, keepdims=True) if ftype == "coordination" else s
+
+        def vjp_switch(g, acc):
+            # coordination: one output column fans out to every pair;
+            # contact: P == 1 == output width — same broadcast either way
+            gu = g[..., 0][..., None, None] * du[None]  # [K, B, P, 3]
+            np.add.at(acc, (slice(None), slice(None), p[:, 1]), gu)
+            np.add.at(acc, (slice(None), slice(None), p[:, 0]), -gu)
+
+        return out, vjp_switch
+
     if ftype == "position":
         ai = np.asarray(idx, dtype=np.int64)
         out = x[:, ai, :].reshape(x.shape[0], -1)
@@ -523,7 +574,7 @@ def _vjp_node(node: dict, params: dict, x: np.ndarray):
     if kind == "features":
         outs, fns, widths = [], [], []
         for f in node["features"]:
-            o, fn = _vjp_feature(f["type"], f["atom_indices"], x)
+            o, fn = _vjp_feature(f["type"], f["atom_indices"], x, f.get("params"))
             outs.append(o)
             fns.append(fn)
             widths.append(o.shape[1])
@@ -710,17 +761,17 @@ def build_spec(obj: Any, params_out: dict, prefix: str = "n0_") -> dict:
             )
         return node
     if isinstance(obj, FeatureLayer):
-        return {
-            "kind": "features",
-            "features": [
-                {
-                    "name": f.name,
-                    "type": f.feature_type,
-                    "atom_indices": list(f.atom_indices),
-                }
-                for f in obj.feature_list
-            ],
-        }
+        feats = []
+        for f in obj.feature_list:
+            d = {
+                "name": f.name,
+                "type": f.feature_type,
+                "atom_indices": list(f.atom_indices),
+            }
+            if f.params:
+                d["params"] = f.switch_params
+            feats.append(d)
+        return {"kind": "features", "features": feats}
     if isinstance(obj, Sequential):
         return _mlp_node(obj, params_out, prefix, "mlp")
     if isinstance(obj, EigenFunctions):

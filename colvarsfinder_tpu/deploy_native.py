@@ -14,9 +14,10 @@ as the numpy artifact (:mod:`colvarsfinder_tpu.deploy`); the numpy
 evaluator remains the reference implementation the native one is tested
 against (tests/test_native_cv.py, 1e-12 parity).
 
-Binary format ``CVNATV01`` (little-endian, f64 params)::
+Binary format ``CVNATV02`` (little-endian, f64 params; the evaluator also
+accepts v1 programs, whose payload is a strict subset)::
 
-    magic[8] = "CVNATV01"
+    magic[8] = "CVNATV02"
     i32 state_ndim              (1 = feature vector, 2 = [N, 3] coordinates)
     i32 n_params
     per param: i32 ndim, i32 dims[ndim], f64 data[prod(dims)]
@@ -25,9 +26,12 @@ Binary format ``CVNATV01`` (little-endian, f64 params)::
       kind 0 ALIGNMENT:   i32 ref_param, i32 weight_param (-1 none),
                           i32 m, i32 idx[m]
       kind 1 FEATURES:    i32 n_features; per feature: i32 ftype,
-                          i32 n_idx, i32 idx[n_idx]
+                          i32 n_idx, i32 idx[n_idx],
+                          [ftype >= 6 only: f64 r0, f64 d0, i32 nn, i32 mm]
                           (ftype: 0 position, 1 bond, 2 angle, 3 angle_rad,
-                           4 dihedral, 5 dihedral_rad)
+                           4 dihedral, 5 dihedral_rad, 6 contact,
+                           7 coordination — 6/7 are RATIONAL switching
+                           features over the pairwise-interpreted idx list)
       kind 2 MLP:         i32 act, i32 n_layers,
                           per layer: i32 w_param, i32 b_param
       kind 3 STACKED_MLP: i32 act, i32 k, i32 n_layers,
@@ -50,12 +54,12 @@ import numpy as np
 
 __all__ = ["write_native_cv", "load_native_cv", "native_available"]
 
-MAGIC = b"CVNATV01"
+MAGIC = b"CVNATV02"
 NATIVE_NAME = "cv_native.bin"
 
 _FTYPE = {
     "position": 0, "bond": 1, "angle": 2, "angle_rad": 3,
-    "dihedral": 4, "dihedral_rad": 5,
+    "dihedral": 4, "dihedral_rad": 5, "contact": 6, "coordination": 7,
 }
 _ACT = {
     "tanh": 0, "tanh_native": 0, "relu": 1, "elu": 2, "gelu": 3,
@@ -127,6 +131,12 @@ def write_native_cv(out_dir: str) -> str:
                 ops += struct.pack(
                     f"<2i{len(ai)}i", _FTYPE[feat["type"]], len(ai), *ai
                 )
+                if _FTYPE[feat["type"]] >= 6:
+                    sw = feat["params"]
+                    ops += struct.pack(
+                        "<2d2i", float(sw["r0"]), float(sw["d0"]),
+                        int(sw["nn"]), int(sw["mm"]),
+                    )
         elif kind in ("mlp", "stacked_mlp"):
             layers = [(use(w), use(b)) for w, b in node["layers"]]
             act = _ACT[node["activation"]]

@@ -10,7 +10,8 @@ PLUMED-driven engines (GROMACS, OpenMM+openmm-plumed, LAMMPS, ...):
   ``task.save_model()``) into (a) a TorchScript model consumable by PLUMED's
   ``PYTORCH_MODEL`` action and (b) the PLUMED input lines that compute the
   model's inputs with native PLUMED actions (``TORSION`` / ``ANGLE`` /
-  ``DISTANCE`` / ``POSITION``) and wire them into the model.
+  ``DISTANCE`` / ``COORDINATION`` / ``POSITION``) and wire them into the
+  model.
 * :func:`write_plumed_metad` appends a well-tempered ``METAD`` action along
   the CV components plus a ``PRINT`` line, producing a complete, runnable
   ``plumed.dat``.
@@ -34,7 +35,11 @@ Two emission modes, chosen automatically from the artifact's graph:
     the cosine-valued ``angle`` feature gets a ``CUSTOM FUNC=cos(x)``
     wrapper), ``TORSION`` is the standard IUPAC dihedral (our
     ``dihedral_rad``; the (cos, sin)-valued ``dihedral`` feature gets two
-    ``CUSTOM`` wrappers), ``DISTANCE`` is our ``bond``.
+    ``CUSTOM`` wrappers), ``DISTANCE`` is our ``bond``, and
+    ``COORDINATION`` with a ``RATIONAL`` switch is our ``contact`` /
+    ``coordination`` (the pair list maps to ``GROUPA``/``GROUPB`` with
+    ``PAIR``; R_0/D_0 are re-expressed in PLUMED's nm so the switching
+    value is unit-invariant).
 
 ``positions``
     The graph needs raw coordinates (an alignment layer and/or ``position``
@@ -186,6 +191,24 @@ def _feature_lines(
                 f"{base}_sin: CUSTOM ARG={base}_t FUNC=sin(x) PERIODIC=NO"
             )
             args.extend([f"{base}_cos", f"{base}_sin"])
+        elif ftype in ("contact", "coordination"):
+            # s depends only on (r - d0)/r0, so expressing R_0/D_0 in
+            # PLUMED's nm (dividing by length_scale) makes the switching
+            # value unit-invariant — no CUSTOM wrapper needed.
+            sw = feat["params"]
+            switch = (
+                f"{{RATIONAL R_0={sw['r0'] / length_scale:.10g} "
+                f"D_0={sw['d0'] / length_scale:.10g} "
+                f"NN={int(sw['nn'])} MM={int(sw['mm'])}}}"
+            )
+            ga = ",".join(str(s) for s in serials[0::2])
+            gb = ",".join(str(s) for s in serials[1::2])
+            pair = " PAIR" if ftype == "coordination" else ""
+            lines.append(
+                f"{base}: COORDINATION GROUPA={ga} GROUPB={gb}{pair} "
+                f"SWITCH={switch} NOPBC"
+            )
+            args.append(base)
         else:  # position features force positions mode upstream
             raise AssertionError(f"unexpected feature type {ftype!r}")
     return lines, args
@@ -253,6 +276,7 @@ def _n_outputs(flat_nodes: list, params: dict) -> int:
             w = params[node["layers"][-1][0]]  # [k, d_out, d_in]
             return int(w.shape[0] * w.shape[1])
         if node["kind"] == "features":
+            # contact/coordination are width-1 like bond/angle
             return sum(
                 3 * len(f["atom_indices"])
                 if f["type"] == "position"

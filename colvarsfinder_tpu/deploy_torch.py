@@ -131,9 +131,52 @@ def _make_alignment(node: dict, params: dict):
     return _Alignment()
 
 
-def _feature_module(ftype: str, idx):
+def _feature_module(ftype: str, idx, params=None):
     torch = _torch()
     idx = [int(i) for i in np.asarray(idx).reshape(-1)]
+
+    if ftype in ("contact", "coordination"):
+        sw = dict(params)
+        r0 = float(sw["r0"])
+        d0 = float(sw["d0"])
+        nn = int(sw["nn"])
+        mm = int(sw["mm"])
+        coord = ftype == "coordination"
+
+        class _Switch(torch.nn.Module):
+            """RATIONAL switching feature (mirror of
+            ops.features.switching_rational incl. the series at x = 1)."""
+
+            def __init__(self):
+                super().__init__()
+                self.register_buffer(
+                    "ia", torch.tensor(idx[0::2], dtype=torch.int64)
+                )
+                self.register_buffer(
+                    "ib", torch.tensor(idx[1::2], dtype=torch.int64)
+                )
+                self.r0: float = r0
+                self.d0: float = d0
+                self.np_: int = nn
+                self.mp_: int = mm
+                self.coord: bool = coord
+
+            def forward(self, x):
+                d = x[:, self.ib, :] - x[:, self.ia, :]
+                r = torch.sqrt((d * d).sum(dim=-1))  # [B, P]
+                xx = torch.clamp((r - self.d0) / self.r0, min=0.0)
+                near1 = (xx - 1.0).abs() < 1e-8
+                xs = torch.where(near1, torch.full_like(xx, 0.5), xx)
+                s = (1.0 - xs**self.np_) / (1.0 - xs**self.mp_)
+                lim = float(self.np_) / self.mp_ + self.np_ * (
+                    self.np_ - self.mp_
+                ) / (2.0 * self.mp_) * (xx - 1.0)
+                s = torch.where(near1, lim, s)
+                if self.coord:
+                    return s.sum(dim=1, keepdim=True)
+                return s
+
+        return _Switch()
 
     if ftype == "position":
 
@@ -223,7 +266,8 @@ def _feature_module(ftype: str, idx):
 def _make_features(node: dict):
     torch = _torch()
     mods = [
-        _feature_module(f["type"], f["atom_indices"]) for f in node["features"]
+        _feature_module(f["type"], f["atom_indices"], f.get("params"))
+        for f in node["features"]
     ]
 
     class _Features(torch.nn.Module):

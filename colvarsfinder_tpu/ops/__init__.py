@@ -14,8 +14,10 @@ from .features import (
     bend_angle,
     bend_angle_cos,
     bond_length,
+    coordination_pairs,
     dihedral_angle,
     dihedral_cos_sin,
+    switching_rational,
 )
 from .alignment import (
     AlignmentLayer,
@@ -34,8 +36,10 @@ __all__ = [
     "bend_angle",
     "bend_angle_cos",
     "bond_length",
+    "coordination_pairs",
     "dihedral_angle",
     "dihedral_cos_sin",
+    "switching_rational",
     "AlignmentLayer",
     "align_frames",
     "kabsch_rotations_quat",

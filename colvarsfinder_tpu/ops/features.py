@@ -14,17 +14,32 @@ through the preprocessing layer (reference: colvarsfinder/core.py:403,424).
 Feature conventions (bounded, smooth encodings — the standard choice for
 NN inputs):
 
-=============  ==============  =======================================
-type           output dim      value
-=============  ==============  =======================================
-``position``   3 * n_atoms     flattened coordinates
-``bond``       1               distance |r_ab|
-``angle``      1               cosine of the angle a-b-c
-``dihedral``   2               (cos φ, sin φ) of the torsion a-b-c-d
-=============  ==============  =======================================
+==================  ==============  =======================================
+type                output dim      value
+==================  ==============  =======================================
+``position``        3 * n_atoms     flattened coordinates
+``bond``            1               distance |r_ab|
+``angle``           1               cosine of the angle a-b-c
+``dihedral``        2               (cos φ, sin φ) of the torsion a-b-c-d
+``contact``         1               rational switching s(|r_ab|)
+``coordination``    1               Σ_pairs s(|r_ab|) over an explicit
+                                    pair list (PLUMED ``COORDINATION``
+                                    with ``PAIR`` semantics)
+==================  ==============  =======================================
 
 Raw-angle variants ``angle_rad`` / ``dihedral_rad`` (radians, via atan2)
 are provided for analysis code such as Ramachandran plots.
+
+``contact`` / ``coordination`` use PLUMED's RATIONAL switching function
+
+.. math:: s(r) = \frac{1 - x^{n}}{1 - x^{m}}, \qquad x = \max(0, (r - d_0)/r_0)
+
+with defaults :math:`n = 6`, :math:`m = 2n`, :math:`d_0 = 0` (s = 1 for
+r ≤ d0; the removable x = 1 singularity is evaluated by series). Pass
+``params=dict(r0=..., d0=..., nn=..., mm=...)`` to :class:`Feature`
+(``r0`` required). These are the standard smooth, bounded contact-map
+inputs of the deep-TICA / VAMPnet literature; no reference counterpart
+(molann has none) — a beyond-inventory extension.
 """
 
 from __future__ import annotations
@@ -48,6 +63,8 @@ __all__ = [
     "bend_angle",
     "dihedral_angle",
     "dihedral_cos_sin",
+    "switching_rational",
+    "coordination_pairs",
 ]
 
 
@@ -106,6 +123,43 @@ def dihedral_angle(ra, rb, rc, rd):
     return jnp.arctan2(s, c)
 
 
+def switching_rational(r, r0, d0=0.0, nn=6, mm=12):
+    r"""PLUMED RATIONAL switching function, elementwise over ``r``.
+
+    s(r) = (1 - x^nn) / (1 - x^mm) with x = max(0, (r - d0) / r0), so
+    s = 1 for r <= d0 and s -> 0 as r -> inf (for mm > nn). ``nn`` and
+    ``mm`` must be static Python ints. The removable singularity at
+    x = 1 is evaluated by first-order series (s(1) = nn/mm), with the
+    double-``where`` pattern so gradients stay NaN-free under jit.
+    """
+    nn = int(nn)
+    mm = int(mm)
+    x = jnp.maximum((jnp.asarray(r) - d0) / r0, 0.0)
+    near1 = jnp.abs(x - 1.0) < 1e-8
+    xs = jnp.where(near1, 0.5, x)
+    s = (1.0 - xs**nn) / (1.0 - xs**mm)
+    # series at x=1: s = nn/mm + nn*(nn-mm)/(2*mm) * (x-1) + O((x-1)^2)
+    lim = nn / mm + nn * (nn - mm) / (2.0 * mm) * (x - 1.0)
+    return jnp.where(near1, lim, s)
+
+
+def coordination_pairs(group_a, group_b):
+    """Flattened all-cross pair list (i1, j1, i2, j2, ...) between two
+    atom groups, skipping self-pairs — the atom_indices for a
+    ``'coordination'`` Feature with PLUMED ``GROUPA``/``GROUPB``
+    (non-PAIR) semantics. Accepts MDAnalysis AtomGroup-likes."""
+    ga = [int(i) for i in np.asarray(getattr(group_a, "ix", group_a)).reshape(-1)]
+    gb = [int(j) for j in np.asarray(getattr(group_b, "ix", group_b)).reshape(-1)]
+    out = []
+    for i in ga:
+        for j in gb:
+            if i != j:
+                out.extend((i, j))
+    if not out:
+        raise ValueError("coordination_pairs produced an empty pair list")
+    return tuple(out)
+
+
 # ---------------------------------------------------------------------------
 # Feature spec
 # ---------------------------------------------------------------------------
@@ -117,7 +171,34 @@ _FEATURE_ARITY = {
     "angle_rad": 3,
     "dihedral": 4,
     "dihedral_rad": 4,
+    "contact": 2,
+    "coordination": None,  # even count >= 2, interpreted pairwise
 }
+
+_SWITCH_TYPES = ("contact", "coordination")
+
+
+def _canonical_switch_params(params) -> Tuple[Tuple[str, float], ...]:
+    """Validate and freeze switching-function parameters to a hashable,
+    deterministic tuple (d0, mm, nn, r0)."""
+    p = dict(params or {})
+    unknown = set(p) - {"r0", "d0", "nn", "mm"}
+    if unknown:
+        raise ValueError(f"unknown switching params {sorted(unknown)}")
+    if "r0" not in p:
+        raise ValueError(
+            "contact/coordination features require params={'r0': ...} "
+            "(the RATIONAL switching radius)"
+        )
+    r0 = float(p["r0"])
+    if r0 <= 0:
+        raise ValueError(f"switching r0 must be > 0, got {r0}")
+    d0 = float(p.get("d0", 0.0))
+    nn = int(p.get("nn", 6))
+    mm = int(p.get("mm", 2 * nn))
+    if nn <= 0 or mm <= nn:
+        raise ValueError(f"switching exponents need 0 < nn < mm, got {nn},{mm}")
+    return (("d0", d0), ("mm", mm), ("nn", nn), ("r0", r0))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -127,17 +208,23 @@ class Feature:
     Args:
         name: label for display
         feature_type: one of 'position', 'bond', 'angle', 'angle_rad',
-            'dihedral', 'dihedral_rad'
+            'dihedral', 'dihedral_rad', 'contact', 'coordination'
         atom_indices: indices of the participating atoms **within the input
             atom list** (i.e. column indices of the [batch, N, 3] input);
-            an MDAnalysis AtomGroup is also accepted and converted.
+            an MDAnalysis AtomGroup is also accepted and converted. For
+            'coordination' this is a flat pair list (i1, j1, i2, j2, ...)
+            — see :func:`coordination_pairs`.
+        params: switching-function parameters for 'contact'/'coordination'
+            ({'r0': ..., 'd0': 0, 'nn': 6, 'mm': 2*nn}; r0 required,
+            units of the input coordinates).
     """
 
     name: str
     feature_type: str
     atom_indices: Tuple[int, ...]
+    params: Tuple[Tuple[str, float], ...]
 
-    def __init__(self, name, feature_type, atom_indices):
+    def __init__(self, name, feature_type, atom_indices, params=None):
         ft = feature_type.lower()
         if ft not in _FEATURE_ARITY:
             raise ValueError(
@@ -152,9 +239,27 @@ class Feature:
             raise ValueError(
                 f"feature '{ft}' needs {arity} atoms, got {len(idx)}"
             )
+        if ft == "coordination" and (len(idx) < 2 or len(idx) % 2):
+            raise ValueError(
+                "'coordination' needs a flat even-length pair list "
+                f"(i1, j1, i2, j2, ...), got {len(idx)} indices"
+            )
+        if ft in _SWITCH_TYPES:
+            sw = _canonical_switch_params(params)
+        else:
+            if params:
+                raise ValueError(f"feature '{ft}' takes no params")
+            sw = ()
         object.__setattr__(self, "name", name)
         object.__setattr__(self, "feature_type", ft)
         object.__setattr__(self, "atom_indices", idx)
+        object.__setattr__(self, "params", sw)
+
+    @property
+    def switch_params(self) -> dict:
+        """Switching parameters as a plain dict (empty for non-switch
+        feature types)."""
+        return dict(self.params)
 
     @property
     def output_dim(self) -> int:
@@ -173,6 +278,16 @@ def _eval_feature(feat: Feature, x: jnp.ndarray) -> jnp.ndarray:
     if ft == "position":
         sel = x[:, jnp.asarray(idx), :]
         return sel.reshape(x.shape[0], -1)
+    if ft in _SWITCH_TYPES:
+        p = feat.switch_params
+        ra = x[:, jnp.asarray(idx[0::2]), :]  # [B, P, 3]
+        rb = x[:, jnp.asarray(idx[1::2]), :]
+        s = switching_rational(
+            bond_length(ra, rb), p["r0"], p["d0"], p["nn"], p["mm"]
+        )  # [B, P]
+        if ft == "coordination":
+            return s.sum(axis=1, keepdims=True)
+        return s  # contact: P == 1 -> [B, 1]
     a = x[:, idx[0], :]
     b = x[:, idx[1], :]
     if ft == "bond":
@@ -219,7 +334,9 @@ class FeatureLayer:
                         f"feature '{f.name}' references atom {e} which is "
                         "not part of input_ag"
                     ) from None
-                remapped.append(Feature(f.name, f.feature_type, rel))
+                remapped.append(
+                    Feature(f.name, f.feature_type, rel, f.switch_params or None)
+                )
             feature_list = remapped
         self.feature_list = tuple(feature_list)
         self.input_ag = input_ag

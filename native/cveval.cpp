@@ -23,7 +23,10 @@
 
 namespace {
 
-constexpr char MAGIC[8] = {'C', 'V', 'N', 'A', 'T', 'V', '0', '1'};
+// v1 programs are a strict payload subset of v2 (v2 adds switching-function
+// parameters on feature types >= 6), so the loader accepts both magics.
+constexpr char MAGIC_V1[8] = {'C', 'V', 'N', 'A', 'T', 'V', '0', '1'};
+constexpr char MAGIC_V2[8] = {'C', 'V', 'N', 'A', 'T', 'V', '0', '2'};
 
 struct Param {
     std::vector<int> dims;
@@ -32,11 +35,15 @@ struct Param {
 
 enum OpKind { OP_ALIGN = 0, OP_FEATURES = 1, OP_MLP = 2, OP_STACKED = 3 };
 enum FType { F_POSITION = 0, F_BOND = 1, F_ANGLE = 2, F_ANGLE_RAD = 3,
-             F_DIHEDRAL = 4, F_DIHEDRAL_RAD = 5 };
+             F_DIHEDRAL = 4, F_DIHEDRAL_RAD = 5, F_CONTACT = 6,
+             F_COORDINATION = 7 };
 
 struct Feature {
     int type;
     std::vector<int> idx;
+    // RATIONAL switching parameters (contact / coordination only)
+    double r0 = 0.0, d0 = 0.0;
+    int nn = 6, mm = 12;
 };
 
 struct Op {
@@ -64,6 +71,33 @@ int feature_width(const Feature& f) {
         case F_DIHEDRAL: return 2;
         default: return 1;
     }
+}
+
+// RATIONAL switching s(r) = (1 - x^nn)/(1 - x^mm), x = max(0, (r-d0)/r0),
+// with the removable x = 1 singularity evaluated by first-order series —
+// mirrors colvarsfinder_tpu/deploy.py::_np_switch / _np_switch_dr exactly.
+double sw_val(const Feature& f, double r) {
+    double x = (r - f.d0) / f.r0;
+    if (x < 0.0) x = 0.0;
+    if (std::fabs(x - 1.0) < 1e-8)
+        return (double)f.nn / f.mm
+             + f.nn * (f.nn - f.mm) / (2.0 * f.mm) * (x - 1.0);
+    double xn = std::pow(x, f.nn), xm = std::pow(x, f.mm);
+    return (1.0 - xn) / (1.0 - xm);
+}
+
+double sw_dr(const Feature& f, double r) {
+    if (r - f.d0 <= 0.0) return 0.0;
+    double x = (r - f.d0) / f.r0;
+    double ds;
+    if (std::fabs(x - 1.0) < 1e-8) {
+        ds = f.nn * (f.nn - f.mm) / (2.0 * f.mm);
+    } else {
+        double xn1 = std::pow(x, f.nn - 1), xm1 = std::pow(x, f.mm - 1);
+        double den = 1.0 - xm1 * x;
+        ds = (-f.nn * xn1 * den + f.mm * xm1 * (1.0 - xn1 * x)) / (den * den);
+    }
+    return ds / f.r0;
 }
 
 // ---------------------------------------------------------------------------
@@ -311,6 +345,18 @@ void forward_features(const Op& op, const std::vector<double>& x,
                 out.push_back(norm3(dvec));
                 break;
             }
+            case F_CONTACT: case F_COORDINATION: {
+                double total = 0.0;
+                for (size_t u = 0; u + 1 < f.idx.size(); u += 2) {
+                    const double* pa = &x[f.idx[u] * 3];
+                    const double* pb = &x[f.idx[u + 1] * 3];
+                    double dvec[3] = {pb[0] - pa[0], pb[1] - pa[1],
+                                      pb[2] - pa[2]};
+                    total += sw_val(f, norm3(dvec));
+                }
+                out.push_back(total);
+                break;
+            }
             case F_ANGLE: case F_ANGLE_RAD: {
                 const double* b = &x[f.idx[1] * 3];
                 const double* c = &x[f.idx[2] * 3];
@@ -511,6 +557,22 @@ void backward_features(const Op& op, const FeatCtx& ctx, int K,
                         double gu = gr[0] * dv[d] / rn;
                         ar[f.idx[0] * 3 + d] -= gu;
                         ar[f.idx[1] * 3 + d] += gu;
+                    }
+                    break;
+                }
+                case F_CONTACT: case F_COORDINATION: {
+                    for (size_t u = 0; u + 1 < f.idx.size(); u += 2) {
+                        const double* pa = &x[f.idx[u] * 3];
+                        const double* pb = &x[f.idx[u + 1] * 3];
+                        double dv[3] = {pb[0] - pa[0], pb[1] - pa[1],
+                                        pb[2] - pa[2]};
+                        double rn = norm3(dv);
+                        double coef = gr[0] * sw_dr(f, rn) / rn;
+                        for (int d = 0; d < 3; d++) {
+                            double gu = coef * dv[d];
+                            ar[f.idx[u] * 3 + d] -= gu;
+                            ar[f.idx[u + 1] * 3 + d] += gu;
+                        }
                     }
                     break;
                 }
@@ -738,7 +800,8 @@ Model* load_model(const char* path) {
     std::vector<uint8_t> buf(sz);
     if (std::fread(buf.data(), 1, sz, f) != (size_t)sz) { std::fclose(f); return nullptr; }
     std::fclose(f);
-    if (sz < 8 || std::memcmp(buf.data(), MAGIC, 8) != 0) return nullptr;
+    if (sz < 8 || (std::memcmp(buf.data(), MAGIC_V1, 8) != 0 &&
+                   std::memcmp(buf.data(), MAGIC_V2, 8) != 0)) return nullptr;
     Reader r{buf.data() + 8, (size_t)sz - 8};
     Model* M = new Model();
     M->state_ndim = r.get<int32_t>();
@@ -784,6 +847,17 @@ Model* load_model(const char* path) {
                     if (r.fail || ni < 0 || ni > 1000000) { delete M; return nullptr; }
                     op.feats[j].idx.resize(ni);
                     for (int u = 0; u < ni; u++) op.feats[j].idx[u] = r.get<int32_t>();
+                    if (op.feats[j].type >= F_CONTACT) {
+                        op.feats[j].r0 = r.get<double>();
+                        op.feats[j].d0 = r.get<double>();
+                        op.feats[j].nn = r.get<int32_t>();
+                        op.feats[j].mm = r.get<int32_t>();
+                        if (r.fail || op.feats[j].r0 <= 0.0 ||
+                            op.feats[j].nn <= 0 ||
+                            op.feats[j].mm <= op.feats[j].nn) {
+                            delete M; return nullptr;
+                        }
+                    }
                 }
                 break;
             }

@@ -239,6 +239,49 @@ def test_grad_matches_jax_jacobian(tmp_path, weighted):
     np.testing.assert_allclose(j1, jac[0], atol=1e-12)
 
 
+def test_switch_features_value_and_grad(tmp_path):
+    """contact/coordination features through the numpy artifact: values and
+    Jacobian vs the live jax model."""
+    import jax
+
+    from colvarsfinder_tpu.ops import coordination_pairs
+
+    x, base = _coords(n_frames=4)
+    feat = FeatureLayer(
+        [
+            Feature("c", "contact", (0, 7), params={"r0": 1.0}),
+            Feature(
+                "cn", "coordination", coordination_pairs([0, 1], [6, 7, 8]),
+                params={"r0": 0.8, "d0": 0.1, "nn": 4, "mm": 10},
+            ),
+        ]
+    )
+    pp = PreprocessingANN(None, feat)
+    head = create_sequential_nn([pp.output_dimension, 10, 2], seed=5)
+    cv = ColvarModel(pp, head)
+    save_numpy_cv(cv, str(tmp_path))
+    # the JSON spec carries the switching params verbatim
+    with open(tmp_path / "cv_numpy_spec.json") as fh:
+        spec = json.load(fh)
+    def _find_features(node):
+        if node["kind"] == "features":
+            return node["features"]
+        for s in node.get("stages", []):
+            got = _find_features(s)
+            if got is not None:
+                return got
+        return None
+
+    feats = _find_features(spec["graph"])
+    assert feats[0]["params"] == {"r0": 1.0, "d0": 0.0, "nn": 6, "mm": 12}
+    assert feats[1]["params"] == {"r0": 0.8, "d0": 0.1, "nn": 4, "mm": 10}
+    f = load_numpy_cv(str(tmp_path), with_grad=True)
+    val, jac = f(x)
+    np.testing.assert_allclose(val, np.asarray(cv(x)), atol=1e-5)
+    oracle = jax.vmap(jax.jacrev(lambda s: cv(s[None])[0]))(x)
+    np.testing.assert_allclose(jac, np.asarray(oracle), atol=2e-4)
+
+
 def test_grad_finite_difference_consistency(tmp_path):
     """The hand-written backward must match central differences of the
     grad-path forward itself (both float64) to ~1e-7 — catches any drift

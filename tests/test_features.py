@@ -110,6 +110,105 @@ def test_feature_arity_validation():
         Feature("x", "nonsense", [0])
 
 
+def test_switching_rational_values_and_limits():
+    from colvarsfinder_tpu.ops import switching_rational
+
+    # closed form away from x = 1
+    r = jnp.asarray([0.15, 0.45, 0.9])
+    s = np.asarray(switching_rational(r, 0.3, 0.0, 6, 12))
+    xx = np.asarray([0.5, 1.5, 3.0])
+    np.testing.assert_allclose(
+        s, (1 - xx**6) / (1 - xx**12), rtol=1e-6
+    )
+    # clamp region r <= d0 -> exactly 1, with zero gradient
+    assert float(switching_rational(jnp.asarray(0.01), 0.3, 0.05)) == 1.0
+    g = jax.grad(lambda rr: switching_rational(rr, 0.3, 0.05))(
+        jnp.asarray(0.01)
+    )
+    assert float(g) == 0.0
+    # removable singularity at x = 1: value nn/mm, finite analytic slope
+    s1 = switching_rational(jnp.asarray(0.3), 0.3, 0.0, 6, 12)
+    assert abs(float(s1) - 0.5) < 1e-6
+    g1 = jax.grad(lambda rr: switching_rational(rr, 0.3, 0.0, 6, 12))(
+        jnp.asarray(0.3)
+    )
+    # d/dr at r = r0: nn(nn-mm)/(2 mm) / r0 = 6*(-6)/24 / 0.3 = -5
+    np.testing.assert_allclose(float(g1), -5.0, rtol=1e-4)
+
+
+def test_contact_and_coordination_features():
+    from colvarsfinder_tpu.ops import coordination_pairs
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((4, 6, 3)).astype(np.float32) * 0.4
+
+    def sw(r, r0, d0, nn, mm):
+        xx = max(0.0, (r - d0) / r0)
+        return (1 - xx**nn) / (1 - xx**mm) if abs(xx - 1) > 1e-12 else nn / mm
+
+    pairs = coordination_pairs([0, 1], [1, 4, 5])
+    assert pairs == (0, 1, 0, 4, 0, 5, 1, 4, 1, 5)  # self-pair (1,1) skipped
+    layer = FeatureLayer(
+        [
+            Feature("c", "contact", [2, 3], params={"r0": 0.5}),
+            Feature(
+                "cn", "coordination", pairs,
+                params={"r0": 0.3, "d0": 0.1, "nn": 8, "mm": 14},
+            ),
+        ]
+    )
+    assert layer.output_dimension == 2
+    out = np.asarray(layer(jnp.asarray(x)))
+    for b in range(4):
+        want_c = sw(np.linalg.norm(x[b, 3] - x[b, 2]), 0.5, 0.0, 6, 12)
+        want_n = sum(
+            sw(np.linalg.norm(x[b, j] - x[b, i]), 0.3, 0.1, 8, 14)
+            for i, j in np.asarray(pairs).reshape(-1, 2)
+        )
+        np.testing.assert_allclose(out[b], [want_c, want_n], rtol=1e-5)
+
+    # gradients: jacrev vs the analytic chain (numpy oracle)
+    def sw_dr(r, r0, d0, nn, mm):
+        xx = (r - d0) / r0
+        if xx <= 0:
+            return 0.0
+        num = -nn * xx ** (nn - 1) * (1 - xx**mm) + mm * xx ** (mm - 1) * (
+            1 - xx**nn
+        )
+        return num / (1 - xx**mm) ** 2 / r0
+
+    jac = np.asarray(jax.jacrev(lambda xx: layer(xx).sum(0))(jnp.asarray(x)))
+    b = 1
+    # contact (2, 3): dcv0/dx_3 = sw'(r) * (x3 - x2)/r
+    d23 = x[b, 3] - x[b, 2]
+    r23 = np.linalg.norm(d23)
+    np.testing.assert_allclose(
+        jac[0, b, 3], sw_dr(r23, 0.5, 0.0, 6, 12) * d23 / r23,
+        rtol=1e-4, atol=1e-6,
+    )
+    # coordination: atom 4 appears in pairs (0,4) and (1,4)
+    want = np.zeros(3)
+    for i in (0, 1):
+        dv = x[b, 4] - x[b, i]
+        rr = np.linalg.norm(dv)
+        want += sw_dr(rr, 0.3, 0.1, 8, 14) * dv / rr
+    np.testing.assert_allclose(jac[1, b, 4], want, rtol=1e-4, atol=1e-6)
+
+
+def test_switch_feature_validation():
+    with pytest.raises(ValueError):  # r0 required
+        Feature("c", "contact", [0, 1])
+    with pytest.raises(ValueError):  # odd pair list
+        Feature("cn", "coordination", [0, 1, 2], params={"r0": 1.0})
+    with pytest.raises(ValueError):  # mm must exceed nn
+        Feature("c", "contact", [0, 1], params={"r0": 1.0, "nn": 6, "mm": 6})
+    with pytest.raises(ValueError):  # params only on switch types
+        Feature("b", "bond", [0, 1], params={"r0": 1.0})
+    # defaults fill in: d0=0, nn=6, mm=2*nn
+    f = Feature("c", "contact", [0, 1], params={"r0": 0.4, "nn": 5})
+    assert f.switch_params == {"r0": 0.4, "d0": 0.0, "nn": 5, "mm": 10}
+
+
 def test_multi_feature_concat():
     feats = [
         Feature("p", "position", [0]),

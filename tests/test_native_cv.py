@@ -92,6 +92,33 @@ def test_native_molecular_pipeline_parity(tmp_path, weighted):
     np.testing.assert_allclose(v1, val_p[0], atol=1e-12)
 
 
+def test_native_switch_features_parity(tmp_path):
+    """contact/coordination features (format v2 payload: RATIONAL params)
+    through alignment + head, vs the numpy evaluator at 1e-12."""
+    from colvarsfinder_tpu.ops import coordination_pairs
+
+    x, base = _coords()
+    align = AlignmentLayer(base[:6], align_indices=list(range(6)))
+    feat = FeatureLayer(
+        [
+            Feature("c", "contact", (0, 7), params={"r0": 1.0}),
+            Feature(
+                "cn", "coordination", coordination_pairs([0, 1], [6, 7, 8]),
+                params={"r0": 0.8, "d0": 0.1, "nn": 4, "mm": 10},
+            ),
+            Feature("b", "bond", (5, 6)),
+        ]
+    )
+    pp = PreprocessingANN(align, feat)
+    head = EigenFunctions([pp.output_dimension, 14, 1], 2, seed=3)
+    spec, params = _artifact(ColvarModel(pp, head), tmp_path)
+    f = load_native_cv(str(tmp_path), with_grad=True)
+    val_n, jac_n = f(np.asarray(x, dtype=np.float64))
+    val_p, jac_p = eval_spec_grad(spec, params, np.asarray(x, np.float64))
+    np.testing.assert_allclose(val_n, val_p, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(jac_n, jac_p, rtol=0, atol=1e-12)
+
+
 def test_native_identity_mlp_and_regmodel(tmp_path):
     x = np.random.default_rng(1).standard_normal((5, 6))
     head = create_sequential_nn([6, 12, 2], seed=4)

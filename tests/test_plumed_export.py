@@ -33,6 +33,7 @@ from colvarsfinder_tpu.ops import (
     Feature,
     FeatureLayer,
     PreprocessingANN,
+    coordination_pairs,
 )
 
 
@@ -56,6 +57,29 @@ def _torsion(x, a, b, c, d):
     n1, n2 = np.cross(b1, b2), np.cross(b2, b3)
     m1 = np.cross(n1, b2 / np.linalg.norm(b2))
     return float(np.arctan2(m1 @ n2, n1 @ n2))
+
+
+def _rational(r, r0, d0, nn, mm):
+    """PLUMED's RATIONAL switching function (manual, independent impl)."""
+    xx = max(0.0, (r - d0) / r0)
+    if abs(xx - 1.0) < 1e-12:
+        return nn / mm
+    return (1.0 - xx**nn) / (1.0 - xx**mm)
+
+
+def _coordination(x, ga, gb, pair, r0, d0, nn, mm):
+    """PLUMED COORDINATION: sum of switch values over GROUPA x GROUPB
+    (zipped when PAIR, all cross pairs excluding self otherwise)."""
+    if pair:
+        pairs = list(zip(ga, gb))
+    else:
+        pairs = [(i, j) for i in ga for j in gb if i != j]
+    return float(
+        sum(
+            _rational(np.linalg.norm(x[j] - x[i]), r0, d0, nn, mm)
+            for i, j in pairs
+        )
+    )
 
 
 def _run_plumed_lines(lines, coords_nm, model_dir):
@@ -83,6 +107,26 @@ def _run_plumed_lines(lines, coords_nm, model_dir):
             else:
                 for k, axis in zip(("x", "y", "z"), range(3)):
                     values[f"{label}.{k}"] = float(coords_nm[serials[0], axis])
+        elif action == "COORDINATION":
+            ga = [
+                int(s) - 1
+                for s in re.search(r"GROUPA=(\S+)", rest).group(1).split(",")
+            ]
+            gb = [
+                int(s) - 1
+                for s in re.search(r"GROUPB=(\S+)", rest).group(1).split(",")
+            ]
+            m = re.search(
+                r"SWITCH=\{RATIONAL R_0=(\S+) D_0=(\S+) NN=(\d+) MM=(\d+)\}",
+                rest,
+            )
+            assert m, f"malformed SWITCH in {rest!r}"
+            r0, d0 = float(m.group(1)), float(m.group(2))
+            nn, mm = int(m.group(3)), int(m.group(4))
+            pair = re.search(r"\bPAIR\b", rest) is not None
+            values[label] = _coordination(
+                coords_nm, ga, gb, pair, r0, d0, nn, mm
+            )
         elif action == "CUSTOM":
             arg = re.search(r"ARG=(\S+)", rest).group(1)
             func = re.search(r"FUNC=(\S+)", rest).group(1)
@@ -214,6 +258,67 @@ def test_length_scale_rescales_distances(tmp_path):
     assert "cvf2: CUSTOM ARG=cvf2_nm FUNC=x*10 PERIODIC=NO" in text
 
     x_ang = _frame(seed=7) * 3.0  # "training" coordinates in Angstrom
+    values = _run_plumed_lines(out.lines, x_ang / 10.0, str(tmp_path))
+    got = np.array([values[c] for c in out.components])
+    want = np.asarray(load_numpy_cv(str(tmp_path))(x_ang))
+    np.testing.assert_allclose(got, want, atol=5e-6)
+
+
+def _switch_cv(seed=5):
+    feat = FeatureLayer(
+        [
+            Feature("c", "contact", [0, 4], params={"r0": 1.5}),
+            Feature(
+                "cn",
+                "coordination",
+                coordination_pairs([0, 1], [5, 6, 7]),
+                params={"r0": 1.2, "d0": 0.2, "nn": 4, "mm": 10},
+            ),
+            Feature("b", "bond", [0, 4]),
+        ]
+    )
+    pp = PreprocessingANN(None, feat)
+    head = create_sequential_nn([pp.output_dimension, 8, 2], seed=seed)
+    return ColvarModel(pp, head)
+
+
+def test_feature_mode_switch_features(tmp_path):
+    """contact -> COORDINATION with single-atom groups, coordination ->
+    COORDINATION ... PAIR over the zipped pair list; the simulated-PLUMED
+    chain (independent RATIONAL implementation) reproduces the artifact."""
+    cv = _switch_cv()
+    save_numpy_cv(cv, str(tmp_path))
+    out = write_plumed_cv(str(tmp_path))
+    assert out.mode == "features"
+    text = open(out.dat_path).read()
+    assert (
+        "cvf0: COORDINATION GROUPA=1 GROUPB=5 "
+        "SWITCH={RATIONAL R_0=1.5 D_0=0 NN=6 MM=12} NOPBC"
+    ) in text
+    assert (
+        "cvf1: COORDINATION GROUPA=1,1,1,2,2,2 GROUPB=6,7,8,6,7,8 PAIR "
+        "SWITCH={RATIONAL R_0=1.2 D_0=0.2 NN=4 MM=10} NOPBC"
+    ) in text
+
+    x = _frame()
+    values = _run_plumed_lines(out.lines, x, str(tmp_path))
+    got = np.array([values[c] for c in out.components])
+    want = np.asarray(load_numpy_cv(str(tmp_path))(x))
+    np.testing.assert_allclose(got, want, atol=5e-6)
+
+
+def test_switch_features_length_scale(tmp_path):
+    """R_0/D_0 are re-expressed in nm under length_scale so the switching
+    value is unit-invariant: Angstrom-trained switch params against nm
+    coordinates still match the artifact on Angstrom coordinates."""
+    cv = _switch_cv(seed=13)
+    save_numpy_cv(cv, str(tmp_path))
+    out = write_plumed_cv(str(tmp_path), length_scale=10.0)
+    text = open(out.dat_path).read()
+    assert "R_0=0.15 D_0=0" in text  # 1.5 Angstrom -> 0.15 nm
+    assert "R_0=0.12 D_0=0.02" in text
+
+    x_ang = _frame(seed=7) * 3.0
     values = _run_plumed_lines(out.lines, x_ang / 10.0, str(tmp_path))
     got = np.array([values[c] for c in out.components])
     want = np.asarray(load_numpy_cv(str(tmp_path))(x_ang))

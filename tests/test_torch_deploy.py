@@ -162,6 +162,48 @@ def test_autograd_forces_match_numpy_grad(tmp_path):
     np.testing.assert_allclose(jac_torch, jac_np, rtol=0, atol=1e-8)
 
 
+def test_switch_features_scripted_parity(tmp_path):
+    """contact/coordination features survive TorchScript scripting; values
+    and autograd forces match the numpy evaluator at float64."""
+    import json
+
+    from colvarsfinder_tpu.deploy import eval_spec_grad
+    from colvarsfinder_tpu.ops import coordination_pairs
+
+    x, base = _coords(n_frames=3)
+    feat = FeatureLayer(
+        [
+            Feature("c", "contact", (0, 7), params={"r0": 1.0}),
+            Feature(
+                "cn", "coordination", coordination_pairs([0, 1], [6, 7, 8]),
+                params={"r0": 0.8, "d0": 0.1, "nn": 4, "mm": 10},
+            ),
+        ]
+    )
+    pp = PreprocessingANN(None, feat)
+    head = create_sequential_nn([pp.output_dimension, 8, 2], seed=5)
+    cv = ColvarModel(pp, head)
+    save_numpy_cv(cv, str(tmp_path))
+    mod = _scripted(cv, tmp_path).double()
+
+    xt = torch.from_numpy(np.asarray(x, dtype=np.float64))
+    xt.requires_grad_(True)
+    y = mod(xt)
+    jac_rows = []
+    for k in range(y.shape[1]):
+        (g,) = torch.autograd.grad(y[:, k].sum(), xt, retain_graph=True)
+        jac_rows.append(g.detach().numpy())
+    jac_torch = np.stack(jac_rows, axis=1)
+
+    with open(tmp_path / "cv_numpy_spec.json") as fh:
+        spec = json.load(fh)
+    with np.load(tmp_path / "cv_numpy.npz") as data:
+        params = {k: data[k] for k in data.files}
+    val, jac_np = eval_spec_grad(spec, params, np.asarray(x, np.float64))
+    np.testing.assert_allclose(y.detach().numpy(), val, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(jac_torch, jac_np, rtol=0, atol=1e-8)
+
+
 def test_export_colvar_auto_writes_when_torch_loaded(tmp_path):
     """export_colvar writes scripted_cv_cpu.pt automatically when torch is
     already imported in the process (it is, in this test module)."""
