@@ -25,6 +25,10 @@ from .alignment import (
     kabsch_rotations_quat,
     kabsch_rotations_svd,
 )
+from .builders import (
+    backbone_dihedrals,
+    heavy_atom_contacts,
+)
 
 __all__ = [
     "Feature",
@@ -44,4 +48,6 @@ __all__ = [
     "align_frames",
     "kabsch_rotations_quat",
     "kabsch_rotations_svd",
+    "backbone_dihedrals",
+    "heavy_atom_contacts",
 ]

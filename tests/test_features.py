@@ -209,6 +209,99 @@ def test_switch_feature_validation():
     assert f.switch_params == {"r0": 0.4, "d0": 0.0, "nn": 5, "mm": 10}
 
 
+def _tripeptide_topology():
+    """Minimal 3-residue backbone topology (+ a water) for the builders."""
+    from colvarsfinder_tpu.utils.io import Topology
+
+    names, resids, resnames = [], [], []
+    for r in (1, 2, 3):
+        for n in ("N", "H", "CA", "HA", "C", "O", "CB"):
+            names.append(n)
+            resids.append(r)
+            resnames.append("ALA")
+    names += ["OW", "HW1", "HW2"]
+    resids += [4, 4, 4]
+    resnames += ["SOL"] * 3
+    rng = np.random.default_rng(0)
+    pos = rng.standard_normal((len(names), 3)).astype(np.float32) * 0.3
+    return Topology(
+        names=names, resids=resids, resnames=resnames, positions=pos
+    )
+
+
+def test_backbone_dihedrals_builder():
+    from colvarsfinder_tpu.ops import backbone_dihedrals
+
+    top = _tripeptide_topology()
+    feats = backbone_dihedrals(top.atoms)
+    # 3 residues -> phi_2, phi_3 and psi_1, psi_2 (termini lack partners)
+    assert sorted(f.name for f in feats) == [
+        "phi_2", "phi_3", "psi_1", "psi_2",
+    ]
+    by_name = {f.name: f for f in feats}
+    gi = {
+        (r, n): i
+        for i, (n, r) in enumerate(zip(top.names, top.resids))
+    }
+    # phi(2) = C(1), N(2), CA(2), C(2)
+    assert by_name["phi_2"].atom_indices == (
+        gi[(1, "C")], gi[(2, "N")], gi[(2, "CA")], gi[(2, "C")]
+    )
+    # psi(1) = N(1), CA(1), C(1), N(2)
+    assert by_name["psi_1"].atom_indices == (
+        gi[(1, "N")], gi[(1, "CA")], gi[(1, "C")], gi[(2, "N")]
+    )
+    assert all(f.feature_type == "dihedral" for f in feats)
+    # the layer remaps global -> relative through a selection
+    sel = top.select_atoms("not resname SOL")
+    layer = FeatureLayer(feats, input_ag=sel)
+    x = np.asarray(top.positions[sel.ix])[None]
+    out = np.asarray(layer(jnp.asarray(x)))
+    assert out.shape == (1, 2 * len(feats)) and np.isfinite(out).all()
+    # waters never produce torsions
+    with pytest.raises(ValueError):
+        backbone_dihedrals(top.select_atoms("resname SOL"))
+
+
+def test_heavy_atom_contacts_builder():
+    from colvarsfinder_tpu.ops import heavy_atom_contacts
+
+    top = _tripeptide_topology()
+    ag = top.select_atoms("not resname SOL")
+    feats = heavy_atom_contacts(ag, r0=0.5, min_resid_sep=2, cutoff=None)
+    assert all(f.feature_type == "contact" for f in feats)
+    names = set(top.names[i] for f in feats for i in f.atom_indices)
+    assert not any(n.startswith("H") for n in names)  # hydrogens filtered
+    resid_of = dict(enumerate(top.resids))
+    for f in feats:
+        i, j = f.atom_indices
+        assert abs(resid_of[i] - resid_of[j]) >= 2  # sep filter
+        assert f.switch_params["r0"] == 0.5
+    # heavy atoms per residue = 5 (N, CA, C, O, CB); only resid pairs
+    # (1, 3) survive min_resid_sep=2 -> 25 pairs
+    assert len(feats) == 25
+
+    # reference-structure cutoff prunes pairs
+    some = heavy_atom_contacts(ag, r0=0.5, min_resid_sep=2, cutoff=0.6)
+    assert 0 < len(some) < len(feats)
+
+    # pooled coordination variant: one feature, value = sum of switches
+    pooled = heavy_atom_contacts(
+        ag, r0=0.5, min_resid_sep=2, as_coordination=True
+    )
+    assert len(pooled) == 1
+    assert pooled[0].feature_type == "coordination"
+    layer_pp = FeatureLayer(feats, input_ag=top.atoms)
+    layer_cn = FeatureLayer(pooled, input_ag=top.atoms)
+    x = np.asarray(top.positions)[None]
+    per_pair = np.asarray(layer_pp(jnp.asarray(x)))
+    total = np.asarray(layer_cn(jnp.asarray(x)))
+    np.testing.assert_allclose(total[0, 0], per_pair.sum(), rtol=1e-5)
+
+    with pytest.raises(ValueError):  # everything filtered away
+        heavy_atom_contacts(ag, min_resid_sep=10)
+
+
 def test_multi_feature_concat():
     feats = [
         Feature("p", "position", [0]),
