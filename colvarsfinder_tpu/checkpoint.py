@@ -23,6 +23,8 @@ __all__ = [
     "load_torch_state_dict",
     "save_torch_state_dict",
     "save_spec",
+    "save_orbax",
+    "load_orbax",
 ]
 
 
@@ -91,6 +93,53 @@ def save_spec(spec: dict, filename: str) -> None:
     os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
     with open(filename, "w") as f:
         json.dump(spec, f, indent=2, default=str)
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (TPU-ecosystem interop; sharded state stays sharded)
+# ---------------------------------------------------------------------------
+
+
+def save_orbax(tree: Any, directory: str) -> None:
+    """Save a pytree as an Orbax checkpoint directory.
+
+    The TPU-idiomatic alternative to :func:`save_pytree` for SHARDED
+    state (ensemble sweeps / mesh-sharded replicas): each device writes
+    its own shards — no gather onto one host, which is what ``np.asarray``
+    in the npz path implies. Also the interop format the broader
+    JAX/flax/orbax ecosystem consumes.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(directory)
+    if os.path.isdir(path) and not os.listdir(path):
+        os.rmdir(path)  # orbax insists on creating the leaf dir itself
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+
+
+def load_orbax(tree: Any, directory: str) -> Any:
+    """Restore a pytree saved by :func:`save_orbax`.
+
+    ``tree`` provides the target structure, dtypes, and — for jax arrays
+    with a sharding — the placement: sharded leaves are restored
+    DIRECTLY to their devices with the template's sharding. Plain
+    numpy/scalar leaves come back as host values.
+    """
+    import orbax.checkpoint as ocp
+
+    def _abstract(leaf):
+        if isinstance(leaf, jax.Array):
+            return jax.ShapeDtypeStruct(
+                leaf.shape, leaf.dtype, sharding=leaf.sharding
+            )
+        if isinstance(leaf, np.generic):  # numpy scalar -> python scalar
+            return leaf.item()
+        return leaf
+
+    target = jax.tree_util.tree_map(_abstract, tree)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(directory), target)
 
 
 def load_torch_state_dict(model: Any, source) -> Any:
