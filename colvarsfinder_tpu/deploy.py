@@ -164,18 +164,27 @@ def _switch_pairs(idx):
     return np.asarray(idx, dtype=np.int64).reshape(-1, 2)
 
 
-def _np_eval_feature(ftype: str, idx, x: np.ndarray, sw=None) -> np.ndarray:
+def _np_mic(d: np.ndarray, box) -> np.ndarray:
+    """Minimum-image displacement (orthogonal box lengths [3])."""
+    if box is None:
+        return d
+    b = np.asarray(box, dtype=d.dtype)
+    return d - b * np.round(d / b)
+
+
+def _np_eval_feature(ftype: str, idx, x: np.ndarray, sw=None,
+                     box=None) -> np.ndarray:
     if ftype == "position":
         return x[:, np.asarray(idx), :].reshape(x.shape[0], -1)
     if ftype in ("contact", "coordination"):
         p = _switch_pairs(idx)
-        r = np.linalg.norm(x[:, p[:, 1], :] - x[:, p[:, 0], :], axis=-1)
-        s = _np_switch(r, sw)  # [B, P]
+        d = _np_mic(x[:, p[:, 1], :] - x[:, p[:, 0], :], box)
+        s = _np_switch(np.linalg.norm(d, axis=-1), sw)  # [B, P]
         return s.sum(axis=1, keepdims=True) if ftype == "coordination" else s
     a = x[:, idx[0], :]
     b = x[:, idx[1], :]
     if ftype == "bond":
-        return np.linalg.norm(b - a, axis=-1)[:, None]
+        return np.linalg.norm(_np_mic(b - a, box), axis=-1)[:, None]
     c = x[:, idx[2], :]
     if ftype == "angle":
         u, v = a - b, c - b
@@ -213,7 +222,10 @@ def _eval_node(node: dict, params: dict, x: np.ndarray) -> np.ndarray:
         )
     if kind == "features":
         feats = [
-            _np_eval_feature(f["type"], f["atom_indices"], x, f.get("params"))
+            _np_eval_feature(
+                f["type"], f["atom_indices"], x, f.get("params"),
+                node.get("box"),
+            )
             for f in node["features"]
         ]
         return np.concatenate(feats, axis=1)
@@ -426,11 +438,13 @@ def _vjp_alignment(node, params, x):
     return out, vjp
 
 
-def _vjp_feature(ftype: str, idx, x: np.ndarray, sw=None):
-    """(out, per-feature vjp into a [K, B, N, 3] accumulator)."""
+def _vjp_feature(ftype: str, idx, x: np.ndarray, sw=None, box=None):
+    """(out, per-feature vjp into a [K, B, N, 3] accumulator). The
+    minimum-image shift (``box``) is locally constant, so each VJP just
+    uses the MIC'd displacement in place of the raw one."""
     if ftype in ("contact", "coordination"):
         p = _switch_pairs(idx)
-        d = x[:, p[:, 1], :] - x[:, p[:, 0], :]  # [B, P, 3]
+        d = _np_mic(x[:, p[:, 1], :] - x[:, p[:, 0], :], box)  # [B, P, 3]
         r = np.linalg.norm(d, axis=-1)
         s = _np_switch(r, sw)
         du = _np_switch_dr(r, sw)[..., None] * (d / r[..., None])  # ds/dr_j
@@ -460,7 +474,7 @@ def _vjp_feature(ftype: str, idx, x: np.ndarray, sw=None):
     a = x[:, idx[0], :]
     b = x[:, idx[1], :]
     if ftype == "bond":
-        d = b - a
+        d = _np_mic(b - a, box)
         r = np.linalg.norm(d, axis=-1)
         u = d / r[:, None]
         out = r[:, None]
@@ -574,7 +588,10 @@ def _vjp_node(node: dict, params: dict, x: np.ndarray):
     if kind == "features":
         outs, fns, widths = [], [], []
         for f in node["features"]:
-            o, fn = _vjp_feature(f["type"], f["atom_indices"], x, f.get("params"))
+            o, fn = _vjp_feature(
+                f["type"], f["atom_indices"], x, f.get("params"),
+                node.get("box"),
+            )
             outs.append(o)
             fns.append(fn)
             widths.append(o.shape[1])
@@ -771,7 +788,10 @@ def build_spec(obj: Any, params_out: dict, prefix: str = "n0_") -> dict:
             if f.params:
                 d["params"] = f.switch_params
             feats.append(d)
-        return {"kind": "features", "features": feats}
+        node = {"kind": "features", "features": feats}
+        if obj.box is not None:
+            node["box"] = list(obj.box)
+        return node
     if isinstance(obj, Sequential):
         return _mlp_node(obj, params_out, prefix, "mlp")
     if isinstance(obj, EigenFunctions):

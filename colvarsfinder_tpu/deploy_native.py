@@ -25,9 +25,12 @@ accepts v1 programs, whose payload is a strict subset)::
     per op: i32 kind, payload --
       kind 0 ALIGNMENT:   i32 ref_param, i32 weight_param (-1 none),
                           i32 m, i32 idx[m]
-      kind 1 FEATURES:    i32 n_features; per feature: i32 ftype,
+      kind 1 FEATURES:    i32 n_features, i32 has_box, [has_box: f64 box[3]],
+                          per feature: i32 ftype,
                           i32 n_idx, i32 idx[n_idx],
                           [ftype >= 6 only: f64 r0, f64 d0, i32 nn, i32 mm]
+                          (box = orthogonal minimum-image lengths applied
+                           to pair-distance features: bond/contact/coord)
                           (ftype: 0 position, 1 bond, 2 angle, 3 angle_rad,
                            4 dihedral, 5 dihedral_rad, 6 contact,
                            7 coordination — 6/7 are RATIONAL switching
@@ -126,6 +129,11 @@ def write_native_cv(out_dir: str) -> str:
         elif kind == "features":
             feats = node["features"]
             ops += struct.pack("<2i", 1, len(feats))
+            box = node.get("box")
+            if box is not None:
+                ops += struct.pack("<i3d", 1, *[float(v) for v in box])
+            else:
+                ops += struct.pack("<i", 0)
             for feat in feats:
                 ai = [int(i) for i in np.atleast_1d(feat["atom_indices"])]
                 ops += struct.pack(

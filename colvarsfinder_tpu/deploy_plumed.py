@@ -150,9 +150,17 @@ def _feature_lines(
     features: list,
     atoms: Optional[Sequence[int]],
     length_scale: float,
+    pbc: bool = False,
 ):
     """PLUMED action lines for every feature scalar, in the exact order
-    the FeatureLayer concatenates them (ops/features.py `_eval_feature`)."""
+    the FeatureLayer concatenates them (ops/features.py `_eval_feature`).
+
+    ``pbc=True`` (the FeatureLayer carried a minimum-image box): the
+    pair-DISTANCE-type actions (DISTANCE / COORDINATION) are emitted
+    WITHOUT ``NOPBC`` so PLUMED applies the engine's live box — the same
+    convention the training-side features used. Angles/torsions stay
+    NOPBC either way (bonded atoms; molecules are made whole upstream)."""
+    dist_pbc = "" if pbc else " NOPBC"
     lines: list = []
     args: list = []
     for fi, feat in enumerate(features):
@@ -162,13 +170,13 @@ def _feature_lines(
         base = f"cvf{fi}"
         if ftype == "bond":
             if length_scale != 1.0:
-                lines.append(f"{base}_nm: DISTANCE ATOMS={alist} NOPBC")
+                lines.append(f"{base}_nm: DISTANCE ATOMS={alist}{dist_pbc}")
                 lines.append(
                     f"{base}: CUSTOM ARG={base}_nm "
                     f"FUNC=x*{length_scale:g} PERIODIC=NO"
                 )
             else:
-                lines.append(f"{base}: DISTANCE ATOMS={alist} NOPBC")
+                lines.append(f"{base}: DISTANCE ATOMS={alist}{dist_pbc}")
             args.append(base)
         elif ftype == "angle_rad":
             lines.append(f"{base}: ANGLE ATOMS={alist} NOPBC")
@@ -206,7 +214,7 @@ def _feature_lines(
             pair = " PAIR" if ftype == "coordination" else ""
             lines.append(
                 f"{base}: COORDINATION GROUPA={ga} GROUPB={gb}{pair} "
-                f"SWITCH={switch} NOPBC"
+                f"SWITCH={switch}{dist_pbc}"
             )
             args.append(base)
         else:  # position features force positions mode upstream
@@ -361,7 +369,8 @@ def write_plumed_cv(
     model_path = os.path.join(out_dir, MODEL_NAME)
     if mode == "features":
         lines, args = _feature_lines(
-            feat_nodes[0]["features"], atoms, length_scale
+            feat_nodes[0]["features"], atoms, length_scale,
+            pbc=feat_nodes[0].get("box") is not None,
         )
         module = _head_module(spec, params, flat[1:])
     else:

@@ -131,9 +131,16 @@ def _make_alignment(node: dict, params: dict):
     return _Alignment()
 
 
-def _feature_module(ftype: str, idx, params=None):
+def _feature_module(ftype: str, idx, params=None, box=None):
     torch = _torch()
     idx = [int(i) for i in np.asarray(idx).reshape(-1)]
+    # minimum-image box for pair-distance features (None -> disabled);
+    # the image shift is locally constant so autograd forces are exact
+    box_t = (
+        torch.tensor([float(v) for v in box], dtype=torch.float32)
+        if box is not None
+        else torch.zeros(0)
+    )
 
     if ftype in ("contact", "coordination"):
         sw = dict(params)
@@ -155,6 +162,7 @@ def _feature_module(ftype: str, idx, params=None):
                 self.register_buffer(
                     "ib", torch.tensor(idx[1::2], dtype=torch.int64)
                 )
+                self.register_buffer("box", box_t.clone())
                 self.r0: float = r0
                 self.d0: float = d0
                 self.np_: int = nn
@@ -163,6 +171,9 @@ def _feature_module(ftype: str, idx, params=None):
 
             def forward(self, x):
                 d = x[:, self.ib, :] - x[:, self.ia, :]
+                if self.box.numel() > 0:
+                    b = self.box.to(d.dtype)
+                    d = d - b * torch.round(d / b)
                 r = torch.sqrt((d * d).sum(dim=-1))  # [B, P]
                 xx = torch.clamp((r - self.d0) / self.r0, min=0.0)
                 near1 = (xx - 1.0).abs() < 1e-8
@@ -199,9 +210,13 @@ def _feature_module(ftype: str, idx, params=None):
                 super().__init__()
                 self.i0: int = idx[0]
                 self.i1: int = idx[1]
+                self.register_buffer("box", box_t.clone())
 
             def forward(self, x):
                 d = x[:, self.i1, :] - x[:, self.i0, :]
+                if self.box.numel() > 0:
+                    b = self.box.to(d.dtype)
+                    d = d - b * torch.round(d / b)
                 return torch.sqrt((d * d).sum(dim=-1, keepdim=True))
 
         return _Bond()
@@ -266,7 +281,9 @@ def _feature_module(ftype: str, idx, params=None):
 def _make_features(node: dict):
     torch = _torch()
     mods = [
-        _feature_module(f["type"], f["atom_indices"], f.get("params"))
+        _feature_module(
+            f["type"], f["atom_indices"], f.get("params"), node.get("box")
+        )
         for f in node["features"]
     ]
 

@@ -17,6 +17,7 @@ from .features import (
     coordination_pairs,
     dihedral_angle,
     dihedral_cos_sin,
+    minimum_image,
     switching_rational,
 )
 from .alignment import (
@@ -43,6 +44,7 @@ __all__ = [
     "coordination_pairs",
     "dihedral_angle",
     "dihedral_cos_sin",
+    "minimum_image",
     "switching_rational",
     "AlignmentLayer",
     "align_frames",

@@ -65,6 +65,7 @@ __all__ = [
     "dihedral_cos_sin",
     "switching_rational",
     "coordination_pairs",
+    "minimum_image",
 ]
 
 
@@ -270,9 +271,25 @@ class Feature:
         return 1
 
 
-def _eval_feature(feat: Feature, x: jnp.ndarray) -> jnp.ndarray:
+def minimum_image(d: jnp.ndarray, box) -> jnp.ndarray:
+    """Minimum-image displacement for an orthogonal box (lengths [3]).
+    The image shift is locally constant, so gradients flow through ``d``
+    untouched."""
+    b = jnp.asarray(box, dtype=d.dtype)
+    return d - b * jnp.round(d / b)
+
+
+def _pair_distance(ra, rb, box):
+    d = rb - ra
+    if box is not None:
+        d = minimum_image(d, box)
+    return jnp.sqrt((d * d).sum(axis=-1))
+
+
+def _eval_feature(feat: Feature, x: jnp.ndarray, box=None) -> jnp.ndarray:
     """Evaluate one feature on a coordinate batch x [batch, N, 3] ->
-    [batch, feat_dim]."""
+    [batch, feat_dim]. ``box``: optional orthogonal box lengths applied
+    (minimum image) to pair-distance features only."""
     idx = feat.atom_indices
     ft = feat.feature_type
     if ft == "position":
@@ -283,7 +300,7 @@ def _eval_feature(feat: Feature, x: jnp.ndarray) -> jnp.ndarray:
         ra = x[:, jnp.asarray(idx[0::2]), :]  # [B, P, 3]
         rb = x[:, jnp.asarray(idx[1::2]), :]
         s = switching_rational(
-            bond_length(ra, rb), p["r0"], p["d0"], p["nn"], p["mm"]
+            _pair_distance(ra, rb, box), p["r0"], p["d0"], p["nn"], p["mm"]
         )  # [B, P]
         if ft == "coordination":
             return s.sum(axis=1, keepdims=True)
@@ -291,7 +308,7 @@ def _eval_feature(feat: Feature, x: jnp.ndarray) -> jnp.ndarray:
     a = x[:, idx[0], :]
     b = x[:, idx[1], :]
     if ft == "bond":
-        return bond_length(a, b)[:, None]
+        return _pair_distance(a, b, box)[:, None]
     c = x[:, idx[2], :]
     if ft == "angle":
         return bend_angle_cos(a, b, c)[:, None]
@@ -315,11 +332,29 @@ class FeatureLayer:
 
     Parameter-free and differentiable; the feature list is static so the
     whole map compiles to one fused gather + elementwise program.
+
+    Args:
+        feature_list: the Feature specs.
+        input_ag: optional training atom selection; features with global
+            topology indices are remapped to input columns.
+        box: optional orthogonal box lengths ``(Lx, Ly, Lz)`` in the
+            trajectory's length unit. When set, PAIR-DISTANCE features
+            (bond / contact / coordination) use the minimum-image
+            convention — required when trajectories are wrapped and the
+            pair spans molecules. Angles/dihedrals/positions are left
+            untouched (bonded atoms: make molecules whole upstream).
     """
 
-    def __init__(self, feature_list: Sequence[Feature], input_ag=None):
+    def __init__(self, feature_list: Sequence[Feature], input_ag=None,
+                 box=None):
         if len(feature_list) == 0:
             raise ValueError("feature_list must not be empty")
+        if box is not None:
+            box = tuple(float(v) for v in np.asarray(box).reshape(-1))
+            if len(box) != 3 or any(v <= 0 for v in box):
+                raise ValueError(
+                    f"box must be 3 positive orthogonal lengths, got {box}"
+                )
         if input_ag is not None and hasattr(input_ag, "ix"):
             # molann semantics: features reference atoms by their global
             # topology index; remap to column positions within the input
@@ -340,6 +375,7 @@ class FeatureLayer:
             feature_list = remapped
         self.feature_list = tuple(feature_list)
         self.input_ag = input_ag
+        self.box = box
 
     @property
     def output_dimension(self) -> int:
@@ -350,7 +386,9 @@ class FeatureLayer:
         squeeze = x.ndim == 2
         if squeeze:
             x = x[None]
-        feats = [_eval_feature(f, x) for f in self.feature_list]
+        feats = [
+            _eval_feature(f, x, self.box) for f in self.feature_list
+        ]
         out = jnp.concatenate(feats, axis=1)
         return out[0] if squeeze else out
 
@@ -371,11 +409,11 @@ class FeatureLayer:
 
     # -- pytree protocol (no array leaves) --------------------------------
     def tree_flatten(self):
-        return (), (self.feature_list,)
+        return (), (self.feature_list, self.box)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(aux[0])
+        return cls(aux[0], box=aux[1])
 
 
 @jax.tree_util.register_pytree_node_class

@@ -53,6 +53,9 @@ struct Op {
     std::vector<int> aidx;
     // features
     std::vector<Feature> feats;
+    // orthogonal minimum-image box for pair-distance features (v2)
+    bool has_box = false;
+    double box[3] = {0.0, 0.0, 0.0};
     // mlp / stacked_mlp
     int act = 0, k = 1;
     std::vector<std::pair<int, int>> layers;  // (w_param, b_param)
@@ -142,6 +145,12 @@ double act_g(int a, double z) {
 // ---------------------------------------------------------------------------
 // small vector helpers
 // ---------------------------------------------------------------------------
+
+inline void mic3(double* d, const Op& op) {
+    if (!op.has_box) return;
+    for (int k = 0; k < 3; k++)
+        d[k] -= op.box[k] * std::round(d[k] / op.box[k]);
+}
 
 inline void cross(const double* a, const double* b, double* o) {
     o[0] = a[1] * b[2] - a[2] * b[1];
@@ -342,6 +351,7 @@ void forward_features(const Op& op, const std::vector<double>& x,
             case F_BOND: {
                 const double* b = &x[f.idx[1] * 3];
                 double dvec[3] = {b[0] - a[0], b[1] - a[1], b[2] - a[2]};
+                mic3(dvec, op);
                 out.push_back(norm3(dvec));
                 break;
             }
@@ -352,6 +362,7 @@ void forward_features(const Op& op, const std::vector<double>& x,
                     const double* pb = &x[f.idx[u + 1] * 3];
                     double dvec[3] = {pb[0] - pa[0], pb[1] - pa[1],
                                       pb[2] - pa[2]};
+                    mic3(dvec, op);
                     total += sw_val(f, norm3(dvec));
                 }
                 out.push_back(total);
@@ -552,6 +563,7 @@ void backward_features(const Op& op, const FeatCtx& ctx, int K,
                 case F_BOND: {
                     const double* b = &x[f.idx[1] * 3];
                     double dv[3] = {b[0] - a[0], b[1] - a[1], b[2] - a[2]};
+                    mic3(dv, op);
                     double rn = norm3(dv);
                     for (int d = 0; d < 3; d++) {
                         double gu = gr[0] * dv[d] / rn;
@@ -566,6 +578,7 @@ void backward_features(const Op& op, const FeatCtx& ctx, int K,
                         const double* pb = &x[f.idx[u + 1] * 3];
                         double dv[3] = {pb[0] - pa[0], pb[1] - pa[1],
                                         pb[2] - pa[2]};
+                        mic3(dv, op);
                         double rn = norm3(dv);
                         double coef = gr[0] * sw_dr(f, rn) / rn;
                         for (int d = 0; d < 3; d++) {
@@ -802,6 +815,7 @@ Model* load_model(const char* path) {
     std::fclose(f);
     if (sz < 8 || (std::memcmp(buf.data(), MAGIC_V1, 8) != 0 &&
                    std::memcmp(buf.data(), MAGIC_V2, 8) != 0)) return nullptr;
+    const bool v2 = std::memcmp(buf.data(), MAGIC_V2, 8) == 0;
     Reader r{buf.data() + 8, (size_t)sz - 8};
     Model* M = new Model();
     M->state_ndim = r.get<int32_t>();
@@ -840,6 +854,16 @@ Model* load_model(const char* path) {
             case OP_FEATURES: {
                 int nf = r.get<int32_t>();
                 if (r.fail || nf < 0 || nf > 1000000) { delete M; return nullptr; }
+                if (v2) {
+                    int hb = r.get<int32_t>();
+                    if (r.fail || hb < 0 || hb > 1) { delete M; return nullptr; }
+                    op.has_box = hb != 0;
+                    if (op.has_box) {
+                        for (int d = 0; d < 3; d++) op.box[d] = r.get<double>();
+                        if (r.fail || op.box[0] <= 0 || op.box[1] <= 0 ||
+                            op.box[2] <= 0) { delete M; return nullptr; }
+                    }
+                }
                 op.feats.resize(nf);
                 for (int j = 0; j < nf; j++) {
                     op.feats[j].type = r.get<int32_t>();

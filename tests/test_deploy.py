@@ -282,6 +282,37 @@ def test_switch_features_value_and_grad(tmp_path):
     np.testing.assert_allclose(jac, np.asarray(oracle), atol=2e-4)
 
 
+def test_pbc_box_value_and_grad(tmp_path):
+    """FeatureLayer(box=...) survives the artifact round trip: the spec
+    carries the box, and numpy values/Jacobians match jax on WRAPPED
+    coordinates."""
+    import jax
+
+    box = (2.0, 2.5, 3.0)
+    rng = np.random.default_rng(4)
+    x = rng.uniform(0, 1.8, size=(4, 4, 3)).astype(np.float32)
+    x[:, 1, 0] = 1.95
+    x[:, 0, 0] = 0.05
+    feat = FeatureLayer(
+        [
+            Feature("c", "contact", (0, 1), params={"r0": 0.3}),
+            Feature("b", "bond", (0, 1)),
+        ],
+        box=box,
+    )
+    pp = PreprocessingANN(None, feat)
+    cv = ColvarModel(pp, create_sequential_nn([2, 8, 2], seed=5))
+    save_numpy_cv(cv, str(tmp_path))
+    with open(tmp_path / "cv_numpy_spec.json") as fh:
+        spec = json.load(fh)
+    assert "box" in json.dumps(spec)
+    f = load_numpy_cv(str(tmp_path), with_grad=True)
+    val, jac = f(x)
+    np.testing.assert_allclose(val, np.asarray(cv(x)), atol=1e-5)
+    oracle = jax.vmap(jax.jacrev(lambda s: cv(s[None])[0]))(x)
+    np.testing.assert_allclose(jac, np.asarray(oracle), atol=2e-4)
+
+
 def test_grad_finite_difference_consistency(tmp_path):
     """The hand-written backward must match central differences of the
     grad-path forward itself (both float64) to ~1e-7 — catches any drift

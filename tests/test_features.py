@@ -195,6 +195,52 @@ def test_contact_and_coordination_features():
     np.testing.assert_allclose(jac[1, b, 4], want, rtol=1e-4, atol=1e-6)
 
 
+def test_minimum_image_pair_features():
+    """FeatureLayer(box=...) applies the minimum-image convention to
+    bond/contact/coordination; angles and positions are untouched."""
+    from colvarsfinder_tpu.ops import minimum_image
+
+    box = np.array([2.0, 2.5, 3.0])
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 1.8, size=(6, 4, 3)).astype(np.float32)
+    x[:, 1, 0] = 1.95
+    x[:, 0, 0] = 0.05  # pair (0, 1) wraps across the x face
+
+    feats = [
+        Feature("b", "bond", [0, 1]),
+        Feature("c", "contact", [0, 1], params={"r0": 0.3}),
+        Feature("a", "angle", [0, 2, 3]),
+    ]
+    lay_pbc = FeatureLayer(feats, box=tuple(box))
+    lay_raw = FeatureLayer(feats)
+    out_p = np.asarray(lay_pbc(jnp.asarray(x)))
+    out_r = np.asarray(lay_raw(jnp.asarray(x)))
+
+    d = x[:, 1] - x[:, 0]
+    d_mic = d - box * np.round(d / box)
+    r_mic = np.linalg.norm(d_mic, axis=-1)
+    np.testing.assert_allclose(out_p[:, 0], r_mic, rtol=1e-5)
+    assert (out_p[:, 0] < out_r[:, 0]).all()  # imaging shortened the pair
+    assert (out_p[:, 1] > out_r[:, 1]).all()  # so the contact strengthens
+    np.testing.assert_allclose(out_p[:, 2], out_r[:, 2], rtol=1e-6)  # angle
+
+    # helper matches, gradient flows through the (locally constant) shift
+    np.testing.assert_allclose(
+        np.asarray(minimum_image(jnp.asarray(d), box)), d_mic, rtol=1e-5
+    )
+    g = jax.grad(lambda xx: lay_pbc(xx)[:, 0].sum())(jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(g)[:, 1], d_mic / r_mic[:, None], rtol=1e-4
+    )
+    # jit with the box as static aux
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(lambda xx: lay_pbc(xx))(jnp.asarray(x))),
+        out_p, rtol=1e-6,
+    )
+    with pytest.raises(ValueError):
+        FeatureLayer(feats, box=(2.0, -1.0, 3.0))
+
+
 def test_switch_feature_validation():
     with pytest.raises(ValueError):  # r0 required
         Feature("c", "contact", [0, 1])

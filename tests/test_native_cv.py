@@ -119,6 +119,31 @@ def test_native_switch_features_parity(tmp_path):
     np.testing.assert_allclose(jac_n, jac_p, rtol=0, atol=1e-12)
 
 
+def test_native_pbc_box_parity(tmp_path):
+    """Minimum-image box (v2 FEATURES payload) in the C++ engine matches
+    the numpy evaluator on wrapped coordinates at 1e-12."""
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0, 1.8, size=(5, 4, 3)).astype(np.float64)
+    x[:, 1, 0] = 1.95
+    x[:, 0, 0] = 0.05
+    feat = FeatureLayer(
+        [
+            Feature("c", "contact", (0, 1), params={"r0": 0.3}),
+            Feature("b", "bond", (0, 1)),
+            Feature("a", "angle", (0, 2, 3)),
+        ],
+        box=(2.0, 2.5, 3.0),
+    )
+    pp = PreprocessingANN(None, feat)
+    head = create_sequential_nn([pp.output_dimension, 8, 2], seed=5)
+    spec, params = _artifact(ColvarModel(pp, head), tmp_path)
+    f = load_native_cv(str(tmp_path), with_grad=True)
+    val_n, jac_n = f(x)
+    val_p, jac_p = eval_spec_grad(spec, params, x)
+    np.testing.assert_allclose(val_n, val_p, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(jac_n, jac_p, rtol=0, atol=1e-12)
+
+
 def test_native_identity_mlp_and_regmodel(tmp_path):
     x = np.random.default_rng(1).standard_normal((5, 6))
     head = create_sequential_nn([6, 12, 2], seed=4)

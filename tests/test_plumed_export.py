@@ -42,8 +42,15 @@ from colvarsfinder_tpu.ops import (
 # ---------------------------------------------------------------------------
 
 
-def _distance(x, a, b):
-    return float(np.linalg.norm(x[b] - x[a]))
+def _mic(d, box):
+    if box is None:
+        return d
+    box = np.asarray(box)
+    return d - box * np.round(d / box)
+
+
+def _distance(x, a, b, box=None):
+    return float(np.linalg.norm(_mic(x[b] - x[a], box)))
 
 
 def _angle(x, a, b, c):
@@ -67,7 +74,7 @@ def _rational(r, r0, d0, nn, mm):
     return (1.0 - xx**nn) / (1.0 - xx**mm)
 
 
-def _coordination(x, ga, gb, pair, r0, d0, nn, mm):
+def _coordination(x, ga, gb, pair, r0, d0, nn, mm, box=None):
     """PLUMED COORDINATION: sum of switch values over GROUPA x GROUPB
     (zipped when PAIR, all cross pairs excluding self otherwise)."""
     if pair:
@@ -76,15 +83,19 @@ def _coordination(x, ga, gb, pair, r0, d0, nn, mm):
         pairs = [(i, j) for i in ga for j in gb if i != j]
     return float(
         sum(
-            _rational(np.linalg.norm(x[j] - x[i]), r0, d0, nn, mm)
+            _rational(
+                np.linalg.norm(_mic(x[j] - x[i], box)), r0, d0, nn, mm
+            )
             for i, j in pairs
         )
     )
 
 
-def _run_plumed_lines(lines, coords_nm, model_dir):
+def _run_plumed_lines(lines, coords_nm, model_dir, box=None):
     """Evaluate the emitted PLUMED actions on one frame [N, 3] (nm),
-    returning the PYTORCH_MODEL output components as a 1-D array."""
+    returning the PYTORCH_MODEL output components as a 1-D array.
+    ``box``: the engine's live box (nm) — applied by PLUMED (so here) to
+    distance-type actions NOT marked NOPBC."""
     values = {}
     for ln in lines:
         if ln.startswith("#") or not ln.strip():
@@ -92,6 +103,7 @@ def _run_plumed_lines(lines, coords_nm, model_dir):
         label, rest = ln.split(":", 1)
         label, rest = label.strip(), rest.strip()
         action = rest.split()[0]
+        act_box = None if " NOPBC" in f" {rest}" else box
         if action in ("DISTANCE", "ANGLE", "TORSION", "POSITION"):
             key = "ATOMS" if action != "POSITION" else "ATOM"
             serials = [
@@ -99,7 +111,7 @@ def _run_plumed_lines(lines, coords_nm, model_dir):
                 for s in re.search(rf"{key}=(\S+)", rest).group(1).split(",")
             ]
             if action == "DISTANCE":
-                values[label] = _distance(coords_nm, *serials)
+                values[label] = _distance(coords_nm, *serials, box=act_box)
             elif action == "ANGLE":
                 values[label] = _angle(coords_nm, *serials)
             elif action == "TORSION":
@@ -125,7 +137,7 @@ def _run_plumed_lines(lines, coords_nm, model_dir):
             nn, mm = int(m.group(3)), int(m.group(4))
             pair = re.search(r"\bPAIR\b", rest) is not None
             values[label] = _coordination(
-                coords_nm, ga, gb, pair, r0, d0, nn, mm
+                coords_nm, ga, gb, pair, r0, d0, nn, mm, box=act_box
             )
         elif action == "CUSTOM":
             arg = re.search(r"ARG=(\S+)", rest).group(1)
@@ -322,6 +334,43 @@ def test_switch_features_length_scale(tmp_path):
     values = _run_plumed_lines(out.lines, x_ang / 10.0, str(tmp_path))
     got = np.array([values[c] for c in out.components])
     want = np.asarray(load_numpy_cv(str(tmp_path))(x_ang))
+    np.testing.assert_allclose(got, want, atol=5e-6)
+
+
+def test_pbc_feature_mode(tmp_path):
+    """A FeatureLayer with a minimum-image box emits DISTANCE/COORDINATION
+    WITHOUT NOPBC (the engine's live box applies — simulated here with
+    the training box), while angle/torsion actions stay NOPBC. The chain
+    reproduces the artifact on WRAPPED coordinates."""
+    box = (2.0, 2.5, 3.0)
+    feat = FeatureLayer(
+        [
+            Feature("c", "contact", [0, 1], params={"r0": 0.3}),
+            Feature("b", "bond", [0, 1]),
+            Feature("ang", "angle", [0, 2, 3]),
+        ],
+        box=box,
+    )
+    pp = PreprocessingANN(None, feat)
+    head = create_sequential_nn([pp.output_dimension, 8, 2], seed=5)
+    cv = ColvarModel(pp, head)
+    save_numpy_cv(cv, str(tmp_path))
+    out = write_plumed_cv(str(tmp_path))
+    text = open(out.dat_path).read()
+    assert (
+        "cvf0: COORDINATION GROUPA=1 GROUPB=2 "
+        "SWITCH={RATIONAL R_0=0.3 D_0=0 NN=6 MM=12}\n"
+    ) in text  # no NOPBC
+    assert "cvf1: DISTANCE ATOMS=1,2\n" in text  # no NOPBC
+    assert "ANGLE ATOMS=1,3,4 NOPBC" in text  # angles stay NOPBC
+
+    # wrapped frame: pair (0, 1) crosses the x face
+    x = np.abs(_frame(n_atoms=4, seed=3)) % 1.5
+    x[1, 0] = 1.95
+    x[0, 0] = 0.05
+    values = _run_plumed_lines(out.lines, x, str(tmp_path), box=box)
+    got = np.array([values[c] for c in out.components])
+    want = np.asarray(load_numpy_cv(str(tmp_path))(x))
     np.testing.assert_allclose(got, want, atol=5e-6)
 
 

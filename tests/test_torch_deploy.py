@@ -204,6 +204,44 @@ def test_switch_features_scripted_parity(tmp_path):
     np.testing.assert_allclose(jac_torch, jac_np, rtol=0, atol=1e-8)
 
 
+def test_pbc_box_scripted_parity(tmp_path):
+    """Minimum-image box in the scripted artifact: values and autograd
+    forces match the numpy evaluator on wrapped coordinates (the image
+    shift is locally constant, so forces are exact)."""
+    import json
+
+    from colvarsfinder_tpu.deploy import eval_spec_grad
+
+    rng = np.random.default_rng(9)
+    x = rng.uniform(0, 1.8, size=(3, 4, 3)).astype(np.float64)
+    x[:, 1, 0] = 1.95
+    x[:, 0, 0] = 0.05
+    feat = FeatureLayer(
+        [
+            Feature("c", "contact", (0, 1), params={"r0": 0.3}),
+            Feature("b", "bond", (0, 1)),
+        ],
+        box=(2.0, 2.5, 3.0),
+    )
+    pp = PreprocessingANN(None, feat)
+    cv = ColvarModel(pp, create_sequential_nn([2, 8, 2], seed=5))
+    save_numpy_cv(cv, str(tmp_path))
+    mod = _scripted(cv, tmp_path).double()
+    xt = torch.from_numpy(x)
+    xt.requires_grad_(True)
+    y = mod(xt)
+    (g,) = torch.autograd.grad(y.sum(), xt)
+    with open(tmp_path / "cv_numpy_spec.json") as fh:
+        spec = json.load(fh)
+    with np.load(tmp_path / "cv_numpy.npz") as data:
+        params = {k: data[k] for k in data.files}
+    val, jac = eval_spec_grad(spec, params, x)
+    np.testing.assert_allclose(y.detach().numpy(), val, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(
+        g.numpy(), jac.sum(axis=1), rtol=0, atol=1e-8
+    )
+
+
 def test_export_colvar_auto_writes_when_torch_loaded(tmp_path):
     """export_colvar writes scripted_cv_cpu.pt automatically when torch is
     already imported in the process (it is, in this test module)."""
