@@ -509,6 +509,15 @@ class Universe:
     def topology(self) -> Topology:
         return self._top
 
+    @property
+    def box(self):
+        """Orthogonal box lengths [3] from the topology file (nm), or
+        None — pass straight to ``FeatureLayer(feats, box=u.box)`` for
+        minimum-image pair-distance features on wrapped trajectories."""
+        return None if self._top.box is None else tuple(
+            float(v) for v in self._top.box
+        )
+
     def __repr__(self):
         return (
             f"<Universe: {self._top.n_atoms} atoms, "

@@ -144,6 +144,8 @@ def test_universe_xtc_end_to_end(tmp_path):
     u = Universe(str(gro), xtc)
     assert u.trajectory.n_frames == 15
     assert abs(u.trajectory.dt - 10.0) < 1e-4
+    # topology box exposed for FeatureLayer(box=u.box)
+    np.testing.assert_allclose(u.box, (0.5251, 0.7648, 0.3021), rtol=1e-5)
 
     heavy = u.select_atoms("type C or type O or type N")
     traj = WeightedTrajectory(universe=u, input_ag=heavy, verbose=False)
