@@ -215,6 +215,15 @@ def main():
     # WeightedTrajectory(universe, input_ag)
     u = Universe(gro_path, xtc_path)
     print(f"loaded {u!r}")
+
+    # builders cross-check: the automatic backbone scan reproduces the
+    # hand-typed Ramachandran quadruples above
+    from colvarsfinder_tpu.ops import backbone_dihedrals
+
+    auto = {f.name: f.atom_indices for f in backbone_dihedrals(u.atoms)}
+    assert auto["phi_2"] == PHI_ATOMS and auto["psi_2"] == PSI_ATOMS, auto
+    print(f"backbone_dihedrals found: {sorted(auto)}")
+
     input_ag = u.select_atoms("type C or type O or type N")
     align_ag = u.select_atoms("type C or type O or type N")
     print(f"input atoms: {len(input_ag)} ({input_ag.names})")

@@ -241,6 +241,34 @@ def test_minimum_image_pair_features():
         FeatureLayer(feats, box=(2.0, -1.0, 3.0))
 
 
+def test_feature_wrap_invariance():
+    """With a box, pair-distance features are invariant to wrapping the
+    coordinates into the box — training on wrapped MD output matches
+    training on whole/unwrapped coordinates (true pair spans < L/2)."""
+    box = np.array([1.0, 1.2, 1.4])
+    rng = np.random.default_rng(8)
+    # a compact cluster far outside the box (several images away)
+    x = rng.normal(5.0, 0.05, size=(16, 5, 3)).astype(np.float32)
+    xw = np.mod(x, box).astype(np.float32)
+    assert not np.allclose(x, xw)
+    layer = FeatureLayer(
+        [
+            Feature("c", "contact", [0, 1], params={"r0": 0.2}),
+            Feature("b", "bond", [2, 4]),
+            Feature(
+                "cn", "coordination", (0, 2, 1, 3),
+                params={"r0": 0.15, "nn": 4},
+            ),
+        ],
+        box=tuple(box),
+    )
+    np.testing.assert_allclose(
+        np.asarray(layer(jnp.asarray(xw))),
+        np.asarray(layer(jnp.asarray(x))),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
 def test_switch_feature_validation():
     with pytest.raises(ValueError):  # r0 required
         Feature("c", "contact", [0, 1])
