@@ -36,7 +36,13 @@ from .sampling import (
     integrate_sde_langevin,
     integrate_sde_overdamped,
 )
-from .trajectory import WeightedTrajectory, calc_weights, concatenate_trajectories
+from .trajectory import (
+    WeightedTrajectory,
+    calc_weights,
+    concatenate_trajectories,
+    unwrap_trajectory,
+    wrap_trajectory,
+)
 from .netcdf import (
     NetCDFFrames,
     read_netcdf,
@@ -52,6 +58,8 @@ __all__ = [
     "WeightedTrajectory",
     "calc_weights",
     "concatenate_trajectories",
+    "unwrap_trajectory",
+    "wrap_trajectory",
     "integrate_md_langevin",
     "integrate_sde_langevin",
     "integrate_sde_overdamped",

@@ -17,7 +17,46 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 
-__all__ = ["WeightedTrajectory", "calc_weights", "concatenate_trajectories"]
+__all__ = [
+    "WeightedTrajectory",
+    "calc_weights",
+    "concatenate_trajectories",
+    "wrap_trajectory",
+    "unwrap_trajectory",
+]
+
+
+def wrap_trajectory(coords, box):
+    """Wrap coordinates into the primary cell [0, L) per axis
+    (orthogonal box lengths [3])."""
+    coords = np.asarray(coords)
+    box = np.asarray(box, dtype=coords.dtype)
+    return np.mod(coords, box)
+
+
+def unwrap_trajectory(coords, box):
+    """Continuity-based unwrap of a wrapped trajectory [n, N, 3]:
+    remove box jumps between consecutive frames per atom, so positions
+    become continuous in time — the preprocessing alignment layers and
+    ``position`` features need (pair-DISTANCE features can instead use
+    ``FeatureLayer(box=...)`` directly on wrapped data).
+
+    Assumes true per-frame displacements are below L/2 in every axis
+    (the standard continuity condition; holds for any reasonable MD
+    output cadence). The first frame is kept as stored.
+    """
+    coords = np.asarray(coords)
+    if coords.ndim != 3:
+        raise ValueError(f"expected [n_frames, N, 3], got {coords.shape}")
+    box = np.asarray(box, dtype=np.float64).reshape(-1)
+    if box.size != 3 or (box <= 0).any():
+        raise ValueError(f"box must be 3 positive lengths, got {box}")
+    d = np.diff(np.asarray(coords, dtype=np.float64), axis=0)
+    shifts = -box * np.round(d / box)  # per-step image corrections
+    corr = np.concatenate(
+        [np.zeros((1,) + coords.shape[1:]), np.cumsum(shifts, axis=0)]
+    )
+    return (coords + corr).astype(coords.dtype)
 
 
 class WeightedTrajectory:

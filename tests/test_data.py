@@ -322,3 +322,35 @@ def test_valid_lagged_starts():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         cat.valid_lagged_starts(-1)
+
+
+def test_wrap_unwrap_trajectory():
+    """unwrap_trajectory removes box jumps from a wrapped random walk:
+    wrap -> unwrap recovers the original up to the first frame's image,
+    making wrapped MD output usable for alignment/position features."""
+    from colvarsfinder_tpu.utils import unwrap_trajectory, wrap_trajectory
+
+    rng = np.random.default_rng(0)
+    box = np.array([1.0, 1.5, 2.0])
+    # diffusing cluster: per-frame displacements well under L/2
+    steps = rng.normal(0, 0.05, size=(200, 4, 3))
+    x = np.cumsum(steps, axis=0) + np.array([0.2, 0.3, 0.4])
+    xw = wrap_trajectory(x, box)
+    assert (xw >= 0).all() and (xw < box).all()
+    assert not np.allclose(xw, x)  # the walk left the primary cell
+
+    xu = unwrap_trajectory(xw, box)
+    # frame 0 is kept as stored -> constant integer-image offset per atom
+    off = xu[0] - x[0]
+    np.testing.assert_allclose(
+        np.round(off / box), off / box, atol=1e-9
+    )
+    np.testing.assert_allclose(xu - off[None], x, atol=1e-9)
+
+    # idempotent on already-continuous data
+    np.testing.assert_allclose(unwrap_trajectory(x, box), x, atol=1e-12)
+
+    with pytest.raises(ValueError):
+        unwrap_trajectory(x[0], box)
+    with pytest.raises(ValueError):
+        unwrap_trajectory(x, (1.0, -1.0, 1.0))
