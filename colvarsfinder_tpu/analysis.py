@@ -44,6 +44,12 @@ examples eyeball scatter plots, e.g. dipeptide main.ipynb cell 21):
 * :func:`cv_sensitivity` — interpretability: which inputs (features,
   atoms) drive each CV component, as std-scaled weighted-RMS input
   gradients; ``aggregate='xyz'`` folds coordinates to per-atom scores.
+* :func:`statistical_inefficiency` / :func:`decorrelated_indices` —
+  how many INDEPENDENT samples a correlated trajectory actually holds
+  (``g = 1 + 2 tau_int``, the pymbar-timeseries convention), and the
+  ``ceil(g)``-strided subsample to feed estimators whose error bars
+  assume independence (see ``UmbrellaResult.subsample`` /
+  ``REMDResult.subsample``).
 
 All three accept plain numpy inputs and the framework's CV callables
 (:class:`~colvarsfinder_tpu.export.ColvarModel`, deployed numpy CVs, or
@@ -74,6 +80,8 @@ __all__ = [
     "msm",
     "pca",
     "tica",
+    "statistical_inefficiency",
+    "decorrelated_indices",
     "timescales_vs_lag",
     "timescales_vs_lag_bootstrap",
     "msm_ck_test",
@@ -1841,3 +1849,123 @@ def committor_self_consistency(
     with np.errstate(invalid="ignore"):
         centers = np.where(wsum > 0, sums / np.maximum(wsum, 1e-300), np.nan)
     return CommittorCheck(centers, q_msm, counts)
+
+
+def statistical_inefficiency(
+    cv_values,
+    segment_starts=None,
+    *,
+    mintime: int = 3,
+) -> np.ndarray:
+    """Statistical inefficiency ``g = 1 + 2*tau_int`` of each CV head.
+
+    The integrated-autocorrelation-time estimator of Chodera et al.
+    (J. Chem. Theory Comput. 3, 2007; the ``pymbar.timeseries``
+    convention): with normalized autocorrelation ``C(t)`` of the series,
+
+    .. math:: g = 1 + 2 \\sum_{t \\ge 1} \\frac{N_t}{N} C(t)
+
+    summed until ``C(t)`` first drops below zero (but at least to
+    ``mintime``), where ``N_t`` is the number of valid lagged pairs at
+    lag ``t`` (``(1 - t/N)`` for one contiguous trajectory; pairs never
+    straddle ``segment_starts`` boundaries for concatenated data). A
+    correlated trajectory of ``N`` frames carries only ``N / g``
+    independent samples — the number every downstream estimator (MBAR,
+    bootstrap bands, committor bins) actually gets.
+
+    Unlike :func:`autocorrelation` this is deliberately UNWEIGHTED:
+    ``g`` characterizes the *sampling process* (how fast the chain
+    decorrelates), while ``WeightedTrajectory.weights`` are ensemble
+    reweighting factors — folding them in would mix the two questions.
+
+    Args:
+        cv_values: ``[n]`` or ``[n, k]`` time series IN FRAME ORDER.
+        segment_starts: source offsets for concatenated trajectories
+            (``WeightedTrajectory.segment_starts``); the correlation sum
+            then uses within-segment pairs only.
+        mintime: minimum lag to include before the negative-``C`` stop
+            rule may trigger (guards against noise at tiny lags).
+
+    Returns:
+        ``[k]`` array of ``g >= 1`` (scalar semantics: index ``[0]``
+        for a 1-D series).
+    """
+    y = _as_series(cv_values)
+    n, k = y.shape
+    mu = y.mean(axis=0)
+    var = y.var(axis=0)
+    if np.any(var <= 0):
+        raise ValueError("constant CV series has no correlation time")
+    d = y - mu
+    g = np.ones(k, dtype=np.float64)
+    for h in range(k):
+        acc = 0.0
+        for t in range(1, n):
+            starts = _pair_starts_or_none(n, t, segment_starts)
+            if starts is None or starts.size == 0:
+                break
+            c = float(np.mean(d[starts, h] * d[starts + t, h])) / var[h]
+            if c <= 0.0 and t > mintime:
+                break
+            acc += (starts.size / n) * c
+        g[h] = max(1.0, 1.0 + 2.0 * acc)
+    return g
+
+
+def _pair_starts_or_none(n: int, lag: int, segment_starts):
+    """:func:`_pair_starts` that returns ``None`` instead of raising
+    when no segment is long enough (the correlation sum just stops)."""
+    try:
+        return _pair_starts(n, lag, segment_starts)
+    except ValueError:
+        return None
+
+
+def decorrelated_indices(
+    cv_values,
+    segment_starts=None,
+    *,
+    g=None,
+    offset: int = 0,
+) -> np.ndarray:
+    """Frame indices of an (approximately) independent subsample.
+
+    Strides each trajectory segment by ``ceil(g)`` frames, where ``g``
+    is the (maximum-over-heads, conservative) statistical inefficiency
+    — the ``pymbar.timeseries.subsample_correlated_data`` workflow.
+    Feed the result to MBAR or bootstrap estimators whose error bars
+    assume independent samples:
+
+    >>> idx = analysis.decorrelated_indices(cv_series)
+    >>> mb = mbar_weights([cv[idx_k] for cv, idx_k in ...], ...)
+
+    Args:
+        cv_values: ``[n]`` or ``[n, k]`` series in frame order (used to
+            estimate ``g`` when not given).
+        segment_starts: concatenated-trajectory boundaries; the stride
+            restarts at ``offset`` within each segment.
+        g: override the estimated statistical inefficiency (e.g. the
+            max over several observables).
+        offset: first kept frame within each segment.
+
+    Returns:
+        int64 frame indices into the original series, strictly
+        increasing.
+    """
+    y = _as_series(cv_values)
+    n = y.shape[0]
+    if g is None:
+        g = float(np.max(statistical_inefficiency(y, segment_starts)))
+    stride = max(1, int(np.ceil(float(g) - 1e-9)))
+    if segment_starts is None:
+        bounds = np.array([0, n], dtype=np.int64)
+    else:
+        bounds = np.append(np.asarray(segment_starts, dtype=np.int64), n)
+    parts = [
+        np.arange(bounds[s] + offset, bounds[s + 1], stride, dtype=np.int64)
+        for s in range(bounds.size - 1)
+        if bounds[s + 1] - bounds[s] > offset
+    ]
+    if not parts:
+        raise ValueError("offset leaves no frames in any segment")
+    return np.concatenate(parts)

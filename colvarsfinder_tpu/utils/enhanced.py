@@ -713,6 +713,33 @@ class UmbrellaResult:
             segment_starts=np.arange(self.n_windows) * n,
         )
 
+    def subsample(self, g: Optional[float] = None) -> "UmbrellaResult":
+        """Decimate every window to (approximately) independent frames.
+
+        Strides the report axis by ``ceil(g)``, where ``g`` defaults to
+        the CONSERVATIVE statistical inefficiency — the maximum of
+        :func:`~colvarsfinder_tpu.analysis.statistical_inefficiency`
+        over all windows and CV heads — so that the MBAR solve and its
+        downstream error estimates (which assume independent samples)
+        see one frame per correlation time. The pymbar
+        ``subsample_correlated_data`` workflow; chain as
+        ``result.subsample().to_weighted_trajectory()``.
+        """
+        from ..analysis import statistical_inefficiency
+
+        if g is None:
+            g = max(
+                float(np.max(statistical_inefficiency(cv)))
+                for cv in self.cv_values
+            )
+        stride = max(1, int(np.ceil(float(g) - 1e-9)))
+        return dataclasses.replace(
+            self,
+            frames=self.frames[:, ::stride],
+            cv_values=self.cv_values[:, ::stride],
+            dt=self.dt * stride,
+        )
+
 
 def integrate_sde_umbrella(
     pot_obj,
@@ -981,6 +1008,54 @@ class REMDResult:
             dt=self.dt,
             verbose=False,
             segment_starts=np.unique(np.concatenate(starts)),
+        )
+
+    def subsample(self, g: Optional[float] = None) -> "REMDResult":
+        """Decimate every temperature slot to (approximately)
+        independent frames.
+
+        Strides the report axis by ``ceil(g)``, with ``g`` defaulting to
+        the maximum statistical inefficiency of the per-slot POTENTIAL
+        ENERGY series (the observable temperature-MBAR actually
+        reweights by) — computed with per-slot swap points as segment
+        boundaries so the correlation estimate never spans a
+        configuration teleport. ``swap_history`` is folded down so a
+        kept frame is marked swapped iff ANY swap occurred since the
+        previous kept frame; :meth:`to_weighted_trajectory` on the
+        subsampled result therefore still breaks lagged pairs at every
+        surviving discontinuity.
+        """
+        from ..analysis import statistical_inefficiency
+
+        K, n = self.energies.shape
+        if g is None:
+            g = 1.0
+            for k in range(K):
+                segs = np.unique(
+                    np.concatenate(
+                        [[0], np.nonzero(self.swap_history[:, k])[0]]
+                    )
+                )
+                g = max(
+                    g,
+                    float(statistical_inefficiency(
+                        self.energies[k], segment_starts=segs
+                    )[0]),
+                )
+        stride = max(1, int(np.ceil(float(g) - 1e-9)))
+        kept = np.arange(0, n, stride)
+        swapped = np.empty((kept.size, K), dtype=bool)
+        swapped[0] = self.swap_history[0]
+        for i in range(1, kept.size):
+            swapped[i] = self.swap_history[
+                kept[i - 1] + 1 : kept[i] + 1
+            ].any(axis=0)
+        return dataclasses.replace(
+            self,
+            frames=self.frames[:, kept],
+            energies=self.energies[:, kept],
+            swap_history=swapped,
+            dt=self.dt * stride,
         )
 
 

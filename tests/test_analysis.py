@@ -1147,3 +1147,108 @@ def test_tpt_rate_multistate_counting_oracle():
         b[t] = last_a
     k_count = events / (n * dt * b.mean())
     np.testing.assert_allclose(k, k_count, rtol=0.1)
+
+
+# ------------------------------------------- statistical inefficiency
+def test_statistical_inefficiency_ar1_analytic():
+    # AR(1) integrated autocorrelation: g = (1 + a) / (1 - a)
+    a, n = 0.9, 100_000
+    y = _ar1(a, n, seed=3, k=2)
+    g = analysis.statistical_inefficiency(y)
+    assert g.shape == (2,)
+    np.testing.assert_allclose(g, (1 + a) / (1 - a), rtol=0.15)
+
+
+def test_statistical_inefficiency_white_noise_is_one():
+    rng = np.random.default_rng(0)
+    g = analysis.statistical_inefficiency(rng.standard_normal(50_000))
+    assert g.shape == (1,)
+    assert 1.0 <= g[0] < 1.3
+
+
+def test_statistical_inefficiency_segments():
+    # two independent AR(1) runs concatenated: with segment_starts the
+    # estimate still matches the analytic g (the junction never pairs)
+    a = 0.9
+    y = np.concatenate([_ar1(a, 60_000, seed=1), _ar1(a, 60_000, seed=2)])
+    g = analysis.statistical_inefficiency(y, segment_starts=[0, 60_000])
+    np.testing.assert_allclose(g[0], (1 + a) / (1 - a), rtol=0.15)
+
+
+def test_statistical_inefficiency_constant_raises():
+    with pytest.raises(ValueError, match="constant"):
+        analysis.statistical_inefficiency(np.ones(100))
+
+
+def test_decorrelated_indices_explicit_g_and_segments():
+    y = np.arange(20, dtype=float) % 7  # values irrelevant with g given
+    idx = analysis.decorrelated_indices(
+        y, segment_starts=[0, 10], g=4.0, offset=1
+    )
+    np.testing.assert_array_equal(idx, [1, 5, 9, 11, 15, 19])
+    assert np.all(np.diff(idx) > 0)
+
+
+def test_decorrelated_indices_estimates_stride():
+    a = 0.75  # g = 7
+    y = _ar1(a, 80_000, seed=5)
+    idx = analysis.decorrelated_indices(y)
+    stride = int(np.diff(idx)[0])
+    assert 5 <= stride <= 9, stride
+    assert idx[0] == 0 and np.all(np.diff(idx) == stride)
+
+
+def test_umbrella_result_subsample():
+    from colvarsfinder_tpu.utils.enhanced import UmbrellaResult
+
+    K, n = 3, 4_000
+    rng = np.random.default_rng(7)
+    cv = np.stack([_ar1(0.6, n, seed=k) for k in range(K)])  # g = 4
+    res = UmbrellaResult(
+        frames=rng.standard_normal((K, n, 2)),
+        cv_values=cv,
+        centers=np.linspace(-1, 1, K)[:, None],
+        kappas=np.full(K, 10.0),
+        beta=1.0,
+        dt=0.05,
+    )
+    sub = res.subsample()
+    stride = int(round(sub.dt / res.dt))
+    assert 3 <= stride <= 6, stride
+    assert sub.frames.shape == (K, len(range(0, n, stride)), 2)
+    assert sub.cv_values.shape[1] == sub.frames.shape[1]
+    # unchanged window metadata; MBAR still solves on the decimated data
+    np.testing.assert_array_equal(sub.centers, res.centers)
+    mb = sub.mbar()
+    assert len(mb.weights) == K
+    explicit = res.subsample(g=2.0)
+    assert explicit.frames.shape[1] == n // 2
+
+
+def test_remd_result_subsample_folds_swaps():
+    from colvarsfinder_tpu.utils.enhanced import REMDResult
+
+    K, n = 2, 9
+    swap = np.zeros((n, K), dtype=bool)
+    swap[0, 0] = True   # survives at kept frame 0
+    swap[2, 1] = True   # folds into kept frame 1 (covers j in 1..3)
+    swap[7, 0] = True   # beyond the last kept frame -> dropped
+    res = REMDResult(
+        frames=np.arange(K * n * 1, dtype=float).reshape(K, n, 1),
+        energies=np.arange(K * n, dtype=float).reshape(K, n) % 5,
+        betas=np.array([1.0, 0.5]),
+        dt=0.1,
+        pair_attempts=np.array([4]),
+        pair_accepts=np.array([2]),
+        swap_history=swap,
+    )
+    sub = res.subsample(g=3.0)
+    np.testing.assert_array_equal(sub.frames[:, :, 0],
+                                  res.frames[:, [0, 3, 6], 0])
+    np.testing.assert_allclose(sub.dt, 0.3)
+    # kept frame i covers swaps in (kept[i-1], kept[i]]; swap[7,0] lies
+    # beyond the last kept frame (j=7,8 dropped) and must not appear
+    expected = np.array([[True, False],    # j=0 verbatim
+                         [False, True],    # j in 1..3 -> swap[2,1]
+                         [False, False]])  # j in 4..6 -> none
+    np.testing.assert_array_equal(sub.swap_history, expected)
