@@ -21,10 +21,12 @@ from .enhanced import (
     MetadynamicsResult,
     PlumedHills,
     REMDResult,
+    SteeredResult,
     UmbrellaResult,
     harmonic_restraint,
     integrate_sde_metadynamics,
     integrate_sde_remd,
+    integrate_sde_steered,
     integrate_sde_umbrella,
     mbar_weights,
     metad_frame_weights,
@@ -69,9 +71,11 @@ __all__ = [
     "harmonic_restraint",
     "integrate_sde_metadynamics",
     "integrate_sde_remd",
+    "integrate_sde_steered",
     "integrate_sde_umbrella",
     "mbar_weights",
     "REMDResult",
+    "SteeredResult",
     "UmbrellaResult",
     "PlumedHills",
     "read_plumed_hills",
