@@ -42,6 +42,7 @@ __all__ = [
     "plot_cv_sensitivity",
     "plot_committor_check",
     "plot_msm_ck",
+    "plot_steered_work",
     "plot_timescales",
 ]
 
@@ -445,5 +446,39 @@ def plot_committor_check(chk, ax=None):
     ax.set_ylabel("MSM committor of the bin")
     ax.set_xlim(0, 1)
     ax.set_ylim(0, 1)
+    ax.legend(frameon=False, fontsize=8)
+    return _style(ax)
+
+
+def plot_steered_work(result, ax=None):
+    """Work accounting of a steered pull
+    (:class:`~colvarsfinder_tpu.utils.enhanced.SteeredResult`):
+    per-realization cumulative work traces (thin), their mean, and the
+    Jarzynski + second-order-cumulant free-energy profiles along the
+    pulling schedule. A widening gap between the mean work and the
+    Jarzynski curve is the dissipation; Jarzynski/cumulant disagreement
+    flags non-Gaussian work (pull slower or add realizations).
+
+    For multi-dimensional schedules the x axis is the schedule's first
+    CV component.
+    """
+    ax = _new_ax(ax)
+    c = np.asarray(result.schedule)[:, 0]
+    for w in result.works:
+        ax.plot(c, w, color="0.75", linewidth=0.5, zorder=1)
+    ax.plot(
+        c, result.works.mean(axis=0), color=_color(3), linewidth=1.8,
+        label=r"$\langle W \rangle$",
+    )
+    ax.plot(
+        c, result.jarzynski(), color=_color(0), linewidth=1.8,
+        label=r"$\Delta F$ (Jarzynski)",
+    )
+    ax.plot(
+        c, result.cumulant(), color=_color(2), linewidth=1.4,
+        linestyle="--", label=r"$\Delta F$ (cumulant)",
+    )
+    ax.set_xlabel("restraint center (CV)")
+    ax.set_ylabel("work / free energy")
     ax.legend(frameon=False, fontsize=8)
     return _style(ax)

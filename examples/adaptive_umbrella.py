@@ -9,13 +9,17 @@ end to end:
      one well of a 2D double-well), then rounds of well-tempered
      metadynamics ALONG the current CV + Tiwary reweighting + retraining
      on the pooled data;
-  2. ``utils.integrate_sde_umbrella`` — umbrella windows along the FINAL
-     learned CV, all windows as one vmapped compiled scan;
-  3. MBAR recombination -> unbiased weights -> reweighted free-energy
+  2. ``utils.integrate_sde_steered`` — a steered pull along the FINAL
+     learned CV: Jarzynski free-energy first estimate + per-window
+     equilibrium seeds;
+  3. ``utils.integrate_sde_umbrella`` — umbrella windows along the CV,
+     all windows as one vmapped compiled scan, seeded by the pull;
+  4. MBAR recombination -> unbiased weights -> reweighted free-energy
      profile along the CV, with moving-block bootstrap error bars,
-     validated against the analytic double-well;
-  4. ``plotting`` — the standard figures (CV contour over the domain,
-     FES with error band) written as PNGs.
+     validated against the analytic double-well (plus the
+     statistical-inefficiency subsample count);
+  5. ``plotting`` — the standard figures (CV contour, FES with error
+     band, steered work accounting) written as PNGs.
 
 Run: python examples/adaptive_umbrella.py [--outdir /tmp/cvf_adaptive]
 """
@@ -34,7 +38,7 @@ import jax.numpy as jnp
 from colvarsfinder_tpu import analysis, plotting
 from colvarsfinder_tpu.core import EigenFunctionTask
 from colvarsfinder_tpu.models import EigenFunctions
-from colvarsfinder_tpu.utils import integrate_sde_umbrella
+from colvarsfinder_tpu.utils import integrate_sde_steered, integrate_sde_umbrella
 from colvarsfinder_tpu.workflow import adaptive_cv_discovery
 
 
@@ -101,8 +105,11 @@ def main():
     assert abs(r_x1) > 0.9
 
     # ------------------------------------------------------------------
-    # 2. umbrella windows along the learned CV (one vmapped scan)
+    # 2. steered pull along the learned CV: a first nonequilibrium
+    #    free-energy estimate (Jarzynski) + equilibrium-path seeds for
+    #    the umbrella windows
     # ------------------------------------------------------------------
+    cv1 = lambda x: cv_model(x).reshape(-1)[:1]  # noqa: E731
     lo, hi = np.quantile(cv_pooled, [0.02, 0.98])
     centers = np.linspace(lo, hi, 16)
     # restraint fluctuation width sqrt(1/(beta*kappa)) = spacing / 2,
@@ -110,20 +117,40 @@ def main():
     spacing = centers[1] - centers[0]
     kappa = 4.0 / (pot.beta * spacing**2)
     t0 = time.time()
+    pull = integrate_sde_steered(
+        pot, cv1, cv_start=lo, cv_end=hi, kappa=float(10 * kappa),
+        n_steps=args.umbrella_steps, n_realizations=16,
+        X0=np.array([1.0, 0.0]), pre_steps=3_000, step_size=0.003,
+        report_interval=50, seed=7, verbose=False,
+    )
+    dF_pull = pot.beta * pull.jarzynski()
+    print(f"steered pull ({time.time() - t0:.1f}s): Jarzynski barrier "
+          f"~{(dF_pull.max() - dF_pull.min()):.2f} kT along the CV; "
+          f"dissipation {pot.beta * pull.dissipated_work[-1]:.2f} kT")
+
+    # ------------------------------------------------------------------
+    # 3. umbrella windows along the learned CV (one vmapped scan),
+    #    each window seeded inside its own basin by the steered path
+    # ------------------------------------------------------------------
+    t0 = time.time()
     umb = integrate_sde_umbrella(
-        pot, lambda x: cv_model(x).reshape(-1)[:1], centers=centers,
+        pot, cv1, centers=centers,
         kappa=float(kappa), n_steps=args.umbrella_steps,
         sampling_output_path=os.path.join(args.outdir, "umbrella"),
-        X0=np.array([1.0, 0.0]), pre_steps=3_000, step_size=0.003,
+        X0=pull.window_starts(centers), pre_steps=3_000, step_size=0.003,
         report_interval=20, seed=11, verbose=False,
     )
     means = umb.cv_values.mean(axis=1)[:, 0]
     print(f"umbrella: {umb.n_windows} windows in one dispatch "
           f"({time.time() - t0:.1f}s); mean |CV - center| = "
           f"{np.abs(means - centers).mean():.3f}")
+    sub = umb.subsample()
+    print(f"statistical inefficiency: keeping every "
+          f"{int(round(sub.dt / umb.dt))}th frame leaves "
+          f"{sub.frames.shape[1]} independent frames/window")
 
     # ------------------------------------------------------------------
-    # 3. MBAR -> reweighted FES along the CV, vs the analytic profile
+    # 4. MBAR -> reweighted FES along the CV, vs the analytic profile
     # ------------------------------------------------------------------
     mb = umb.mbar()
     print(f"MBAR: converged={mb.converged} in {mb.n_iter} iterations")
@@ -142,7 +169,7 @@ def main():
           f"(analytic x1 barrier: {pot.beta * 1.0:.1f} kT)")
 
     # ------------------------------------------------------------------
-    # 4. figures
+    # 5. figures
     # ------------------------------------------------------------------
     try:
         import matplotlib
@@ -160,7 +187,9 @@ def main():
     ax.figure.savefig(os.path.join(args.outdir, "fes.png"), dpi=110)
     ax = plotting.plot_loss_curves(res.task)
     ax.figure.savefig(os.path.join(args.outdir, "loss.png"), dpi=110)
-    print(f"figures -> {args.outdir}/{{cv_contour,fes,loss}}.png")
+    ax = plotting.plot_steered_work(pull)
+    ax.figure.savefig(os.path.join(args.outdir, "steered_work.png"), dpi=110)
+    print(f"figures -> {args.outdir}/{{cv_contour,fes,loss,steered_work}}.png")
     print("OK")
 
 

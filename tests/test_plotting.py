@@ -189,3 +189,26 @@ def test_committor_check_plot():
     ax = plotting.plot_committor_check(chk)
     assert len(ax.lines) == 2
     assert "max dev" in ax.get_legend().get_texts()[1].get_text()
+
+
+def test_steered_work_plot():
+    from colvarsfinder_tpu.utils.enhanced import SteeredResult
+
+    M, T = 6, 20
+    rng = np.random.default_rng(8)
+    sched = np.linspace(0.0, 1.0, T)[:, None]
+    works = np.cumsum(np.abs(rng.standard_normal((M, T))) * 0.05, axis=1)
+    res = SteeredResult(
+        frames=rng.standard_normal((M, T, 2)),
+        cv_values=sched[None].repeat(M, axis=0),
+        works=works,
+        schedule=sched,
+        kappa=50.0,
+        beta=1.0,
+        dt=0.1,
+    )
+    ax = plotting.plot_steered_work(res)
+    # M grey traces + mean + jarzynski + cumulant
+    assert len(ax.lines) == M + 3
+    labels = [t.get_text() for t in ax.get_legend().get_texts()]
+    assert any("Jarzynski" in t for t in labels)
