@@ -180,7 +180,12 @@ def free_energy_profile(
         block_frames: bootstrap block length in frames. MD frames are
             time-correlated, so frames are resampled in contiguous
             blocks; choose at least the CV's correlation time
-            (:func:`autocorrelation`). Default ``max(n // 50, 1)``.
+            (:func:`autocorrelation`). Default ``max(n // 50, 1)``;
+            pass ``"auto"`` to use twice the measured statistical
+            inefficiency of the CV series
+            (:func:`statistical_inefficiency` — meaningful when
+            ``cv_values`` is one contiguous time series, not pooled
+            windows).
         seed: bootstrap RNG seed.
 
     Returns:
@@ -242,7 +247,18 @@ def free_energy_profile(
     # resample contiguous blocks, each anchored at the full profile's
     # minimum bin so the spread measures the SHAPE uncertainty
     n = s.shape[0]
-    block = int(block_frames) if block_frames else max(n // 50, 1)
+    if isinstance(block_frames, str):
+        if block_frames != "auto":
+            raise ValueError(
+                f"block_frames must be an int or 'auto'; got {block_frames!r}"
+            )
+        try:
+            g = float(np.max(statistical_inefficiency(s)))
+        except ValueError:  # constant series: no correlation time
+            g = 1.0
+        block = 2 * int(np.ceil(g))
+    else:
+        block = int(block_frames) if block_frames else max(n // 50, 1)
     block = min(max(block, 1), n)
     anchor = np.unravel_index(np.argmin(F), F.shape)
     rng = np.random.default_rng(seed)

@@ -1252,3 +1252,20 @@ def test_remd_result_subsample_folds_swaps():
                          [False, True],    # j in 1..3 -> swap[2,1]
                          [False, False]])  # j in 4..6 -> none
     np.testing.assert_array_equal(sub.swap_history, expected)
+
+
+def test_free_energy_auto_block():
+    # strongly correlated AR(1): the auto block (2*g) yields honest
+    # (larger) bootstrap bands than naive per-frame resampling
+    y = _ar1(0.95, 20_000, seed=9)[:, 0]
+    kw = dict(beta=1.0, bins=20, n_bootstrap=24, seed=0)
+    cen, F, err_auto = analysis.free_energy_profile(
+        y, block_frames="auto", **kw
+    )
+    _, _, err_naive = analysis.free_energy_profile(y, block_frames=1, **kw)
+    m = np.isfinite(err_auto) & np.isfinite(err_naive)
+    assert m.sum() > 5
+    assert err_auto[m].mean() > 1.5 * err_naive[m].mean(), (
+        err_auto[m].mean(), err_naive[m].mean())
+    with pytest.raises(ValueError, match="auto"):
+        analysis.free_energy_profile(y, block_frames="bogus", **kw)
