@@ -158,6 +158,7 @@ def free_energy_profile(
     n_bootstrap: int = 0,
     block_frames: Optional[int] = None,
     seed: int = 0,
+    segment_starts=None,
 ):
     """Free-energy surface along one or two learned CVs.
 
@@ -183,10 +184,14 @@ def free_energy_profile(
             (:func:`autocorrelation`). Default ``max(n // 50, 1)``;
             pass ``"auto"`` to use twice the measured statistical
             inefficiency of the CV series
-            (:func:`statistical_inefficiency` — meaningful when
-            ``cv_values`` is one contiguous time series, not pooled
-            windows).
+            (:func:`statistical_inefficiency`).
         seed: bootstrap RNG seed.
+        segment_starts: source offsets of concatenated/pooled inputs
+            (``WeightedTrajectory.segment_starts`` — umbrella windows,
+            REMD slots, pooled runs). With it, ``block_frames='auto'``
+            measures the statistical inefficiency within segments only
+            (no spurious cross-window correlation), and bootstrap
+            blocks never straddle a segment boundary.
 
     Returns:
         ``(centers, F)``: for 1-D, ``centers`` is ``[bins]`` and ``F``
@@ -253,7 +258,7 @@ def free_energy_profile(
                 f"block_frames must be an int or 'auto'; got {block_frames!r}"
             )
         try:
-            g = float(np.max(statistical_inefficiency(s)))
+            g = float(np.max(statistical_inefficiency(s, segment_starts)))
         except ValueError:  # constant series: no correlation time
             g = 1.0
         block = 2 * int(np.ceil(g))
@@ -264,6 +269,19 @@ def free_energy_profile(
     rng = np.random.default_rng(seed)
     n_blocks = int(np.ceil(n / block))
     starts_pool = np.arange(n - block + 1)
+    if segment_starts is not None:
+        # blocks must not straddle pooled-segment boundaries
+        bounds = np.asarray(segment_starts, dtype=np.int64)
+        bounds = bounds[(bounds > 0) & (bounds < n)]
+        if bounds.size:
+            seg_of = np.searchsorted(bounds, np.arange(n), side="right")
+            ok = seg_of[starts_pool] == seg_of[starts_pool + block - 1]
+            if not np.any(ok):
+                raise ValueError(
+                    f"bootstrap block length {block} exceeds every "
+                    "segment; pass a smaller block_frames"
+                )
+            starts_pool = starts_pool[ok]
     reps = []
     for _ in range(int(n_bootstrap)):
         idx = _block_bootstrap_indices(rng, starts_pool, block, n_blocks, n)
@@ -1872,6 +1890,7 @@ def statistical_inefficiency(
     segment_starts=None,
     *,
     mintime: int = 3,
+    max_lag: Optional[int] = None,
 ) -> np.ndarray:
     """Statistical inefficiency ``g = 1 + 2*tau_int`` of each CV head.
 
@@ -1901,6 +1920,14 @@ def statistical_inefficiency(
             then uses within-segment pairs only.
         mintime: minimum lag to include before the negative-``C`` stop
             rule may trigger (guards against noise at tiny lags).
+        max_lag: hard cap on the largest lag summed (default ``n // 2``
+            — past half the series length the estimator is pure noise
+            anyway). Keeps trended / non-stationary series, whose
+            autocorrelation may never cross zero, from degrading to an
+            O(n^2) scan (pymbar guards the same way with adaptive lag
+            stepping; past lag 256 this implementation also switches to
+            geometric lag stepping, each sampled ``C(t)`` standing in
+            for the skipped lags).
 
     Returns:
         ``[k]`` array of ``g >= 1`` (scalar semantics: index ``[0]``
@@ -1913,17 +1940,25 @@ def statistical_inefficiency(
     if np.any(var <= 0):
         raise ValueError("constant CV series has no correlation time")
     d = y - mu
+    t_max = n if max_lag is None else min(n, int(max_lag) + 1)
+    if max_lag is None:
+        t_max = max(2, n // 2)
+    dense_lags = 256  # dense sum below, geometric stepping above
     g = np.ones(k, dtype=np.float64)
     for h in range(k):
         acc = 0.0
-        for t in range(1, n):
+        t, prev_t = 1, 0
+        while t < t_max:
             starts = _pair_starts_or_none(n, t, segment_starts)
             if starts is None or starts.size == 0:
                 break
             c = float(np.mean(d[starts, h] * d[starts + t, h])) / var[h]
             if c <= 0.0 and t > mintime:
                 break
-            acc += (starts.size / n) * c
+            # each sampled C(t) represents the (prev_t, t] lag gap
+            acc += (t - prev_t) * (starts.size / n) * c
+            prev_t = t
+            t = t + 1 if t < dense_lags else int(np.ceil(t * 1.05))
         g[h] = max(1.0, 1.0 + 2.0 * acc)
     return g
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import warnings
 from functools import partial
 from typing import Callable, Optional
 
@@ -976,8 +977,11 @@ class SteeredResult:
         lower variance than :meth:`jarzynski` at small M; large
         disagreement between the two flags non-Gaussian dissipation
         (pull slower or add realizations)."""
+        # unbiased (ddof=1) work variance: at the default M=16 the
+        # ddof=0 estimate under-reads the dissipation correction ~6%
+        ddof = 1 if self.works.shape[0] > 1 else 0
         return self.works.mean(axis=0) - (
-            self.beta * self.works.var(axis=0) / 2.0
+            self.beta * self.works.var(axis=0, ddof=ddof) / 2.0
         )
 
     @property
@@ -1138,7 +1142,9 @@ def integrate_sde_steered(
         pre_steps: equilibration steps under the restraint FIXED at
             ``cv_start`` (discarded; gives each realization an
             independent equilibrium start — required for the Jarzynski
-            identity).
+            identity). With ``pre_steps=0`` a warning is emitted unless
+            ``X0`` provides per-realization starts (which the caller
+            then asserts are already restrained-equilibrium samples).
         step_size / report_interval / seed / verbose: as in
             :func:`~colvarsfinder_tpu.utils.sampling.integrate_sde_overdamped`.
         mesh: optional :class:`jax.sharding.Mesh` — realizations are
@@ -1164,6 +1170,18 @@ def integrate_sde_steered(
             "carries an exact work tally"
         )
     M = int(n_realizations)
+    if pre_steps == 0 and (X0 is None or np.ndim(X0) == 1):
+        # shared (often random) starts with no burn-in: the pulls do
+        # not begin in the restrained equilibrium ensemble, so the
+        # Jarzynski/cumulant free energies are silently biased
+        warnings.warn(
+            "integrate_sde_steered: pre_steps=0 with a shared X0 start "
+            "— realizations are not equilibrated under the fixed "
+            "cv_start restraint, biasing jarzynski()/cumulant(). Pass "
+            "pre_steps>0 (the umbrella example uses 3000) or "
+            "per-realization equilibrium X0 [M, dim].",
+            stacklevel=2,
+        )
 
     if seed is None:
         seed = np.random.randint(0, 2**31 - 1)

@@ -42,3 +42,28 @@ def _bounded_compiler_state():
     """
     jax.clear_caches()
     yield
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--full",
+        action="store_true",
+        default=False,
+        help="run the full suite including slow-tier tests "
+        "(golden co-training, subprocess parity, workflow drivers)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: the default run skips ``slow``-marked tests so an
+    iteration loop pays minutes, not the full golden/workflow cost. Run
+    everything with ``--full`` (or select the slow tier alone with
+    ``-m slow``). No test is ever deleted — only deferred."""
+    if config.getoption("--full") or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier: run with --full (or -m slow)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -1269,3 +1269,49 @@ def test_free_energy_auto_block():
         err_auto[m].mean(), err_naive[m].mean())
     with pytest.raises(ValueError, match="auto"):
         analysis.free_energy_profile(y, block_frames="bogus", **kw)
+
+
+def test_statistical_inefficiency_trended_series_terminates_fast():
+    # a trended (non-stationary) series never crosses C(t)=0; the
+    # default n//2 cap + geometric lag stepping keep it from the old
+    # O(n^2) scan (advisor round-3 finding)
+    import time
+
+    y = np.linspace(0.0, 1.0, 200_000)
+    y = y + 1e-3 * np.random.default_rng(0).standard_normal(y.size)
+    t0 = time.perf_counter()
+    g = analysis.statistical_inefficiency(y)
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 20.0, elapsed
+    assert g[0] > 1_000  # trend => huge apparent correlation time
+
+
+def test_statistical_inefficiency_max_lag_cap():
+    a = 0.9
+    y = _ar1(a, 60_000, seed=7)
+    g_full = analysis.statistical_inefficiency(y)
+    g_capped = analysis.statistical_inefficiency(y, max_lag=500)
+    # AR(1) with g=19 decorrelates well before lag 500: same answer
+    np.testing.assert_allclose(g_capped, g_full, rtol=0.05)
+    g_tight = analysis.statistical_inefficiency(y, max_lag=2)
+    assert g_tight[0] < g_full[0]  # truncated sum under-reads
+
+
+def test_free_energy_auto_block_segment_aware():
+    # pooled = two independent copies of the same AR(1) window; the
+    # segment-aware auto block must not differ wildly from the
+    # single-window one (cross-window correlation excluded), and
+    # bootstrap blocks must respect boundaries (no crash, finite bands)
+    y1 = _ar1(0.9, 10_000, seed=1)[:, 0]
+    y2 = _ar1(0.9, 10_000, seed=2)[:, 0]
+    pooled = np.concatenate([y1, y2])
+    cen, F, err = analysis.free_energy_profile(
+        pooled, beta=1.0, bins=15, n_bootstrap=16, seed=0,
+        block_frames="auto", segment_starts=[0, 10_000],
+    )
+    assert np.isfinite(err[np.isfinite(F)]).sum() > 5
+    with pytest.raises(ValueError, match="segment"):
+        analysis.free_energy_profile(
+            pooled, beta=1.0, bins=15, n_bootstrap=4,
+            block_frames=15_000, segment_starts=[0, 10_000],
+        )

@@ -1,0 +1,273 @@
+"""Whole-run CV-FIELD parity against the ACTUAL reference package.
+
+The per-step harnesses (tests/test_eigen_parity.py, benchmarks/parity_step.py)
+prove losses and gradients match to <=2.4e-9 in f64; this module closes the
+remaining inferential gap: after training BOTH frameworks for the notebooks'
+full epoch counts from identical initial parameters, identical data, and
+identical injected splits, the *learned CV itself* — the reference's own
+correctness criterion (reference core.py:372-382 colvar_model; the
+examples/2d/2d.ipynb cell-14 contour is judged on this field) — must agree
+pointwise on held-out states: per-head |Pearson correlation| > 0.99 after
+sign/order alignment, and the trained eigenvalues must match.
+
+Two configurations mirror the BASELINE.md shapes:
+
+* 2D generator config (BASELINE config 2 shape): k=1 eigenfunction of the
+  infinitesimal generator on equilibrium samples of a 2D double-well,
+  notebook-scale 200 epochs (2d.ipynb cell 16).
+* transfer-operator config (BASELINE config 4 SHAPE: d=30, k=2,
+  [30,20,20,20,1]-per-head): the reference's dipeptide run needs molann's
+  PreprocessingANN (unavailable here), so the same tensor shapes are driven
+  with pp_layer = Identity on planted AR(1) slow modes whose transfer-op
+  eigenfunctions are known to be the two slow channel coordinates — the
+  head-matching is therefore well-separated, not near-degenerate.
+
+Marked ``slow``: several hundred epochs in both frameworks (~2-4 min total).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+from colvarsfinder_tpu.core import EigenFunctionTask
+from colvarsfinder_tpu.models import EigenFunctions
+from colvarsfinder_tpu.utils import WeightedTrajectory
+
+pytestmark = pytest.mark.slow
+
+REFERENCE_PATH = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def reference(tmp_path_factory):
+    if not os.path.isdir(REFERENCE_PATH):
+        pytest.skip("reference package not mounted")
+    stub = tmp_path_factory.mktemp("openmm_stub")
+    pkg = stub / "openmm"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("class unit:\n    pass\n")
+    (pkg / "app.py").write_text("")
+    sys.path.insert(0, str(stub))
+    sys.path.insert(0, REFERENCE_PATH)
+    try:
+        import colvarsfinder.core as ref_core
+        import colvarsfinder.nn as ref_nn
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference not importable: {e}")
+    yield ref_core, ref_nn
+    sys.path.remove(str(stub))
+    sys.path.remove(REFERENCE_PATH)
+
+
+class _RefTraj:
+    """Duck-typed WeightedTrajectory for the reference tasks."""
+
+    def __init__(self, x, w, dt):
+        self.trajectory = x
+        self.weights = w
+        self.dt = dt
+        self.n_frames = x.shape[0]
+
+
+def _transplant_eigenfunctions(jax_model, torch_model):
+    for i in range(jax_model.k):
+        sd = {}
+        for li, layer in enumerate(jax_model.params):
+            sd[f"{li + 1}.weight"] = torch.from_numpy(
+                np.asarray(layer["weight"][i]).copy()
+            )
+            sd[f"{li + 1}.bias"] = torch.from_numpy(
+                np.asarray(layer["bias"][i]).copy()
+            )
+        torch_model.eigen_funcs[i].load_state_dict(sd)
+
+
+def _replay_split(n, seed, times):
+    from sklearn.model_selection import train_test_split
+
+    np.random.seed(seed)
+    for _ in range(times):
+        tr, te = train_test_split(np.arange(n), test_size=0.2)
+    return tr, te
+
+
+def _aligned_correlations(cv_a, cv_b):
+    """Best per-head |Pearson r| matching between two CV fields
+    [G, k]: greedy assignment on the |corr| matrix (k is tiny). Returns
+    the [k] matched |r| values and the permutation b_head[a_head]."""
+    k = cv_a.shape[1]
+    c = np.empty((k, k))
+    for i in range(k):
+        for j in range(k):
+            c[i, j] = abs(np.corrcoef(cv_a[:, i], cv_b[:, j])[0, 1])
+    # greedy max assignment — exact for the well-separated spectra here
+    perm = np.full(k, -1)
+    out = np.zeros(k)
+    cwork = c.copy()
+    for _ in range(k):
+        i, j = np.unravel_index(np.argmax(cwork), (k, k))
+        perm[i] = j
+        out[i] = c[i, j]
+        cwork[i, :] = -1.0
+        cwork[:, j] = -1.0
+    return out, perm
+
+
+def _train_pair(
+    reference, tmp_path, x, w, dt, dims, k, lag_tau, num_epochs,
+    batch_size, alpha, eig_weights, beta, split_seed, model_seed, tag,
+):
+    """Co-train our task and the reference task from identical initial
+    parameters / data / splits; returns (jax_task, ref_task)."""
+    ref_core, ref_nn = reference
+    lag_idx = int(round(lag_tau / dt))
+    ll = len(x) - lag_idx
+    # reference's eigen task draws the split twice (core.py:465-468)
+    train_idx, test_idx = _replay_split(ll, seed=split_seed, times=2)
+
+    model_j = EigenFunctions(dims, k, seed=model_seed)
+    traj_j = WeightedTrajectory(
+        trajectory=x, weights=w, dt=dt, verbose=False
+    )
+    diag = np.ones(x.shape[1], dtype=np.float64)
+    task_j = EigenFunctionTask(
+        traj_j, None, model_j, str(tmp_path / f"jax_{tag}"),
+        alpha=alpha, eig_weights=eig_weights, diag_coeff=diag,
+        beta=beta, lag_tau=lag_tau, k=k, learning_rate=0.005,
+        batch_size=batch_size, num_epochs=num_epochs, test_ratio=0.2,
+        save_model_every_step=0, verbose=False, tensorboard=False,
+        split_indices=(train_idx, test_idx),
+    )
+    task_j.train()
+
+    model_t = ref_nn.EigenFunctions(dims, k)
+    _transplant_eigenfunctions(model_j, model_t)
+    traj_t = _RefTraj(x.astype(np.float64), w.astype(np.float64), dt)
+    task_t = ref_core.EigenFunctionTask(
+        traj_t, torch.nn.Identity(), model_t,
+        str(tmp_path / f"ref_{tag}"),
+        alpha=alpha, eig_weights=eig_weights,
+        diag_coeff=torch.ones(x.shape[1]),
+        beta=beta, lag_tau=lag_tau, k=k, learning_rate=0.005,
+        batch_size=batch_size, num_epochs=num_epochs, test_ratio=0.2,
+        save_model_every_step=0, verbose=False, debug_mode=False,
+    )
+    np.random.seed(split_seed)
+    task_t.train()
+    return task_j, task_t
+
+
+def _cv_fields(task_j, task_t, grid):
+    """Evaluate both learned CV models on held-out states [G, d]."""
+    cv_j = np.asarray(task_j.colvar_model()(grid.astype(np.float32)))
+    with torch.no_grad():
+        cv_t = (
+            task_t.colvar_model()(torch.from_numpy(grid).to(torch.float32))
+            .numpy()
+        )
+    return cv_j.reshape(len(grid), -1), cv_t.reshape(len(grid), -1)
+
+
+def test_cv_field_parity_2d_generator(reference, tmp_path):
+    """BASELINE config-2 shape: 2D generator eigenfunction, k=1,
+    notebook-scale 200 epochs (2d.ipynb cell 16). The learned CV must be
+    the same FIELD in both frameworks, not just the same loss curve."""
+    # equilibrium samples of V(x, y) = (x^2-1)^2 + 2 y^2 at beta=2.5:
+    # double-well x via rejection sampling, Gaussian y — the slowest
+    # generator mode is the well-hopping coordinate (a tanh-like
+    # function of x), cleanly separated from the y relaxation
+    rng = np.random.default_rng(42)
+    beta = 2.5
+    n = 5000
+    xs = []
+    while sum(len(a) for a in xs) < n:
+        cand = rng.uniform(-2.2, 2.2, 4 * n)
+        acc = rng.uniform(0, 1, 4 * n) < np.exp(
+            -beta * (cand**2 - 1.0) ** 2
+        )
+        xs.append(cand[acc])
+    xcoord = np.concatenate(xs)[:n]
+    ycoord = rng.normal(0.0, 1.0 / np.sqrt(2 * 2.0 * beta), n)
+    data = np.stack([xcoord, ycoord], axis=1).astype(np.float32)
+    w = np.ones(n, dtype=np.float32)
+
+    task_j, task_t = _train_pair(
+        reference, tmp_path, data, w, dt=0.1, dims=[2, 20, 20, 1], k=1,
+        lag_tau=0.0, num_epochs=200, batch_size=1000, alpha=10.0,
+        eig_weights=[1.0], beta=beta, split_seed=123, model_seed=7,
+        tag="gen2d",
+    )
+
+    # held-out evaluation grid over the sampled region (the notebook's
+    # contour field, 2d.ipynb cell 14)
+    gx, gy = np.meshgrid(
+        np.linspace(-1.8, 1.8, 61), np.linspace(-0.9, 0.9, 31)
+    )
+    grid = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    cv_j, cv_t = _cv_fields(task_j, task_t, grid)
+
+    corrs, _ = _aligned_correlations(cv_j, cv_t)
+    assert np.all(corrs > 0.99), corrs
+
+    # trained eigenvalues agree (final-epoch estimates)
+    ev_j = task_j.train_loss_df["eig_1"].to_numpy()[-1]
+    ev_t = task_t.train_loss_df["eig_1"].to_numpy()[-1]
+    np.testing.assert_allclose(ev_j, ev_t, rtol=0.05)
+
+
+def test_cv_field_parity_transfer_op(reference, tmp_path):
+    """BASELINE config-4 SHAPE: d=30, k=2, [30,20,20,20,1]-per-head
+    transfer-operator run (dipeptide notebook scale: 100 epochs,
+    main.ipynb cell 18) on planted AR(1) slow modes; both frameworks
+    must learn the same two slow coordinates."""
+    rng = np.random.default_rng(3)
+    n, d = 20_000, 30
+    a = np.zeros(d)
+    a[0], a[1] = 0.995, 0.96  # two well-separated slow channels
+    x = np.empty((n, d), dtype=np.float64)
+    x[0] = rng.standard_normal(d)
+    noise = rng.standard_normal((n - 1, d))
+    for t in range(1, n):
+        x[t] = a * x[t - 1] + np.sqrt(1 - a**2) * noise[t - 1]
+    data = x.astype(np.float32)
+    w = np.ones(n, dtype=np.float32)
+
+    dims = [30, 20, 20, 20, 1]
+    task_j, task_t = _train_pair(
+        reference, tmp_path, data, w, dt=0.1, dims=dims, k=2,
+        lag_tau=0.5, num_epochs=100, batch_size=4000, alpha=20.0,
+        eig_weights=[1.0, 1.0], beta=1.0, split_seed=88, model_seed=11,
+        tag="top30",
+    )
+
+    # held-out states: a fresh stationary draw from the same process
+    m = 4000
+    y = np.empty((m, d))
+    y[0] = rng.standard_normal(d)
+    for t in range(1, m):
+        y[t] = a * y[t - 1] + np.sqrt(1 - a**2) * rng.standard_normal(d)
+    grid = y.astype(np.float64)
+    cv_j, cv_t = _cv_fields(task_j, task_t, grid)
+
+    corrs, perm = _aligned_correlations(cv_j, cv_t)
+    assert np.all(corrs > 0.99), (corrs, perm)
+
+    # both found the PLANTED modes: each head correlates with one of
+    # the two slow channels
+    planted = grid[:, :2]
+    pc_j, _ = _aligned_correlations(cv_j, planted)
+    assert np.all(pc_j > 0.8), pc_j
+
+    # eigenvalues agree head-by-head after the same alignment
+    ev_j = np.array(
+        [task_j.train_loss_df[f"eig_{i + 1}"].to_numpy()[-1]
+         for i in range(2)]
+    )
+    ev_t = np.array(
+        [task_t.train_loss_df[f"eig_{i + 1}"].to_numpy()[-1]
+         for i in range(2)]
+    )
+    np.testing.assert_allclose(np.sort(ev_j), np.sort(ev_t), rtol=0.1)

@@ -151,3 +151,28 @@ def test_mesh_sharded_realizations():
             cv_start=0.0, cv_end=1.0, kappa=30.0, n_steps=200,
             report_interval=100, verbose=False,
         )
+
+
+def test_pre_steps_zero_warns_and_ddof():
+    # advisor round-3: pre_steps=0 with a shared start biases Jarzynski
+    with pytest.warns(UserWarning, match="pre_steps=0"):
+        res = integrate_sde_steered(
+            Harmonic2D(), _cv, cv_start=0.0, cv_end=0.5, kappa=20.0,
+            n_steps=400, n_realizations=4, pre_steps=0,
+            step_size=1e-3, report_interval=100, seed=0, verbose=False,
+        )
+    # cumulant uses the unbiased (ddof=1) work variance
+    expect = res.works.mean(axis=0) - (
+        res.beta * res.works.var(axis=0, ddof=1) / 2.0
+    )
+    np.testing.assert_allclose(res.cumulant(), expect, rtol=1e-12)
+    # per-realization X0 suppresses the warning (caller asserts equilibrium)
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        integrate_sde_steered(
+            Harmonic2D(), _cv, cv_start=0.0, cv_end=0.5, kappa=20.0,
+            n_steps=200, n_realizations=4, pre_steps=0,
+            X0=np.zeros((4, 2)), step_size=1e-3, report_interval=100,
+            seed=0, verbose=False,
+        )
