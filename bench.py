@@ -160,6 +160,127 @@ def bench_jax(ref, traj_np, weights_np):
     return sps
 
 
+def _dipeptide_pp():
+    from colvarsfinder_tpu.ops import (
+        AlignmentLayer, Feature, FeatureLayer, PreprocessingANN,
+    )
+
+    ref, _, _ = make_data()
+    align = AlignmentLayer(ref, align_indices=list(range(N_ATOMS)))
+    feat = FeatureLayer([Feature("p", "position", list(range(N_ATOMS)))])
+    return PreprocessingANN(align, feat)
+
+
+def _task(traj_obj, pp, model, *, lag_tau, num_epochs, lr=LR, alpha=ALPHA):
+    import tempfile
+
+    from colvarsfinder_tpu.core import EigenFunctionTask
+
+    return EigenFunctionTask(
+        traj_obj, pp, model, tempfile.mkdtemp(prefix="cvf_bench_"),
+        alpha=alpha, eig_weights=EIG_W, lag_tau=lag_tau, k=K,
+        learning_rate=lr, batch_size=BATCH, num_epochs=num_epochs,
+        test_ratio=0.001, save_model_every_step=0, verbose=False,
+        tensorboard=False, debug_mode=False, seed=0,
+    )
+
+
+class _Traj:
+    def __init__(self, traj_np, weights_np):
+        self.trajectory = traj_np
+        self.weights = weights_np
+        self.dt = TRAJ_DT
+        self.n_frames = traj_np.shape[0]
+
+
+def bench_generator(traj_np, weights_np):
+    """GENERATOR-loss headline at the same dipeptide scale: per-sample
+    input jacobians through the frozen preprocessing via the Gram path
+    (losses pp_gram; benchmarks/gram_ab.py measured 1.61x over the vjp
+    formulation). Reported per the round-3 verdict so the sweep/ensemble
+    perf story is driver-verifiable, not RESULTS.md prose."""
+    from colvarsfinder_tpu.models import EigenFunctions
+
+    pp = _dipeptide_pp()
+    n_epochs = 200  # 1000 steps: ~2 s on the chip at ~10M samples/s
+    n_epochs = int(os.environ.get("BENCH_GEN_EPOCHS", n_epochs))
+    task = _task(
+        _Traj(traj_np, weights_np), pp,
+        EigenFunctions([D_R, 20, 20, 20, 1], k=K, seed=0),
+        lag_tau=0.0, num_epochs=n_epochs,
+    )
+    task.train()  # compile + data prep (cached across train() calls)
+    nb = int((N_FRAMES) * 0.999) // BATCH
+    dt = float("inf")
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        task.train()
+        dt = min(dt, time.perf_counter() - t0)
+    sps = n_epochs * nb * BATCH / dt
+    log(f"generator (gram path): {n_epochs * nb} steps in {dt:.3f}s -> "
+        f"{sps:,.0f} samples/s (gram={task._gram})")
+    print(json.dumps({
+        "metric": "dipeptide eigenfunction (generator, gram path) "
+                  "training throughput",
+        "value": round(sps, 1),
+        "unit": "samples/sec",
+    }))
+    return sps
+
+
+def bench_sweep(traj_np, weights_np, compute_dtype=None, R=64):
+    """R-replica lr x alpha hyperparameter sweep as ONE vmapped program
+    with shared device data (parallel.train_hyperparameter_sweep) — the
+    aggregate-throughput numbers the round-3 verdict asked to surface in
+    BENCH_r*.json (full protocol incl. sequential baseline + parity:
+    benchmarks/sweep_bench.py; envelopes in benchmarks/RESULTS.md)."""
+    from colvarsfinder_tpu.models import EigenFunctions
+    from colvarsfinder_tpu.parallel import train_hyperparameter_sweep
+    from colvarsfinder_tpu.parallel import ensemble as _ens
+
+    pp = _dipeptide_pp()
+    n_epochs = 12  # matches benchmarks/sweep_bench.py's window
+    task = _task(
+        _Traj(traj_np, weights_np), pp,
+        EigenFunctions([D_R, 20, 20, 20, 1], k=K, seed=0),
+        lag_tau=LAG * TRAJ_DT, num_epochs=n_epochs,
+    )
+    dims = [D_R, 20, 20, 20, 1]
+    models = [EigenFunctions(dims, k=K, seed=r) for r in range(R)]
+    side = int(round(np.sqrt(R)))
+    lrs = list(np.geomspace(5e-4, 2e-2, side))
+    alphas = list(np.geomspace(5.0, 80.0, (R + side - 1) // side))
+    grid = {
+        "learning_rate": [lrs[r % side] for r in range(R)],
+        "alpha": [float(alphas[r // side]) for r in range(R)],
+    }
+    kw = dict(models=models, compute_dtype=compute_dtype)
+    t0 = time.perf_counter()
+    results = train_hyperparameter_sweep(task, grid, **kw)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    results = train_hyperparameter_sweep(task, grid, **kw)
+    sweep_s = time.perf_counter() - t0
+    nb = int((N_FRAMES - LAG) * 0.999) // BATCH
+    agg = R * n_epochs * nb * BATCH / sweep_s
+    device_s = _ens.last_run_seconds
+    device_sps = R * n_epochs * nb * BATCH / device_s
+    finals = [float(r.train_loss_df["loss"].iloc[-1]) for r in results]
+    tag = "bf16" if compute_dtype == "bfloat16" else "f32"
+    log(f"sweep R={R} {tag}: {sweep_s:.3f}s wall "
+        f"(+{compile_s:.1f}s compile, device {device_s:.3f}s) -> "
+        f"{agg:,.0f} samples/s aggregate "
+        f"(device-window {device_sps:,.0f}); best loss {min(finals):.4f}")
+    print(json.dumps({
+        "metric": f"{R}-replica transfer-op lr x alpha sweep "
+                  f"aggregate throughput ({tag})",
+        "value": round(agg, 1),
+        "unit": "samples/sec",
+        "device_window_sps": round(device_sps, 1),
+    }))
+    return agg
+
+
 def bench_reference(ref, traj_np, weights_np):
     """The ACTUAL reference package (/root/reference) on the same workload:
     its EigenFunctionTask with a torch Kabsch-alignment + position pp layer
@@ -233,6 +354,20 @@ def main():
     jax.devices()  # force backend init under the watchdog
     watchdog.set()
     jax_sps = bench_jax(ref, traj, weights)
+    # auxiliary driver-verifiable metrics (round-3 verdict item 4): one
+    # JSON line each, printed BEFORE the headline so the driver's parsed
+    # record stays the headline. BENCH_HEADLINE_ONLY=1 skips them.
+    if not os.environ.get("BENCH_HEADLINE_ONLY"):
+        for name, fn in (
+            ("generator", lambda: bench_generator(traj, weights)),
+            ("sweep-f32", lambda: bench_sweep(traj, weights)),
+            ("sweep-bf16",
+             lambda: bench_sweep(traj, weights, "bfloat16")),
+        ):
+            try:
+                fn()
+            except Exception as e:  # aux metrics must not sink the headline
+                log(f"bench: auxiliary metric {name} failed: {e!r}")
     baseline_file = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json"
     )

@@ -398,6 +398,7 @@ class EigenFunctionTask(TrainingTask):
         fused_step: bool = False,
         gram_pp: bool | None = None,
         streaming: bool | None = None,
+        unroll_batches: bool | None = None,
         **kwargs,
     ):
         assert isinstance(model, EigenFunctions), (
@@ -502,6 +503,15 @@ class EigenFunctionTask(TrainingTask):
                 "frame-sharded layout requires per-step gathers"
             )
         self._unroll = False  # decided per data layout in _prepare_data
+        # tri-state override of the unroll-vs-scan epoch-body choice
+        # (None = PREBATCH_UNROLL_LIMIT heuristic). unroll_batches=False
+        # selects the stacked+scanned body: one step's buffers live at a
+        # time, which is what lets R=64 GENERATOR sweeps fit in 16 GB
+        # (the unrolled multi-batch body's liveness, not one step's
+        # working set, was the sweep OOM — benchmarks/RESULTS.md)
+        self._unroll_override = (
+            None if unroll_batches is None else bool(unroll_batches)
+        )
 
         # opt-in Pallas fused step (ops/fused_eigen.py): the loss forward
         # and parameter backward run as two kernels; transfer-op only
@@ -700,14 +710,17 @@ class EigenFunctionTask(TrainingTask):
             w_d = jnp.asarray(self._weights_np)
             feat_shape = self._traj_flat.shape[1:]
             self._unroll = (
-                len(train_b) + len(test_b) <= self.PREBATCH_UNROLL_LIMIT
+                self._unroll_override
+                if self._unroll_override is not None
+                else len(train_b) + len(test_b)
+                <= self.PREBATCH_UNROLL_LIMIT
             )
 
             # resolve the Gram generator path: requested, generator loss,
-            # unrolled layout, and the per-batch M tensors fit in HBM
-            self._gram = (
-                self._gram_requested and self.lag_idx == 0 and self._unroll
-            )
+            # prebatched layout (unrolled OR stacked+scanned — the scan
+            # body slices the stacked (H, M, w) arrays per step), and the
+            # Gram M tensors fit in HBM
+            self._gram = self._gram_requested and self.lag_idx == 0
             if self._gram:
                 state_shape = tuple(self._traj_np.shape[1:])
                 d_r = int(np.prod(jax.eval_shape(
@@ -770,6 +783,23 @@ class EigenFunctionTask(TrainingTask):
                     pack = pack_one
                 train_data = place(tuple(pack(row) for row in train_b))
                 test_data = place(tuple(pack(row) for row in test_b))
+            elif self._gram:
+                gf = _gram_fn(tuple(self._traj_np.shape[1:]), self.tot_dim)
+
+                def pack_gram_stacked(rows):
+                    shape = tuple(np.shape(rows))
+                    bd = jnp.asarray(np.asarray(rows).reshape(-1))
+                    H, M = gf(
+                        self._pp_for_loss, self._diag_coeff, flat_d[bd]
+                    )
+                    return (
+                        H.reshape(shape + H.shape[1:]),
+                        M.reshape(shape + M.shape[1:]),
+                        w_d[bd].reshape(shape),
+                    )
+
+                train_data = self._place_batched(pack_gram_stacked(train_b))
+                test_data = self._place_batched(pack_gram_stacked(test_b))
             else:
                 train_data = self._place_batched(pack_one(train_b))
                 test_data = self._place_batched(pack_one(test_b))
@@ -804,6 +834,20 @@ class EigenFunctionTask(TrainingTask):
             )
         self._prepared_data_cache = (train_data, test_data, train_b, test_b)
         return self._prepared_data_cache
+
+    def relayout(self, *, unroll: bool) -> None:
+        """Switch the prebatched epoch-body layout (unrolled per-batch
+        arrays vs stacked+scanned) and drop the prepared-data cache so
+        the next ``train()``/ensemble call rebuilds it. Loss
+        trajectories are identical across layouts
+        (tests/test_options.py); only compile time, per-step dispatch
+        cost, and — crucially for wide vmapped sweeps — buffer LIVENESS
+        differ: the scanned body keeps one step's buffers live at a
+        time, which is what lets R=64 generator-loss sweeps fit in a
+        16 GB chip (benchmarks/RESULTS.md, generator sweeps)."""
+        self._unroll_override = bool(unroll)
+        if hasattr(self, "_prepared_data_cache"):
+            del self._prepared_data_cache
 
     def _stream_pack(self, rows):
         """Host gather of one batch in the prebatch tuple format —

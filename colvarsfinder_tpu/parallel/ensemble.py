@@ -668,6 +668,58 @@ def sweep_committor_checks(
     return devs
 
 
+# unrolled-epoch-body liveness budget for wide vmapped sweeps: the
+# UNROLLED multi-batch body keeps every step's double-backprop
+# temporaries live at once, so a generator-loss grid OOMs a 16 GB chip
+# at R=64 while a single-batch R=64 SCAN fits (benchmarks/RESULTS.md,
+# "generator-loss sweeps"); above this estimated liveness the sweep
+# auto-relayouts the task to the stacked+scanned epoch body
+SWEEP_UNROLL_BUDGET_BYTES = 12 << 30
+
+
+def _maybe_relayout_for_width(task, R: int) -> None:
+    """Auto-select the scanned epoch body for wide generator-loss
+    sweeps whose unrolled-body liveness estimate exceeds the HBM
+    budget. Calibrated against the round-3 measurements: the dipeptide
+    generator config (B=20k, widths 30+20+20+20+1, k=2, 5 train
+    batches) fits unrolled at R=32 (~9 GB by this estimate) and OOMs at
+    R=64 (~19 GB). An explicit ``unroll_batches=`` on the task wins."""
+    from ..core.eigenfunction import EigenFunctionTask
+
+    if not isinstance(task, EigenFunctionTask):
+        return
+    if (
+        task.lag_idx != 0
+        or task._streaming
+        or not task._prebatch
+        or task._unroll_override is not None
+    ):
+        return
+    train_idx, test_idx = task._lagged_split(task.lag_idx)
+    nb_train = max(1, len(train_idx) // task.batch_size)
+    nb_test = max(1, len(test_idx) // task.batch_size)
+    if nb_train + nb_test > task.PREBATCH_UNROLL_LIMIT:
+        return  # the heuristic already picks the scanned body
+    # per-replica-step working set of the generator double backprop:
+    # ~C x batch x (sum of layer widths incl. input) x k activations
+    widths = task.model.params[0]["weight"].shape[-1] + sum(
+        layer["weight"].shape[-2] for layer in task.model.params
+    )
+    itemsize = np.dtype(np.asarray(task._weights_np).dtype).itemsize
+    per_step = 4 * task.batch_size * widths * task.k * itemsize
+    est = per_step * nb_train * R
+    if est > SWEEP_UNROLL_BUDGET_BYTES:
+        if task.verbose:
+            print(
+                f"sweep: unrolled generator epoch body would keep "
+                f"~{est / 2**30:.1f} GiB of double-backprop temporaries "
+                f"live across {R} replicas — relayouting to the "
+                "stacked+scanned body (identical losses)",
+                flush=True,
+            )
+        task.relayout(unroll=False)
+
+
 def train_hyperparameter_sweep(
     task, grid: dict, models=None, chunk_size: int | None = None, mesh=None,
     compute_dtype: str | None = None, bf16_style: str | None = None,
@@ -785,6 +837,7 @@ def train_hyperparameter_sweep(
 
     from ..core.committor import CommittorTask
 
+    _maybe_relayout_for_width(task, R)
     plan = _plan_for(task)
     has_hyper = not plan.metrics_2d  # AE takes no hyper tuple
     if isinstance(task, RegAutoEncoderTask):

@@ -221,6 +221,7 @@ def test_self_consistency_check(trained, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_gram_path_matches_vjp_path(tmp_path):
     """The Gram Dirichlet path (pp input-jacobian precomputed per batch)
     trains identically to backpropagating through the preprocessing

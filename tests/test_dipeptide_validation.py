@@ -64,6 +64,7 @@ def test_planted_psi_mode_is_recovered_by_synthesis(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_learned_cv_tracks_psi(tmp_path):
     """End-to-end: train the dipeptide eigenfunction task on the planted
     two-state ψ mode and assert the leading CV correlates with it

@@ -108,6 +108,7 @@ def test_metadynamics_multi_walker_shapes():
     assert np.isfinite(w0.bias(np.asarray([[0.0]]))).all()
 
 
+@pytest.mark.slow
 def test_metadynamics_with_learned_cv_on_triple_well(tmp_path):
     """End-to-end deployment loop: train an eigenfunction CV on triple-well
     data, then drive metadynamics along the learned CV and check it

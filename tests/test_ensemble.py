@@ -103,6 +103,7 @@ def test_ensemble_mixed_hyperparameters(tmp_path):
     assert len(eg._EPOCH_FN_CACHE) == n_cache
 
 
+@pytest.mark.slow
 def test_ensemble_autoencoder(tmp_path):
     def build(tag):
         return [
@@ -123,6 +124,7 @@ def test_ensemble_autoencoder(tmp_path):
         _assert_match(t_ind, t_ens)
 
 
+@pytest.mark.slow
 def test_ensemble_regautoencoder(tmp_path):
     def build(tag):
         return [
@@ -225,6 +227,7 @@ def test_sweep_matches_individual_training(tmp_path):
         assert results[r].cvec is not None
 
 
+@pytest.mark.slow
 def test_sweep_chunked_matches_unchunked(tmp_path):
     """chunk_size splits a wide grid into sequential vmapped programs
     (incl. a padded last chunk); results must equal the one-shot sweep."""
@@ -250,6 +253,7 @@ def test_sweep_chunked_matches_unchunked(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_sweep_generator_gram_path(tmp_path):
     """A sweep over a generator task with an alignment preprocessing
     layer runs the gram data layout (features + Gram tensors shared
@@ -318,6 +322,7 @@ def test_sweep_autoencoder_lr(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_sweep_regae_vector_hyperparams(tmp_path):
     traj = _traj(5)
     model = RegAutoEncoder([2, 12, 1], [1, 12, 2], [1, 8, 1], K=2, seed=0)
@@ -419,6 +424,7 @@ def test_adopt_sweep_result(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_sweep_mesh_sharded_matches_unsharded(tmp_path):
     """Ensemble parallelism: sharding the replica axis over an 8-device
     mesh must reproduce the single-device sweep exactly (replicas are
@@ -471,6 +477,7 @@ def test_sweep_mesh_sharded_matches_unsharded(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_replica_ensemble_mesh_sharded(tmp_path):
     """train_replica_ensemble(mesh=...) shards replicas (and their data)
     across devices and matches the unsharded ensemble."""
@@ -543,6 +550,7 @@ def test_bulk_get_matches_device_get():
         np.testing.assert_array_equal(g, w)
 
 
+@pytest.mark.slow
 def test_explore_then_finetune(tmp_path):
     """explore_then_finetune sweeps the grid (bfloat16 by default), adopts
     the replica with the lowest final loss, and fine-tunes it at float32:
@@ -585,6 +593,7 @@ def test_explore_then_finetune(tmp_path):
     assert np.asarray(cv(x)).shape == (4, 2)
 
 
+@pytest.mark.slow
 def test_architecture_ensemble(tmp_path):
     """train_architecture_ensemble groups vmap-compatible tasks and
     trains each group as one ensemble (singletons solo); every task must
@@ -744,6 +753,7 @@ def _committor_task(tmp_path, traj, tag, alpha=50.0, lr=0.01, seed=0):
     )
 
 
+@pytest.mark.slow
 def test_sweep_committor_matches_individual(tmp_path):
     """CommittorTask sweeps alpha/learning_rate through the same vmapped
     machinery as the other families."""
@@ -795,6 +805,7 @@ def test_ensemble_committor(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_sweep_committor_checks(tmp_path):
     """Alpha grids are not loss-comparable; sweep_committor_checks ranks
     replicas by MSM self-consistency of their predicted committor."""
@@ -840,6 +851,7 @@ def test_sweep_committor_checks(tmp_path):
         sweep_committor_checks(task, results, lag=3, frames=x[:100])
 
 
+@pytest.mark.slow
 def test_explore_then_finetune_committor_metric(tmp_path):
     """metric='committor' adopts the sweep_committor_checks argmin and
     fine-tunes it at float32."""
@@ -882,3 +894,62 @@ def test_explore_then_finetune_committor_metric(tmp_path):
             task, grid, metric="committor", compute_dtype="float32",
             finetune_epochs=1,
         )
+
+
+@pytest.mark.slow
+def test_sweep_auto_relayout_wide_generator(tmp_path, monkeypatch):
+    """A generator-loss sweep whose unrolled-body liveness estimate
+    exceeds the HBM budget must auto-relayout the task to the
+    stacked+scanned epoch body — with identical per-replica results
+    (round-3 verdict item 5; calibration: benchmarks/RESULTS.md
+    generator sweeps, R=32 fits / R=64 OOM on 16 GB)."""
+    from colvarsfinder_tpu.ops import (
+        AlignmentLayer, Feature, FeatureLayer, PreprocessingANN,
+    )
+    from colvarsfinder_tpu.parallel import ensemble as ens
+
+    rng = np.random.default_rng(9)
+    ref = rng.standard_normal((4, 3)).astype(np.float32)
+    traj = WeightedTrajectory(
+        trajectory=(
+            ref[None] + 0.2 * rng.standard_normal((400, 4, 3))
+        ).astype(np.float32),
+        weights=np.ones(400), dt=0.1, verbose=False,
+    )
+    pp = PreprocessingANN(
+        AlignmentLayer(ref, align_indices=[0, 1, 2, 3]),
+        FeatureLayer([Feature("p", "position", [0, 1, 2, 3])]),
+    )
+
+    def mk(name, **over):
+        return EigenFunctionTask(
+            traj, pp, EigenFunctions([12, 10, 1], k=2, seed=0),
+            str(tmp_path / name),
+            alpha=10.0, eig_weights=[1.0, 0.5], lag_tau=0.0, k=2,
+            learning_rate=0.01, seed=0,
+            **{**COMMON, "batch_size": 100, "num_epochs": 2}, **over,
+        )
+
+    grid = {"learning_rate": [0.005, 0.02], "alpha": [5.0, 40.0]}
+
+    # wide-budget control: stays unrolled
+    task_a = mk("relay_a")
+    ref_results = train_hyperparameter_sweep(task_a, grid)
+    assert task_a._unroll and task_a._gram
+
+    # tiny budget: relayouts to the scanned body, same results
+    monkeypatch.setattr(ens, "SWEEP_UNROLL_BUDGET_BYTES", 1)
+    task_b = mk("relay_b")
+    scan_results = train_hyperparameter_sweep(task_b, grid)
+    assert not task_b._unroll
+    assert task_b._gram  # gram survives the scanned layout
+    for a, b in zip(ref_results, scan_results):
+        np.testing.assert_allclose(
+            b.train_loss_df.to_numpy(), a.train_loss_df.to_numpy(),
+            rtol=1e-4, atol=1e-6,
+        )
+
+    # an explicit unroll_batches=True wins over the auto heuristic
+    task_c = mk("relay_c", unroll_batches=True)
+    train_hyperparameter_sweep(task_c, grid)
+    assert task_c._unroll

@@ -443,6 +443,7 @@ def test_kabsch_quaternion_matches_svd(rng):
     np.testing.assert_allclose(R_quat, R_svd, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_implicit_newton_derivative_parity(rng):
     """QCP implicit differentiation (stop-gradient convergence + short
     differentiable tail, ops/alignment.py:newton_diff_mode) must match the

@@ -79,6 +79,7 @@ def test_loss_from_stats_matches_eigen_loss():
     np.testing.assert_array_equal(cvec_s, aux.cvec)
 
 
+@pytest.mark.slow
 def test_task_fused_step_matches_unfused(tmp_path):
     """EigenFunctionTask(fused_step=True) must train like the XLA path."""
     from colvarsfinder_tpu.core import EigenFunctionTask

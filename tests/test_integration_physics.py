@@ -43,6 +43,7 @@ def _kw(tmp_path, name, epochs):
     )
 
 
+@pytest.mark.slow
 def test_ou_generator_eigenvalue(ou_traj, tmp_path):
     model = EigenFunctions([1, 16, 16, 1], k=1, seed=0)
     task = EigenFunctionTask(
@@ -61,6 +62,7 @@ def test_ou_generator_eigenvalue(ou_traj, tmp_path):
     assert (diffs > 0).all() or (diffs < 0).all()
 
 
+@pytest.mark.slow
 def test_ou_transfer_operator_eigenvalue(ou_traj, tmp_path):
     tau = 0.5  # lag_idx = 5
     model = EigenFunctions([1, 16, 16, 1], k=1, seed=1)

@@ -4,6 +4,7 @@ compiles to a Mosaic kernel on TPU)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from colvarsfinder_tpu.ops.alignment import (
     AlignmentLayer,
@@ -84,6 +85,7 @@ def test_degenerate_covariance_gives_identity():
         )
 
 
+@pytest.mark.slow
 def test_fused_alignment_kernel_matches_reference_path(rng):
     """The fused whole-alignment Pallas kernel must match align_frames and
     stay differentiable."""

@@ -99,6 +99,7 @@ def test_tensorboard_writer_creates_events(tmp_path):
     assert any("tfevents" in f for f in files)
 
 
+@pytest.mark.slow
 def test_regae_precompute_features_matches_per_batch(tmp_path):
     """RegAE with precompute_features must train identically to per-batch
     preprocessing (transfer-op regularizer + all feature-space terms)."""

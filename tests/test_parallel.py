@@ -90,6 +90,7 @@ def test_eigen_task_sharded_transfer_op(traj, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import importlib.util
     import os
@@ -130,6 +131,7 @@ def test_eigen_task_sharded_trajectory(traj, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_regae_task_sharded_equals_single_device(traj, tmp_path):
     """RegAE's prebatched per-batch tuples have the batch dim LEADING, so
     mesh placement must shard axis 0 (a shard_batches placement would try

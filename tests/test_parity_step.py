@@ -24,9 +24,12 @@ HARNESS = os.path.join(
 )
 REFERENCE_PATH = "/root/reference"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REFERENCE_PATH), reason="reference not mounted"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(REFERENCE_PATH), reason="reference not mounted"
+    ),
+    pytest.mark.slow,  # ~100 s of subprocess co-training
+]
 
 
 def _run(dtype, steps, tmp_path):

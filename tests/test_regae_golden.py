@@ -4,6 +4,8 @@ of tests/test_reference_golden.py."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import torch
 
 from colvarsfinder_tpu.core import RegAutoEncoderTask

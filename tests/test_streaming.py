@@ -124,6 +124,7 @@ def test_ae_streaming_matches_inmemory(traj, tmp_path):
 
 
 # ---------------------------------------------------------------- regae
+@pytest.mark.slow
 def test_regae_streaming_matches_inmemory(traj, tmp_path):
     def mk(stream):
         model = RegAutoEncoder([D, 10, 2], [2, 10, D], [2, 8, 1], K=1,
