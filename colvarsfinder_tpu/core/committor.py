@@ -220,6 +220,7 @@ class CommittorTask(TrainingTask):
         diag_coeff=None,
         gram_pp: bool | None = None,
         streaming: bool | None = None,
+        unroll_batches: bool | None = None,
         learning_rate: float = 0.01,
         load_model_filename=None,
         save_model_every_step: int = 10,
@@ -249,6 +250,12 @@ class CommittorTask(TrainingTask):
         )
         self.init_model_and_optimizer()
         self._unroll = False
+        # tri-state unrolled-vs-scanned epoch-body override (see
+        # TrainingTask.relayout; the scanned body bounds buffer liveness
+        # for wide vmapped sweeps)
+        self._unroll_override = (
+            None if unroll_batches is None else bool(unroll_batches)
+        )
         # Gram-path Dirichlet term (losses.committor_loss pp_gram): the
         # preprocessing input-jacobian Gram is loop-invariant, so it is
         # precomputed per batch and the per-step Dirichlet term becomes
@@ -378,15 +385,18 @@ class CommittorTask(TrainingTask):
                     f"region, lower test_ratio, or add boundary samples"
                 )
 
-        unroll = len(train_b) + len(test_b) <= self.PREBATCH_UNROLL_LIMIT
+        unroll = (
+            self._unroll_override
+            if self._unroll_override is not None and not self._streaming
+            else len(train_b) + len(test_b) <= self.PREBATCH_UNROLL_LIMIT
+        )
         self._unroll = unroll
 
         # resolve the Gram Dirichlet path (same conditions as the eigen
-        # task's generator gram_pp: unrolled layout + the per-batch M
-        # tensors fit in HBM; streaming keeps data host-side, so no gram)
-        self._gram = (
-            self._gram_requested and unroll and not self._streaming
-        )
+        # task's generator gram_pp: prebatched layout — unrolled OR
+        # stacked+scanned — with the M tensors fitting in HBM; streaming
+        # keeps data host-side, so no gram)
+        self._gram = self._gram_requested and not self._streaming
         state_shape = tuple(self._traj.shape[1:])
         tot_dim = int(np.prod(state_shape))
         if self._gram:
@@ -404,9 +414,10 @@ class CommittorTask(TrainingTask):
 
             warnings.warn(
                 "gram_pp=True could not be honored (it requires the "
-                "unrolled prebatched layout and per-batch Gram tensors "
-                "within GRAM_AUTO_LIMIT_BYTES); training backprops "
-                "through the preprocessing layer instead"
+                "prebatched layout with Gram tensors within "
+                "GRAM_AUTO_LIMIT_BYTES; streaming keeps data host-side); "
+                "training backprops through the preprocessing layer "
+                "instead"
             )
 
         if self._streaming:
@@ -465,6 +476,32 @@ class CommittorTask(TrainingTask):
                         tuple(a[row] for a in te) for row in test_b
                     )),
                 )
+        elif self._gram:
+            from .eigenfunction import _gram_fn
+
+            gf = _gram_fn(state_shape, tot_dim)
+            diag_d = (
+                jnp.ones((tot_dim,), default_dtype())
+                if self.diag_coeff is None else self.diag_coeff
+            )
+
+            def pack_gram_stacked(arrs, rows):
+                shape = tuple(np.shape(rows))
+                bd = np.asarray(rows).reshape(-1)
+                Xf = jnp.asarray(arrs[0][bd].reshape(len(bd), -1))
+                H, M = gf(self.preprocessing_layer, diag_d, Xf)
+                return (
+                    H.reshape(shape + H.shape[1:]),
+                    M.reshape(shape + M.shape[1:]),
+                    jnp.asarray(arrs[1][bd]).reshape(shape),
+                    jnp.asarray(arrs[2][bd]).reshape(shape),
+                    jnp.asarray(arrs[3][bd]).reshape(shape),
+                )
+
+            data_args = (
+                self._place_batched(pack_gram_stacked(tr, train_b)),
+                self._place_batched(pack_gram_stacked(te, test_b)),
+            )
         else:
             def stack(arrs, rows):
                 return tuple(

@@ -835,20 +835,6 @@ class EigenFunctionTask(TrainingTask):
         self._prepared_data_cache = (train_data, test_data, train_b, test_b)
         return self._prepared_data_cache
 
-    def relayout(self, *, unroll: bool) -> None:
-        """Switch the prebatched epoch-body layout (unrolled per-batch
-        arrays vs stacked+scanned) and drop the prepared-data cache so
-        the next ``train()``/ensemble call rebuilds it. Loss
-        trajectories are identical across layouts
-        (tests/test_options.py); only compile time, per-step dispatch
-        cost, and — crucially for wide vmapped sweeps — buffer LIVENESS
-        differ: the scanned body keeps one step's buffers live at a
-        time, which is what lets R=64 generator-loss sweeps fit in a
-        16 GB chip (benchmarks/RESULTS.md, generator sweeps)."""
-        self._unroll_override = bool(unroll)
-        if hasattr(self, "_prepared_data_cache"):
-            del self._prepared_data_cache
-
     def _stream_pack(self, rows):
         """Host gather of one batch in the prebatch tuple format —
         ``(Xf, w)`` or ``(Xf, Xlf, w, w_l)`` — from the host-resident

@@ -424,6 +424,26 @@ class TrainingTask(ABC):
             )
         return streaming
 
+    # tri-state override of the unrolled-vs-scanned prebatched epoch
+    # body (None = per-family PREBATCH_UNROLL_LIMIT heuristic); honored
+    # by the families that expose ``unroll_batches`` in their
+    # constructors (EigenFunctionTask, CommittorTask)
+    _unroll_override: bool | None = None
+
+    def relayout(self, *, unroll: bool) -> None:
+        """Switch the prebatched epoch-body layout (unrolled per-batch
+        arrays vs stacked+scanned) and drop the prepared-data cache so
+        the next ``train()``/ensemble call rebuilds it. Loss
+        trajectories are identical across layouts; only compile time,
+        per-step dispatch cost, and — crucially for wide vmapped
+        sweeps — buffer LIVENESS differ: the scanned body keeps one
+        step's buffers live at a time, which is what lets R=64
+        generator-loss sweeps fit in a 16 GB chip
+        (benchmarks/RESULTS.md, generator sweeps)."""
+        self._unroll_override = bool(unroll)
+        if hasattr(self, "_prepared_data_cache"):
+            del self._prepared_data_cache
+
     @staticmethod
     def _chunked_apply(fn, arr, chunk: int = 65536):
         """Apply a device function over axis 0 in fixed-size chunks,

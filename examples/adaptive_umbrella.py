@@ -156,9 +156,14 @@ def main():
     print(f"MBAR: converged={mb.converged} in {mb.n_iter} iterations")
     pooled_cv = umb.cv_values.reshape(-1)
     w = np.concatenate(mb.weights)
+    # window-boundary segment_starts: bootstrap blocks never straddle
+    # windows, and block_frames='auto' would measure within-window g only
+    n_per_window = umb.cv_values.shape[1]
+    seg = np.arange(0, pooled_cv.size, n_per_window)
     cen, F, err = analysis.free_energy_profile(
         pooled_cv, weights=w, beta=pot.beta, bins=40,
         value_range=(lo, hi), n_bootstrap=32, block_frames=100,
+        segment_starts=seg,
     )
     # analytic check: map CV bins back to x1 via the pooled frames and
     # compare the barrier height (~1 energy unit = beta kT at the top)

@@ -319,3 +319,47 @@ def test_streaming_matches_device_layout(tmp_path):
         t_dev.test_loss_df.to_numpy(),
         rtol=1e-4, atol=1e-6,
     )
+
+
+def test_committor_scan_layout_keeps_gram(tmp_path):
+    """unroll_batches=False (stacked+scanned epoch body) keeps the Gram
+    Dirichlet path active and matches the unrolled layout's training
+    trajectory — layout uniformity with the eigen task (round-4)."""
+    from colvarsfinder_tpu.ops import (
+        AlignmentLayer, Feature, FeatureLayer, PreprocessingANN,
+    )
+
+    rng = np.random.default_rng(2)
+    base = rng.standard_normal((4, 3)).astype(np.float32)
+    frames = base[None] + 0.15 * rng.standard_normal(
+        (400, 4, 3)
+    ).astype(np.float32)
+    traj = WeightedTrajectory(
+        trajectory=frames, weights=np.ones(400), dt=0.1, verbose=False,
+    )
+    pp = PreprocessingANN(
+        AlignmentLayer(base, align_indices=[0, 1, 2, 3]),
+        FeatureLayer([Feature("p", "position", [0, 1, 2, 3])]),
+    )
+    x_proxy = frames[:, 0, 0]
+    kw = dict(
+        region_a=x_proxy < np.quantile(x_proxy, 0.2),
+        region_b=x_proxy > np.quantile(x_proxy, 0.8),
+        alpha=50.0, beta=1.0, batch_size=100, num_epochs=3,
+        save_model_every_step=0, verbose=False, seed=0,
+    )
+    results = {}
+    for unroll in (True, False):
+        t = CommittorTask(
+            traj, pp,
+            create_sequential_nn([pp.output_dimension, 8, 1], seed=3),
+            str(tmp_path / f"scan{unroll}"), gram_pp=True,
+            unroll_batches=unroll, **kw,
+        )
+        t.train()
+        assert t._unroll == unroll
+        assert t._gram
+        results[unroll] = t.train_loss_df.to_numpy()
+    np.testing.assert_allclose(
+        results[True], results[False], rtol=5e-4, atol=1e-5
+    )

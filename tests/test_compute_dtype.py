@@ -125,6 +125,7 @@ def test_bf16_styles_tighten_numerics(apply_stacked):
     assert errs["w32"] < errs["pure"]
 
 
+@pytest.mark.slow
 def test_bf16_style_task_cache_isolated(tmp_path):
     """Flipping the style between train() calls must retrace (numerics_key
     carries the style), and every style must train finitely and close to

@@ -44,6 +44,7 @@ def _kw(tmp_path, name, **over):
     return kw
 
 
+@pytest.mark.slow
 def test_ae_task_sharded_equals_single_device(traj, tmp_path):
     mesh = make_data_mesh(jax.devices()[:8])
 

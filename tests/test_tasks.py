@@ -361,6 +361,7 @@ def test_regautoencoder_per_term_loss_methods(traj, tmp_path):
     np.testing.assert_allclose(n, ref_n, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_regautoencoder_generator_reg(traj, tmp_path):
     model = RegAutoEncoder([2, 10, 1], [1, 10, 2], [1, 6, 1], K=1, seed=1)
     task = RegAutoEncoderTask(
@@ -460,6 +461,7 @@ def test_exported_cv_roundtrip(traj, tmp_path):
     np.testing.assert_allclose(np.asarray(j1), np.asarray(oracle)[0], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tasks_on_concatenated_trajectories(tmp_path):
     """Lagged pairs never straddle source-trajectory boundaries: on a
     concatenated dataset the split is drawn from valid_lagged_starts,
