@@ -27,11 +27,6 @@ import time
 
 import numpy as np
 
-PKG_ROOT = os.path.abspath(sys.argv[1])
-TAG = sys.argv[2]
-CONFIGS = sys.argv[3].split(",") if len(sys.argv) > 3 else ["1", "2", "5"]
-sys.path.insert(0, PKG_ROOT)
-
 N_FRAMES_2D, BATCH_2D, EPOCHS_2D, LR_2D = 5_000, 1_000, 200, 0.005
 DIMS_E_2D, DIMS_D_2D = [2, 20, 20, 20, 1], [1, 20, 20, 2]
 EIG_DIMS_2D = [2, 20, 20, 20, 1]
@@ -60,12 +55,42 @@ def steady(task):
     return best
 
 
-def main():
-    import colvarsfinder_tpu  # noqa: F401  (resolves from PKG_ROOT)
+def swap_in_package(pkg_root):
+    """Point ``colvarsfinder_tpu`` at ``pkg_root`` INSIDE this process:
+    drop every loaded colvarsfinder_tpu* module and re-import from the
+    requested root. Lets one process alternate between two checkouts —
+    the only drift-proof A/B on this backend (the chip grant never
+    changes hands, so there is no cross-process tunnel-state confound).
+    Each checkout's jit caches key on its own function objects, so the
+    compiled programs coexist."""
+    pkg_root = os.path.abspath(pkg_root)
+    for name in list(sys.modules):
+        if name.startswith("colvarsfinder_tpu"):
+            del sys.modules[name]
+    keep = []
+    for p in sys.path:
+        full = os.path.abspath(p or os.getcwd())
+        if (
+            os.path.isdir(os.path.join(full, "colvarsfinder_tpu"))
+            and full != pkg_root
+        ):
+            continue  # would shadow the requested checkout
+        keep.append(p)
+    sys.path[:] = keep
+    if pkg_root not in sys.path:
+        sys.path.insert(0, pkg_root)
+    import colvarsfinder_tpu
 
-    assert colvarsfinder_tpu.__file__.startswith(PKG_ROOT), (
-        colvarsfinder_tpu.__file__
-    )
+    assert os.path.abspath(colvarsfinder_tpu.__file__).startswith(
+        pkg_root
+    ), colvarsfinder_tpu.__file__
+    return colvarsfinder_tpu
+
+
+def measure(pkg_root, tag, configs=("1", "2", "5")):
+    """Measure the disputed configs with the package at ``pkg_root``
+    (imported/swapped into this process); returns the rates dict."""
+    swap_in_package(pkg_root)
     from colvarsfinder_tpu.core import AutoEncoderTask, EigenFunctionTask
     from colvarsfinder_tpu.models import AutoEncoder, EigenFunctions
     from colvarsfinder_tpu.ops import (
@@ -73,7 +98,9 @@ def main():
     )
     from colvarsfinder_tpu.utils import WeightedTrajectory
 
-    out = {"tag": TAG, "pkg": PKG_ROOT}
+    CONFIGS = list(configs)
+    TAG = tag
+    out = {"tag": TAG, "pkg": pkg_root}
     common = dict(
         learning_rate=LR_2D, batch_size=BATCH_2D, num_epochs=EPOCHS_2D,
         test_ratio=0.2, save_model_every_step=0, verbose=False,
@@ -119,6 +146,12 @@ def main():
             FeatureLayer([Feature("p", "position", list(range(N_HEAVY)))]),
         )
         lag = 5
+        # run_baselines config-5 batch sizing: the batch is capped by the
+        # 80% train split so exactly one full batch per epoch survives
+        # drop_last (bs = min(BATCH_MD, n_train_frames))
+        n_train_frames = int((N_FRAMES_MD - lag) * 0.8)
+        bs = min(BATCH_MD, n_train_frames)
+        nb = n_train_frames // bs
 
         def mk(rep):
             return EigenFunctionTask(
@@ -128,8 +161,8 @@ def main():
                 alpha=20.0, eig_weights=[1.0, 0.2], beta=1.0,
                 lag_tau=lag * 0.002, k=2,
                 **{**common, "learning_rate": LR_MD,
-                   "batch_size": BATCH_MD, "num_epochs": EPOCHS_MD,
-                   "test_ratio": 0.001},
+                   "batch_size": bs, "num_epochs": EPOCHS_MD,
+                   "test_ratio": 0.2},
             )
 
         warm = mk(0)
@@ -139,11 +172,17 @@ def main():
         for t in tasks:
             t.train()
         dt = time.perf_counter() - t0
-        nb = int((N_FRAMES_MD - lag) * 0.999) // BATCH_MD
-        out["c5seq_sps"] = 4 * EPOCHS_MD * nb * BATCH_MD / dt
+        out["c5seq_sps"] = 4 * EPOCHS_MD * nb * bs / dt
         log(f"[{TAG}] c5seq {out['c5seq_sps']:,.0f} sps")
 
-    print(json.dumps(out))
+    return out
+
+
+def main():
+    pkg_root = os.path.abspath(sys.argv[1])
+    tag = sys.argv[2]
+    configs = sys.argv[3].split(",") if len(sys.argv) > 3 else ["1", "2", "5"]
+    print(json.dumps(measure(pkg_root, tag, configs)))
 
 
 if __name__ == "__main__":

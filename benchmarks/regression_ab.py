@@ -75,13 +75,19 @@ def main():
     ensure_worktree()
     rows = []
     for rep in range(args.reps):
-        # alternate within each rep: A (r2) then B (current); the pair
-        # shares one tunnel-state window
-        a = run_once(WORKTREE, f"r2#{rep}", args.configs)
-        b = run_once(ROOT, f"cur#{rep}", args.configs)
+        # each rep measures both checkouts back-to-back (one tunnel
+        # window); the order FLIPS per rep so a systematic first-vs-
+        # second process effect (grant handoff, host cache state) cannot
+        # masquerade as a code regression
+        if rep % 2 == 0:
+            a = run_once(WORKTREE, f"r2#{rep}", args.configs)
+            b = run_once(ROOT, f"cur#{rep}", args.configs)
+        else:
+            b = run_once(ROOT, f"cur#{rep}", args.configs)
+            a = run_once(WORKTREE, f"r2#{rep}", args.configs)
         rows.append({"rep": rep, "r2": a, "cur": b})
         for key in ("c1_sps", "c2_sps", "c5seq_sps"):
-            if key in a and key in b:
+            if a.get(key) and b.get(key):
                 log(
                     f"rep {rep} {key}: r2 {a[key]:,.0f} vs cur "
                     f"{b[key]:,.0f} -> cur/r2 = {b[key] / a[key]:.3f}"
@@ -92,7 +98,7 @@ def main():
         ratios = [
             r["cur"][key] / r["r2"][key]
             for r in rows
-            if key in r["cur"] and key in r["r2"]
+            if r["cur"].get(key) and r["r2"].get(key)
         ]
         if ratios:
             summary[key] = {

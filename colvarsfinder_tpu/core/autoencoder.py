@@ -35,17 +35,19 @@ __all__ = ["AutoEncoderTask"]
 _EPOCH_FN_CACHE: dict = {}
 
 
-def _multi_epoch_fn(length: int, opt_name: str, unroll: bool):
+def _multi_epoch_fn(length: int, opt_name: str, unroll: bool,
+                    lr: float | None = None):
     from ..config import matmul_precision, numerics_key
     from .task import TrainingTask
 
-    key = (length, numerics_key(), opt_name, unroll)
+    key = (length, numerics_key(), opt_name, unroll, lr)
     cached = _EPOCH_FN_CACHE.get(key)
     if cached is not None:
         return cached[0]
-    # lr rides in the optimizer state (inject_hyperparams): tasks
-    # differing only in learning rate share this compiled program
-    optimizer = TrainingTask.make_optimizer(opt_name)
+    # solo programs bake the lr in (lr=<float>; inject_hyperparams costs
+    # 1.47x on dispatch-scale steps — RESULTS.md round 4); the ensemble
+    # impl passes lr=None so the traced rate rides in the state
+    optimizer = TrainingTask.make_optimizer(opt_name, lr)
 
     if unroll:
         # batches as separate per-batch arrays, epoch unrolled: slicing a
@@ -102,24 +104,24 @@ def _multi_epoch_impl(length: int, opt_name: str, unroll: bool):
     """Un-jitted multi-epoch program (for the replica-ensemble vmap)."""
     from ..config import matmul_precision, numerics_key
 
-    _multi_epoch_fn(length, opt_name, unroll)  # populate the cache
-    key = (length, numerics_key(), opt_name, unroll)
+    _multi_epoch_fn(length, opt_name, unroll)  # populate the cache (lr=None)
+    key = (length, numerics_key(), opt_name, unroll, None)
     return _EPOCH_FN_CACHE[key][1]
 
 
-def _stream_fns(opt_name: str):
+def _stream_fns(opt_name: str, lr: float | None = None):
     """Jitted per-batch ``(step, eval)`` pair for the STREAMING layout
     (feature datasets larger than HBM) — same loss and optimizer update
     as the compiled epoch programs; the step donates model/opt_state."""
     from ..config import numerics_key
     from .task import TrainingTask
 
-    key = ("stream", numerics_key(), opt_name)
+    key = ("stream", numerics_key(), opt_name, lr)
     cached = _EPOCH_FN_CACHE.get(key)
     if cached is not None:
         return cached
 
-    optimizer = TrainingTask.make_optimizer(opt_name)
+    optimizer = TrainingTask.make_optimizer(opt_name, lr)
 
     def step(model, opt_state, batch):
         X, w = batch
@@ -273,6 +275,7 @@ class AutoEncoderTask(TrainingTask):
         same-shaped tasks compile once)."""
         return _multi_epoch_fn(
             length, self.optimizer_name.lower(), unroll,
+            lr=float(self.learning_rate),
         )
 
     def _prepare_data(self):
@@ -382,7 +385,8 @@ class AutoEncoderTask(TrainingTask):
                 _t0 = _time.perf_counter()
                 if self._streaming:
                     step_fn, eval_fn = _stream_fns(
-                        self.optimizer_name.lower()
+                        self.optimizer_name.lower(),
+                        lr=float(self.learning_rate),
                     )
                     model, opt_state, train_ms, test_ms = (
                         self._stream_epochs(

@@ -58,14 +58,18 @@ def _batch_metrics_fn(gram: bool):
 
 
 def _multi_epoch_fn(length: int, opt_name: str, unroll: bool,
-                    gram: bool = False):
+                    gram: bool = False, lr: float | None = None):
     from ..config import numerics_key
 
-    key = ("committor", length, numerics_key(), opt_name, unroll, gram)
+    key = ("committor", length, numerics_key(), opt_name, unroll,
+           gram, lr)
     cached = _EPOCH_FN_CACHE.get(key)
     if cached is not None:
         return cached[0]
-    optimizer = TrainingTask.make_optimizer(opt_name)
+    # solo programs bake the lr in; lr=None = ensemble traced-rate
+    # mode (RESULTS.md round 4: inject_hyperparams costs 1.47x on
+    # dispatch-scale steps)
+    optimizer = TrainingTask.make_optimizer(opt_name, lr)
     batch_metrics = _batch_metrics_fn(gram)
 
     if unroll:
@@ -117,19 +121,19 @@ def _multi_epoch_fn(length: int, opt_name: str, unroll: bool,
     )
 
 
-def _stream_fns(opt_name: str):
+def _stream_fns(opt_name: str, lr: float | None = None):
     """Jitted per-batch ``(step, eval)`` pair for the STREAMING layout
     (trajectories larger than HBM) — vjp Dirichlet path only (the gram
     precompute is a device-resident layout); the step donates
     model/opt_state."""
     from ..config import numerics_key
 
-    key = ("committor_stream", numerics_key(), opt_name)
+    key = ("committor_stream", numerics_key(), opt_name, lr)
     cached = _EPOCH_FN_CACHE.get(key)
     if cached is not None:
         return cached
 
-    optimizer = TrainingTask.make_optimizer(opt_name)
+    optimizer = TrainingTask.make_optimizer(opt_name, lr)
     batch_metrics = _batch_metrics_fn(False)
 
     def step(model, opt_state, pp_layer, diag_coeff, hyper, batch):
@@ -155,8 +159,9 @@ def _multi_epoch_impl(length: int, opt_name: str, unroll: bool,
     """Un-jitted multi-epoch program (for the replica-ensemble vmap)."""
     from ..config import numerics_key
 
-    _multi_epoch_fn(length, opt_name, unroll, gram)  # populate the cache
-    key = ("committor", length, numerics_key(), opt_name, unroll, gram)
+    _multi_epoch_fn(length, opt_name, unroll, gram)  # lr=None mode
+    key = ("committor", length, numerics_key(), opt_name, unroll,
+           gram, None)
     return _EPOCH_FN_CACHE[key][1]
 
 
@@ -557,7 +562,8 @@ class CommittorTask(TrainingTask):
                 _t0 = _time.perf_counter()
                 if self._streaming:
                     step_fn, eval_fn = _stream_fns(
-                        self.optimizer_name.lower()
+                        self.optimizer_name.lower(),
+                        lr=float(self.learning_rate),
                     )
                     model, opt_state, train_ms, test_ms = (
                         self._stream_epochs(
@@ -572,7 +578,7 @@ class CommittorTask(TrainingTask):
                 else:
                     model, opt_state, train_ms, test_ms = _multi_epoch_fn(
                         chunk, self.optimizer_name.lower(), unroll,
-                        self._gram,
+                        self._gram, lr=float(self.learning_rate),
                     )(
                         model, opt_state, pp_dev, self.diag_coeff,
                         self._hyper(), *data_args,

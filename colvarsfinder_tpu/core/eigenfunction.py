@@ -190,10 +190,11 @@ def _make_batch_loss(static: tuple):
     return batch_loss
 
 
-def _multi_epoch_fn(length: int, static: tuple):
+def _multi_epoch_fn(length: int, static: tuple,
+                    lr: float | None = None):
     from ..config import matmul_precision, numerics_key
 
-    key = (length, numerics_key()) + static
+    key = (length, numerics_key(), lr) + static
     cached = _EPOCH_FN_CACHE.get(key)
     if cached is not None:
         return cached[0]
@@ -202,11 +203,11 @@ def _multi_epoch_fn(length: int, static: tuple):
      sort_eigvals, opt_name, prebatch, unroll, fused, gram) = static
     from .task import TrainingTask
 
-    # lr rides in the optimizer state (inject_hyperparams), and the loss
-    # constants (alpha, eig_w, beta) arrive as the traced ``hyper`` tuple:
-    # a hyperparameter sweep shares ONE compiled program, and the replica
-    # ensemble vmaps per-replica values
-    optimizer = TrainingTask.make_optimizer(opt_name)
+    # solo programs bake the lr in (lr=<float>; inject_hyperparams
+    # costs 1.47x on dispatch-scale steps — RESULTS.md round 4); the
+    # ensemble impl passes lr=None so the traced rate rides in the
+    # state and a sweep/replica vmap carries per-replica values
+    optimizer = TrainingTask.make_optimizer(opt_name, lr)
 
     if prebatch:
         # batches were gathered ONCE before training (the schedule is
@@ -294,12 +295,12 @@ def _multi_epoch_impl(length: int, static: tuple):
     """Un-jitted multi-epoch program (for the replica-ensemble vmap)."""
     from ..config import matmul_precision, numerics_key
 
-    _multi_epoch_fn(length, static)  # populate the cache
-    key = (length, numerics_key()) + static
+    _multi_epoch_fn(length, static)  # populate the cache (lr=None)
+    key = (length, numerics_key(), None) + static
     return _EPOCH_FN_CACHE[key][1]
 
 
-def _stream_fns(static: tuple):
+def _stream_fns(static: tuple, lr: float | None = None):
     """Jitted per-batch ``(step, eval)`` pair for the STREAMING layout
     (trajectories larger than HBM): batches arrive pre-gathered from the
     HOST in the prebatch tuple format, the step donates model/opt_state
@@ -308,7 +309,7 @@ def _stream_fns(static: tuple):
     from ..config import numerics_key
     from .task import TrainingTask
 
-    key = ("stream", numerics_key()) + static
+    key = ("stream", numerics_key(), lr) + static
     cached = _EPOCH_FN_CACHE.get(key)
     if cached is not None:
         return cached
@@ -316,7 +317,7 @@ def _stream_fns(static: tuple):
     (state_shape, k, lag_idx, traj_dt,
      sort_eigvals, opt_name, prebatch, unroll, fused, gram) = static
     batch_loss = _make_batch_loss(static)
-    optimizer = TrainingTask.make_optimizer(opt_name)
+    optimizer = TrainingTask.make_optimizer(opt_name, lr)
 
     def step(model, opt_state, pp_layer, diag_coeff, hyper, batch):
         (_, metrics), grads = jax.value_and_grad(
@@ -668,7 +669,10 @@ class EigenFunctionTask(TrainingTask):
         )
 
     def _get_multi_epoch_fn(self, length: int):
-        return _multi_epoch_fn(length, self._static_config())
+        return _multi_epoch_fn(
+            length, self._static_config(),
+            lr=float(self.learning_rate),
+        )
 
     def _prepare_data(self):
         """Device-placed data arguments of the multi-epoch program:
@@ -881,7 +885,10 @@ class EigenFunctionTask(TrainingTask):
                 chunk = self._next_chunk(epoch)
                 _t0 = _time.perf_counter()
                 if self._streaming:
-                    step_fn, eval_fn = _stream_fns(self._static_config())
+                    step_fn, eval_fn = _stream_fns(
+                        self._static_config(),
+                        lr=float(self.learning_rate),
+                    )
                     model, opt_state, train_cm, test_cm = (
                         self._stream_epochs(
                             chunk, model, opt_state,

@@ -153,21 +153,22 @@ def _zero_encoder_grads(grads):
     )
 
 
-def _multi_epoch_fn(length: int, static: tuple):
+def _multi_epoch_fn(length: int, static: tuple,
+                    lr: float | None = None):
     from ..config import matmul_precision, numerics_key
     from .task import TrainingTask
 
-    key = (length, numerics_key()) + static
+    key = (length, numerics_key(), lr) + static
     cached = _EPOCH_FN_CACHE.get(key)
     if cached is not None:
         return cached[0]
     loss_static = static[:9]
     freeze, opt_name, prebatch, unroll, gram = static[9:]
     state_shape = loss_static[0]
-    # lr rides in the optimizer state (inject_hyperparams) and the loss
-    # constants in the traced ``hyper`` tuple — hyperparameter sweeps
-    # share one compiled program (see core/eigenfunction.py)
-    optimizer = TrainingTask.make_optimizer(opt_name)
+    # solo programs bake the lr in; lr=None = ensemble traced-rate
+    # mode (see core/eigenfunction.py and RESULTS.md round 4:
+    # inject_hyperparams costs 1.47x on dispatch-scale steps)
+    optimizer = TrainingTask.make_optimizer(opt_name, lr)
 
     if prebatch:
         # pre-gathered batch tuples of FLAT [., prod(state)] leaves
@@ -299,12 +300,12 @@ def _multi_epoch_impl(length: int, static: tuple):
     """Un-jitted multi-epoch program (for the replica-ensemble vmap)."""
     from ..config import matmul_precision, numerics_key
 
-    _multi_epoch_fn(length, static)  # populate the cache
-    key = (length, numerics_key()) + static
+    _multi_epoch_fn(length, static)  # populate the cache (lr=None)
+    key = (length, numerics_key(), None) + static
     return _EPOCH_FN_CACHE[key][1]
 
 
-def _stream_fns(static: tuple):
+def _stream_fns(static: tuple, lr: float | None = None):
     """Jitted per-batch ``(step, eval)`` pair for the STREAMING layout
     (trajectories larger than HBM): batches arrive pre-gathered from the
     HOST as flat ``(Xf, Xaef, Xlf, w, w_l)`` tuples (None pieces for
@@ -313,7 +314,7 @@ def _stream_fns(static: tuple):
     from ..config import numerics_key
     from .task import TrainingTask
 
-    key = ("stream", numerics_key()) + static
+    key = ("stream", numerics_key(), lr) + static
     cached = _EPOCH_FN_CACHE.get(key)
     if cached is not None:
         return cached
@@ -321,7 +322,7 @@ def _stream_fns(static: tuple):
     loss_static = static[:9]
     freeze, opt_name, prebatch, unroll, gram = static[9:]
     state_shape = loss_static[0]
-    optimizer = TrainingTask.make_optimizer(opt_name)
+    optimizer = TrainingTask.make_optimizer(opt_name, lr)
 
     def batch_loss(model, pp, diag_coeff, hyper, batch):
         Xf, Xaef, Xlf, w, w_l = batch
@@ -694,7 +695,10 @@ class RegAutoEncoderTask(TrainingTask):
         )
 
     def _get_multi_epoch_fn(self, length: int):
-        return _multi_epoch_fn(length, self._static_config())
+        return _multi_epoch_fn(
+            length, self._static_config(),
+            lr=float(self.learning_rate),
+        )
 
     # ------------------------------------------------------------------
     def _prepare_data(self):
@@ -903,7 +907,10 @@ class RegAutoEncoderTask(TrainingTask):
                 chunk = self._next_chunk(epoch)
                 _t0 = _time.perf_counter()
                 if self._streaming:
-                    step_fn, eval_fn = _stream_fns(self._static_config())
+                    step_fn, eval_fn = _stream_fns(
+                        self._static_config(),
+                        lr=float(self.learning_rate),
+                    )
                     model, opt_state, train_cm, test_cm = (
                         self._stream_epochs(
                             chunk, model, opt_state,

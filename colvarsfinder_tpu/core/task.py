@@ -270,25 +270,50 @@ class TrainingTask(ABC):
         return fn
 
     @staticmethod
-    def make_optimizer(name: str, learning_rate: float = 1.0):
+    def make_optimizer(name: str, learning_rate: float | None = None):
         """Optax optimizer from (name, lr) — also used by the shared
         compiled-epoch-program caches, where optimizers are reconstructed
         from hashable config instead of captured from a task instance.
 
-        The learning rate is wrapped with ``optax.inject_hyperparams`` so
-        it lives in the optimizer STATE (a traced array) rather than the
-        compiled program: tasks differing only in lr share one executable,
-        and a replica-ensemble vmap carries a per-replica lr. ``update``
-        reads the rate from the state, so the value passed here only seeds
-        ``init`` (compiled epoch programs pass the placeholder default).
+        Two modes:
+
+        * ``learning_rate=None`` (the ENSEMBLE/SWEEP mode): the rate is
+          wrapped with ``optax.inject_hyperparams`` so it lives in the
+          optimizer STATE (a traced array) — a replica-ensemble vmap
+          carries a per-replica lr through one compiled program.
+        * ``learning_rate=<float>`` (the SOLO mode): a plain static-lr
+          optimizer. ``inject_hyperparams`` measured a consistent
+          **1.47x step cost** on dispatch-scale configs (the 2D toy
+          AE, same-process interleaved A/B — the real cause of the
+          round-3 "toy-config regression"; benchmarks/RESULTS.md round
+          4), so single-task compiled programs bake the lr in (one
+          executable per lr value, as in round 2) and only the
+          ensemble paths pay for the traced rate.
+
+        The two modes' ADAM states are structurally compatible: the
+        injected state's ``inner_state`` IS the static state
+        (:meth:`unwrap_opt_state` / the ensemble's wrap inverse).
         """
         if name.lower() == "adam":
             # matches torch.optim.Adam defaults: betas=(0.9, 0.999),
             # eps applied outside the sqrt of the bias-corrected second moment
-            return optax.inject_hyperparams(optax.adam)(
-                learning_rate, b1=0.9, b2=0.999, eps=1e-8
+            if learning_rate is None:
+                return optax.inject_hyperparams(optax.adam)(
+                    1.0, b1=0.9, b2=0.999, eps=1e-8
+                )
+            return optax.adam(
+                float(learning_rate), b1=0.9, b2=0.999, eps=1e-8
             )
-        return optax.inject_hyperparams(optax.sgd)(learning_rate)
+        if learning_rate is None:
+            return optax.inject_hyperparams(optax.sgd)(1.0)
+        return optax.sgd(float(learning_rate))
+
+    @staticmethod
+    def unwrap_opt_state(opt_state):
+        """The static-optimizer state inside an injected-hyperparams
+        state (identity for already-static states) — the bridge from
+        ensemble/sweep results back to a solo task's optimizer."""
+        return getattr(opt_state, "inner_state", opt_state)
 
     @staticmethod
     def set_learning_rate(opt_state, learning_rate):

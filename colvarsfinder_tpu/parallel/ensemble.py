@@ -349,6 +349,7 @@ def train_replica_ensemble(
             _cfg.set_bf16_style(prev_style)
 
     from ..config import numerics_key
+    from ..core.task import TrainingTask
 
     assert len(tasks) >= 1
     t0_task = tasks[0]
@@ -392,6 +393,23 @@ def train_replica_ensemble(
     opt_e = _stack_trees([t.opt_state for t in tasks])
     args_e = _stack_trees([p.args for p in plans])
 
+    # tasks hold STATIC-lr optimizer states (solo mode); the vmapped
+    # program needs the injected-hyperparams format with a per-replica
+    # traced lr — wrap each task's inner state (structurally identical,
+    # see TrainingTask.make_optimizer) with its own learning rate
+    inj_opt = TrainingTask.make_optimizer(t0_task.optimizer_name)
+    lrs_arr = jnp.asarray([float(t.learning_rate) for t in tasks])
+
+    def _wrap_one(m, lr, inner):
+        st = inj_opt.init(m)
+        hp = dict(st.hyperparams)
+        hp["learning_rate"] = jnp.asarray(
+            lr, dtype=jnp.asarray(hp["learning_rate"]).dtype
+        )
+        return st._replace(hyperparams=hp, inner_state=inner)
+
+    opt_e = jax.jit(jax.vmap(_wrap_one))(model_e, lrs_arr, opt_e)
+
     if mesh is not None:
         assert all(getattr(t, "mesh", None) is None for t in tasks), (
             "ensemble-parallel training requires tasks without their own "
@@ -421,7 +439,9 @@ def train_replica_ensemble(
 
     for r, (t, p) in enumerate(zip(tasks, plans)):
         t.model = _index_tree(model_e, r)
-        t.opt_state = _index_tree(opt_e, r)
+        # back to the tasks' SOLO (static-lr) format: the injected
+        # wrapper's inner state IS the static state
+        t.opt_state = TrainingTask.unwrap_opt_state(_index_tree(opt_e, r))
         _finalize(t, p, train_ms[r], test_ms[r], elapsed / epochs)
 
 
@@ -463,8 +483,14 @@ def adopt_sweep_result(task, result: SweepResult):
     task's hyperparameter attributes to the replica's values. Returns the
     task for chaining.
     """
+    from ..core.task import TrainingTask
+
     task.model = jax.tree.map(jnp.asarray, result.model)
-    task.opt_state = jax.tree.map(jnp.asarray, result.opt_state)
+    # sweep states are injected-hyperparams format; the task trains with
+    # the static-lr solo optimizer whose state is the inner state
+    task.opt_state = jax.tree.map(
+        jnp.asarray, TrainingTask.unwrap_opt_state(result.opt_state)
+    )
     if result.cvec is not None:
         task._cvec = np.asarray(result.cvec)
     attr_of = {  # task attribute candidates per sweepable hyperparameter
@@ -913,7 +939,9 @@ def train_hyperparameter_sweep(
     )
     init_fn = _ENSEMBLE_FN_CACHE.get(init_key)
     if init_fn is None:
-        optimizer = task.optimizer
+        # the INJECTED-hyperparams optimizer (the task's own optimizer is
+        # the static-lr solo variant): per-replica lrs ride in the state
+        optimizer = TrainingTask.make_optimizer(task.optimizer_name)
 
         def _init_one(m, lr):
             return TrainingTask.set_learning_rate(optimizer.init(m), lr)

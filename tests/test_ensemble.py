@@ -206,7 +206,7 @@ def test_sweep_matches_individual_training(tmp_path):
 
     assert all(
         np.abs(np.asarray(leaf)).max() == 0
-        for leaf in jax.tree_util.tree_leaves(task.opt_state.inner_state)
+        for leaf in jax.tree_util.tree_leaves(task.opt_state)
     )
 
     for r, (lr, alpha) in enumerate(zip(lrs, alphas)):
