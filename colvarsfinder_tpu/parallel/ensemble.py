@@ -396,19 +396,28 @@ def train_replica_ensemble(
     # tasks hold STATIC-lr optimizer states (solo mode); the vmapped
     # program needs the injected-hyperparams format with a per-replica
     # traced lr — wrap each task's inner state (structurally identical,
-    # see TrainingTask.make_optimizer) with its own learning rate
-    inj_opt = TrainingTask.make_optimizer(t0_task.optimizer_name)
+    # see TrainingTask.make_optimizer) with its own learning rate. The
+    # jitted wrap is CACHED (a fresh closure would recompile inside
+    # every warmed ensemble call and sink short windows)
     lrs_arr = jnp.asarray([float(t.learning_rate) for t in tasks])
+    wrap_key = ("ens_wrap", t0_task.optimizer_name.lower(), numerics_key())
+    wrap_fn = _ENSEMBLE_FN_CACHE.get(wrap_key)
+    if wrap_fn is None:
+        inj_opt = TrainingTask.make_optimizer(t0_task.optimizer_name)
 
-    def _wrap_one(m, lr, inner):
-        st = inj_opt.init(m)
-        hp = dict(st.hyperparams)
-        hp["learning_rate"] = jnp.asarray(
-            lr, dtype=jnp.asarray(hp["learning_rate"]).dtype
-        )
-        return st._replace(hyperparams=hp, inner_state=inner)
+        def _wrap_one(m, lr, inner):
+            st = inj_opt.init(m)
+            hp = dict(st.hyperparams)
+            hp["learning_rate"] = jnp.asarray(
+                lr, dtype=jnp.asarray(hp["learning_rate"]).dtype
+            )
+            return st._replace(hyperparams=hp, inner_state=inner)
 
-    opt_e = jax.jit(jax.vmap(_wrap_one))(model_e, lrs_arr, opt_e)
+        wrap_fn = jax.jit(jax.vmap(_wrap_one))
+        while len(_ENSEMBLE_FN_CACHE) >= _ENSEMBLE_FN_CACHE_MAX:
+            _ENSEMBLE_FN_CACHE.pop(next(iter(_ENSEMBLE_FN_CACHE)))
+        _ENSEMBLE_FN_CACHE[wrap_key] = wrap_fn
+    opt_e = wrap_fn(model_e, lrs_arr, opt_e)
 
     if mesh is not None:
         assert all(getattr(t, "mesh", None) is None for t in tasks), (
