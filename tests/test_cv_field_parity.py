@@ -271,3 +271,64 @@ def test_cv_field_parity_transfer_op(reference, tmp_path):
          for i in range(2)]
     )
     np.testing.assert_allclose(np.sort(ev_j), np.sort(ev_t), rtol=0.1)
+
+
+def test_cv_field_parity_2d_autoencoder(reference, tmp_path):
+    """BASELINE config-1 shape: 2D autoencoder, notebook-scale 200
+    epochs — the learned 1-D encoder CV must be the same FIELD in both
+    frameworks (reference core.py:640-647 colvar_model = pp + encoder)."""
+    from colvarsfinder_tpu.core import AutoEncoderTask
+    from colvarsfinder_tpu.models import AutoEncoder
+
+    rng = np.random.default_rng(21)
+    n = 5000
+    theta = rng.uniform(-np.pi, np.pi, n)
+    rad = 1.0 + 0.15 * rng.standard_normal(n)
+    data = np.stack(
+        [rad * np.cos(theta), rad * np.sin(theta)], axis=1
+    ).astype(np.float32)
+    w = np.ones(n, dtype=np.float32)
+
+    dims_e, dims_d = [2, 20, 20, 1], [1, 20, 20, 2]
+    train_idx, test_idx = _replay_split(n, seed=55, times=1)
+
+    model_j = AutoEncoder(dims_e, dims_d, seed=9)
+    traj_j = WeightedTrajectory(
+        trajectory=data, weights=w, dt=0.1, verbose=False
+    )
+    task_j = AutoEncoderTask(
+        traj_j, None, model_j, str(tmp_path / "jax_ae"),
+        learning_rate=0.005, batch_size=1000, num_epochs=200,
+        test_ratio=0.2, save_model_every_step=0, verbose=False,
+        tensorboard=False, split_indices=(train_idx, test_idx),
+    )
+    task_j.train()
+
+    ref_core, ref_nn = reference
+    model_t = ref_nn.AutoEncoder(dims_e, dims_d)
+
+    def transplant(jax_seq, torch_seq):
+        sd = {}
+        for name, arr in jax_seq.named_parameters():
+            sd[name] = torch.from_numpy(np.asarray(arr).copy())
+        torch_seq.load_state_dict(sd)
+
+    transplant(model_j.encoder, model_t.encoder)
+    transplant(model_j.decoder, model_t.decoder)
+    traj_t = _RefTraj(data.astype(np.float64), w.astype(np.float64), 0.1)
+    task_t = ref_core.AutoEncoderTask(
+        traj_t, torch.nn.Identity(), model_t, str(tmp_path / "ref_ae"),
+        learning_rate=0.005, batch_size=1000, num_epochs=200,
+        test_ratio=0.2, save_model_every_step=0, verbose=False,
+    )
+    np.random.seed(55)
+    task_t.train()
+
+    gx, gy = np.meshgrid(
+        np.linspace(-1.3, 1.3, 41), np.linspace(-1.3, 1.3, 41)
+    )
+    grid = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    cv_j, cv_t = _cv_fields(task_j, task_t, grid)
+    corrs, _ = _aligned_correlations(cv_j, cv_t)
+    assert np.all(corrs > 0.99), corrs
+    assert np.isfinite(cv_j).all() and np.isfinite(cv_t).all()
