@@ -564,3 +564,48 @@ def test_generator_gram_scan_layout_matches_unrolled(tmp_path):
     np.testing.assert_allclose(
         results[True], results[False], rtol=5e-4, atol=1e-5
     )
+
+
+def test_make_optimizer_modes_update_identically():
+    """The SOLO (static-lr) and ENSEMBLE (injected traced-lr) optimizer
+    modes must produce identical parameter updates, and the injected
+    state's inner_state must be exchangeable with the static state —
+    the bridge train_replica_ensemble/adopt_sweep_result rely on
+    (round-4 static-lr fix)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from colvarsfinder_tpu.core.task import TrainingTask
+
+    lr = 0.0173
+    params = {"w": jnp.arange(6.0).reshape(2, 3) / 7.0, "b": jnp.ones(3)}
+    grads = {"w": jnp.full((2, 3), 0.25), "b": jnp.linspace(-1, 1, 3)}
+
+    static = TrainingTask.make_optimizer("adam", lr)
+    injected = TrainingTask.make_optimizer("adam")
+    s_static = static.init(params)
+    s_inj = TrainingTask.set_learning_rate(injected.init(params), lr)
+
+    p_s, p_i = params, params
+    for _ in range(3):
+        u_s, s_static = static.update(grads, s_static, p_s)
+        p_s = optax.apply_updates(p_s, u_s)
+        u_i, s_inj = injected.update(grads, s_inj, p_i)
+        p_i = optax.apply_updates(p_i, u_i)
+    # the two modes round the lr differently (python float folded into
+    # the program vs an f32 state array): equivalence is at f32 lr
+    # resolution (~1e-7 absolute per step), not bitwise
+    for a, b in zip(jax.tree_util.tree_leaves(p_s),
+                    jax.tree_util.tree_leaves(p_i)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    # state-format bridge: inner structures are interchangeable
+    assert (
+        jax.tree_util.tree_structure(
+            TrainingTask.unwrap_opt_state(s_inj)
+        )
+        == jax.tree_util.tree_structure(s_static)
+    )
+    # unwrap is the identity on already-static states
+    assert TrainingTask.unwrap_opt_state(s_static) is s_static
