@@ -491,16 +491,26 @@ class CommittorTask(TrainingTask):
             )
 
             def pack_gram_stacked(arrs, rows):
+                # gf per batch ROW keeps the basis-JVP transient
+                # ([tot_dim, n_rows, d_r]) at per-batch scale; a
+                # split-wide call is nb x larger and can OOM data prep
+                # in exactly the HBM-pressure regime the scanned layout
+                # exists for (same fix as the eigen task's)
                 shape = tuple(np.shape(rows))
-                bd = np.asarray(rows).reshape(-1)
-                Xf = jnp.asarray(arrs[0][bd].reshape(len(bd), -1))
-                H, M = gf(self.preprocessing_layer, diag_d, Xf)
+                Hs, Ms = [], []
+                for row in np.asarray(rows):
+                    bd = row.reshape(-1)
+                    Xf = jnp.asarray(arrs[0][bd].reshape(len(bd), -1))
+                    H, M = gf(self.preprocessing_layer, diag_d, Xf)
+                    Hs.append(H)
+                    Ms.append(M)
+                bd_all = np.asarray(rows).reshape(-1)
                 return (
-                    H.reshape(shape + H.shape[1:]),
-                    M.reshape(shape + M.shape[1:]),
-                    jnp.asarray(arrs[1][bd]).reshape(shape),
-                    jnp.asarray(arrs[2][bd]).reshape(shape),
-                    jnp.asarray(arrs[3][bd]).reshape(shape),
+                    jnp.stack(Hs),
+                    jnp.stack(Ms),
+                    jnp.asarray(arrs[1][bd_all]).reshape(shape),
+                    jnp.asarray(arrs[2][bd_all]).reshape(shape),
+                    jnp.asarray(arrs[3][bd_all]).reshape(shape),
                 )
 
             data_args = (

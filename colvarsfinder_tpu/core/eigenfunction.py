@@ -791,16 +791,21 @@ class EigenFunctionTask(TrainingTask):
                 gf = _gram_fn(tuple(self._traj_np.shape[1:]), self.tot_dim)
 
                 def pack_gram_stacked(rows):
-                    shape = tuple(np.shape(rows))
-                    bd = jnp.asarray(np.asarray(rows).reshape(-1))
-                    H, M = gf(
-                        self._pp_for_loss, self._diag_coeff, flat_d[bd]
-                    )
-                    return (
-                        H.reshape(shape + H.shape[1:]),
-                        M.reshape(shape + M.shape[1:]),
-                        w_d[bd].reshape(shape),
-                    )
+                    # gf per batch ROW: the basis-JVP transient inside gf
+                    # is [tot_dim, n_rows, d_r] — a split-wide call makes
+                    # it nb x larger than the per-batch unrolled path's,
+                    # which can OOM data prep exactly when the scanned
+                    # layout was chosen for HBM pressure
+                    Hs, Ms, ws = [], [], []
+                    for row in np.asarray(rows):
+                        bd = jnp.asarray(row.reshape(-1))
+                        H, M = gf(
+                            self._pp_for_loss, self._diag_coeff, flat_d[bd]
+                        )
+                        Hs.append(H)
+                        Ms.append(M)
+                        ws.append(w_d[bd])
+                    return (jnp.stack(Hs), jnp.stack(Ms), jnp.stack(ws))
 
                 train_data = self._place_batched(pack_gram_stacked(train_b))
                 test_data = self._place_batched(pack_gram_stacked(test_b))
@@ -832,8 +837,8 @@ class EigenFunctionTask(TrainingTask):
 
             warnings.warn(
                 "gram_pp=True could not be honored (it requires the "
-                "prebatched-unrolled layout and per-batch Gram tensors "
-                "within GRAM_AUTO_LIMIT_BYTES); training uses the vjp "
+                "prebatched layout with Gram tensors within "
+                "GRAM_AUTO_LIMIT_BYTES); training uses the vjp "
                 "generator path"
             )
         self._prepared_data_cache = (train_data, test_data, train_b, test_b)

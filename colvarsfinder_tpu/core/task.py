@@ -313,7 +313,15 @@ class TrainingTask(ABC):
         """The static-optimizer state inside an injected-hyperparams
         state (identity for already-static states) — the bridge from
         ensemble/sweep results back to a solo task's optimizer."""
-        return getattr(opt_state, "inner_state", opt_state)
+        import optax
+
+        injected = (
+            optax.InjectHyperparamsState,
+            optax.InjectStatefulHyperparamsState,
+        )
+        if isinstance(opt_state, injected):
+            return opt_state.inner_state
+        return opt_state
 
     @staticmethod
     def set_learning_rate(opt_state, learning_rate):

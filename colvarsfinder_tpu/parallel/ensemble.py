@@ -43,6 +43,7 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from ..logging_utils import losses_to_dataframe
 
@@ -389,6 +390,16 @@ def train_replica_ensemble(
     # no _protect copies needed: jnp.stack below already materializes
     # fresh buffers, and only the stacked arrays are donated — the
     # user-held per-task leaves are never invalidated
+    _injected_states = (
+        optax.InjectHyperparamsState, optax.InjectStatefulHyperparamsState,
+    )
+    for r, t in enumerate(tasks):
+        assert not isinstance(t.opt_state, _injected_states), (
+            f"replica {r}'s opt_state is already in injected-hyperparams "
+            "format (e.g. taken from a prior ensemble/sweep result "
+            "without TrainingTask.unwrap_opt_state); wrap would nest it. "
+            "Pass the unwrapped inner state instead."
+        )
     model_e = _stack_trees([t.model for t in tasks])
     opt_e = _stack_trees([t.opt_state for t in tasks])
     args_e = _stack_trees([p.args for p in plans])
@@ -712,29 +723,34 @@ def sweep_committor_checks(
 SWEEP_UNROLL_BUDGET_BYTES = 12 << 30
 
 
-def _maybe_relayout_for_width(task, R: int) -> None:
+def _maybe_relayout_for_width(task, R: int) -> bool:
     """Auto-select the scanned epoch body for wide generator-loss
     sweeps whose unrolled-body liveness estimate exceeds the HBM
     budget. Calibrated against the round-3 measurements: the dipeptide
     generator config (B=20k, widths 30+20+20+20+1, k=2, 5 train
     batches) fits unrolled at R=32 (~9 GB by this estimate) and OOMs at
-    R=64 (~19 GB). An explicit ``unroll_batches=`` on the task wins."""
+    R=64 (~19 GB). An explicit ``unroll_batches=`` on the task wins.
+
+    Returns True when it relayouted, so the sweep can restore the
+    task's solo layout afterwards (the scanned body costs ~0.8 ms/step
+    of stacked-slice overhead that a subsequent solo ``train()`` should
+    not silently inherit)."""
     from ..core.eigenfunction import EigenFunctionTask
 
     if not isinstance(task, EigenFunctionTask):
-        return
+        return False
     if (
         task.lag_idx != 0
         or task._streaming
         or not task._prebatch
         or task._unroll_override is not None
     ):
-        return
+        return False
     train_idx, test_idx = task._lagged_split(task.lag_idx)
     nb_train = max(1, len(train_idx) // task.batch_size)
     nb_test = max(1, len(test_idx) // task.batch_size)
     if nb_train + nb_test > task.PREBATCH_UNROLL_LIMIT:
-        return  # the heuristic already picks the scanned body
+        return False  # the heuristic already picks the scanned body
     # per-replica-step working set of the generator double backprop:
     # ~C x batch x (sum of layer widths incl. input) x k activations
     widths = task.model.params[0]["weight"].shape[-1] + sum(
@@ -753,6 +769,8 @@ def _maybe_relayout_for_width(task, R: int) -> None:
                 flush=True,
             )
         task.relayout(unroll=False)
+        return True
+    return False
 
 
 def train_hyperparameter_sweep(
@@ -872,7 +890,7 @@ def train_hyperparameter_sweep(
 
     from ..core.committor import CommittorTask
 
-    _maybe_relayout_for_width(task, R)
+    auto_relayouted = _maybe_relayout_for_width(task, R)
     plan = _plan_for(task)
     has_hyper = not plan.metrics_2d  # AE takes no hyper tuple
     if isinstance(task, RegAutoEncoderTask):
@@ -1037,6 +1055,14 @@ def train_hyperparameter_sweep(
                 cvec=cvec,
             )
         )
+    if auto_relayouted:
+        # the scanned body was an ensemble-width decision, not the
+        # task's own: restore the solo heuristic (and drop the prepared
+        # cache) so subsequent solo train() calls don't inherit the
+        # ~0.8 ms/step stacked-slice cost
+        task._unroll_override = None
+        if hasattr(task, "_prepared_data_cache"):
+            del task._prepared_data_cache
     return results
 
 

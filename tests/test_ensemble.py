@@ -953,3 +953,33 @@ def test_sweep_auto_relayout_wide_generator(tmp_path, monkeypatch):
     task_c = mk("relay_c", unroll_batches=True)
     train_hyperparameter_sweep(task_c, grid)
     assert task_c._unroll
+
+    # the auto-relayout is sweep-scoped: after the sweep returns, the
+    # override is cleared and a subsequent solo prep goes back to the
+    # unrolled body (round-4 advisor finding: a persistent scanned body
+    # silently costs ~0.8 ms/step of stacked-slice overhead solo)
+    assert task_b._unroll_override is None
+    assert not hasattr(task_b, "_prepared_data_cache")
+    task_b._prepare_data()
+    assert task_b._unroll
+
+
+def test_ensemble_rejects_already_injected_state(tmp_path):
+    """A task whose opt_state is already in injected-hyperparams format
+    (e.g. adopted from a sweep result without unwrap_opt_state) must be
+    rejected with an actionable message, not a pytree-structure error
+    deep inside the vmapped program (round-4 advisor finding)."""
+    import optax
+
+    from colvarsfinder_tpu.core.task import TrainingTask
+
+    tasks = _make_tasks(tmp_path, "inj", n_replicas=2)
+    inj_opt = TrainingTask.make_optimizer(tasks[1].optimizer_name)
+    tasks[1].opt_state = TrainingTask.set_learning_rate(
+        inj_opt.init(tasks[1].model), tasks[1].learning_rate
+    )
+    with pytest.raises(AssertionError, match="unwrap_opt_state"):
+        train_replica_ensemble(tasks)
+    # and unwrap_opt_state recovers the static-format state
+    tasks[1].opt_state = TrainingTask.unwrap_opt_state(tasks[1].opt_state)
+    train_replica_ensemble(tasks)
