@@ -34,6 +34,9 @@ from . import (
     utils,
     workflow,
 )
+config.set_compilation_cache(auto=True)  # persistent XLA cache; opt out via
+# COLVARSFINDER_NO_COMPILATION_CACHE=1 (see config.set_compilation_cache)
+
 from .checkpoint import load_torch_state_dict, save_torch_state_dict
 from .core import (
     AutoEncoderTask,

@@ -196,3 +196,77 @@ def numerics_key() -> tuple:
     program cache keys (contraction precision + activation dtype + bf16
     style)."""
     return (_PRECISION, _COMPUTE_DTYPE, _BF16_STYLE)
+
+
+# ---------------------------------------------------------------------------
+# persistent (cross-process) compilation cache
+# ---------------------------------------------------------------------------
+
+_COMPILATION_CACHE_DIR: str | None = None
+
+
+def set_compilation_cache(path=None, *, auto: bool = False) -> str | None:
+    """Enable jax's persistent compilation cache for this process.
+
+    The in-process compiled-program caches (``_EPOCH_FN_CACHE`` etc.) die
+    with the process, so every fresh python re-pays XLA compilation —
+    30+ s for an R=64 sweep program whose device run takes ~1 s
+    (benchmarks/RESULTS.md, round 4). The persistent cache stores
+    serialized XLA executables on disk keyed by HLO + compile options +
+    backend, so a second process running the same-shaped task deserializes
+    in ~a second instead.
+
+    Args:
+        path: cache directory. ``None`` (default) picks
+            ``$XDG_CACHE_HOME/colvarsfinder_tpu/xla`` (falling back to
+            ``~/.cache/colvarsfinder_tpu/xla``).
+
+    Returns the directory in use, or ``None`` if the environment opts out
+    via ``COLVARSFINDER_NO_COMPILATION_CACHE=1``.
+
+    Called automatically at package import with ``auto=True``, which
+    enables the cache on accelerator backends only (explicit calls also
+    enable it on CPU); opt out with the env var or point elsewhere by
+    calling this again — it is a tracing-layer flag, safe to flip at any
+    time. Entries compiled for one jax version / backend do not collide
+    with another's: the cache key includes both.
+    """
+    global _COMPILATION_CACHE_DIR
+    import os
+
+    if os.environ.get("COLVARSFINDER_NO_COMPILATION_CACHE", "") == "1":
+        _COMPILATION_CACHE_DIR = None
+        return None
+    if auto:
+        # import-time auto-enable targets accelerator backends, where a
+        # single sweep program can cost 30+ s of XLA compile. On the CPU
+        # backend the cache also works, but XLA:CPU prints a scary
+        # (benign, same-machine) machine-feature E-log on every cached
+        # load — so CPU runs opt in by calling this function explicitly.
+        # Reading the flag does NOT initialize the backend.
+        plats = (jax.config.jax_platforms or "").split(",")[0]
+        if plats == "cpu":
+            return None
+    if path is None:
+        base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+            os.path.expanduser("~"), ".cache"
+        )
+        path = os.path.join(base, "colvarsfinder_tpu", "xla")
+    path = str(path)
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # default thresholds skip exactly the small programs a CV
+        # workload is made of: cache everything that took >=0.3 s
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # unwritable dir / unknown flags: stay in-memory
+        _COMPILATION_CACHE_DIR = None
+        return None
+    _COMPILATION_CACHE_DIR = path
+    return path
+
+
+def compilation_cache_dir() -> str | None:
+    """Directory of the persistent compilation cache (None = disabled)."""
+    return _COMPILATION_CACHE_DIR

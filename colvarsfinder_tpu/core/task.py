@@ -493,6 +493,11 @@ class TrainingTask(ABC):
         ]
         return np.concatenate(outs, axis=0)
 
+    #: prefetch depth of the streaming pipeline (class default; set the
+    #: ``stream_prefetch`` attribute on a task instance to override).
+    #: 0 = fully synchronous gather->transfer->dispatch loop.
+    STREAM_PREFETCH_DEPTH = 2
+
     def _stream_epochs(
         self, chunk, model, opt_state, extra, step_fn, eval_fn,
         pack_train, pack_test, train_b, test_b,
@@ -501,34 +506,101 @@ class TrainingTask(ABC):
         the HOST (numpy — possibly a ``np.memmap`` over a decoded
         trajectory file), each batch is gathered on the host and
         ``device_put`` just-in-time, and the jitted per-batch ``step_fn``
-        donates model/opt_state. Dispatch is asynchronous, so the host
-        gather + H2D transfer of batch *i+1* overlaps the device compute
-        of batch *i* (a software pipeline with no explicit
-        double-buffering code).
+        donates model/opt_state.
+
+        The loop is an explicit THREE-stage software pipeline
+        (``stream_prefetch`` > 0, the default): a gather thread packs
+        batch *i+2* from the memmap (host memcpy / page-cache reads), a
+        transfer thread ``device_put``s batch *i+1* (H2D releases the
+        GIL, so both host stages overlap even on one core), and the main
+        thread dispatches step *i* (async — the device computes behind
+        it). The batch schedule is identical every epoch (shuffle=False
+        reference semantics), so the pipeline also stays full across
+        epoch boundaries. Measured on the TPU tunnel this hides most of
+        the host gather + H2D cost behind device compute
+        (benchmarks/streaming_bench.py).
 
         Returns ``(model, opt_state, train_cm, test_cm)`` with metric
         arrays shaped ``[chunk, nb, ...]`` — the same contract as the
         compiled multi-epoch programs, so callers' metric handling is
         layout-independent.
         """
+        import queue as _queue
+        import threading
+
         import jax.numpy as jnp
 
         dev = self.device
+        depth = int(
+            getattr(self, "stream_prefetch", self.STREAM_PREFETCH_DEPTH)
+        )
+        packs = {"train": pack_train, "test": pack_test}
+
+        def schedule():
+            for _ in range(chunk):
+                for rows in train_b:
+                    yield "train", rows
+                for rows in test_b:
+                    yield "test", rows
+
+        if depth > 0:
+            q_packed: _queue.Queue = _queue.Queue(maxsize=depth)
+            q_device: _queue.Queue = _queue.Queue(maxsize=depth)
+
+            def _gather():
+                try:
+                    for kind, rows in schedule():
+                        q_packed.put((kind, packs[kind](rows)))
+                    q_packed.put(None)
+                except BaseException as e:  # surfaced by the consumer
+                    q_packed.put(e)
+
+            def _transfer():
+                while True:
+                    item = q_packed.get()
+                    if item is None or isinstance(item, BaseException):
+                        q_device.put(item)
+                        return
+                    kind, host_batch = item
+                    try:
+                        q_device.put(
+                            (kind, jax.device_put(host_batch, dev))
+                        )
+                    except BaseException as e:
+                        q_device.put(e)
+                        return
+
+            threading.Thread(target=_gather, daemon=True).start()
+            threading.Thread(target=_transfer, daemon=True).start()
+
+            def batches():
+                while True:
+                    item = q_device.get()
+                    if item is None:
+                        return
+                    if isinstance(item, BaseException):
+                        raise item
+                    yield item
+        else:
+            def batches():
+                for kind, rows in schedule():
+                    yield kind, jax.device_put(packs[kind](rows), dev)
+
         train_cms, test_cms = [], []
-        for _ in range(chunk):
-            ms = []
-            for rows in train_b:
-                batch = jax.device_put(pack_train(rows), dev)
+        ms, tms = [], []
+        nb_train, nb_test = len(train_b), len(test_b)
+        for kind, batch in batches():
+            if kind == "train":
                 model, opt_state, m = step_fn(
                     model, opt_state, *extra, batch
                 )
                 ms.append(m)
-            tms = []
-            for rows in test_b:
-                batch = jax.device_put(pack_test(rows), dev)
+            else:
                 tms.append(eval_fn(model, *extra, batch))
-            train_cms.append(jnp.stack(ms))
-            test_cms.append(jnp.stack(tms))
+            if len(ms) == nb_train and len(tms) == nb_test:
+                train_cms.append(jnp.stack(ms))
+                test_cms.append(jnp.stack(tms))
+                ms, tms = [], []
         return model, opt_state, jnp.stack(train_cms), jnp.stack(test_cms)
 
     @staticmethod

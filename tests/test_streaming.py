@@ -210,3 +210,34 @@ def test_chunked_apply_matches_direct():
     fn = lambda a: a * 2.0 + 1.0  # noqa: E731
     out = TrainingTask._chunked_apply(fn, x, chunk=256)
     np.testing.assert_allclose(out, x * 2.0 + 1.0, rtol=1e-6)
+
+
+# ----------------------------------------------------- prefetch pipeline
+def test_stream_prefetch_depths_identical(traj, tmp_path):
+    """The three-stage prefetch pipeline (round-5: gather thread ->
+    transfer thread -> dispatch) must be a pure latency optimization:
+    depth 0 (fully synchronous), 1, and the default 2 produce identical
+    loss trajectories."""
+    runs = {}
+    for depth in (0, 1, 2):
+        t = _eigen_task(
+            traj, tmp_path, f"pf{depth}", lag_tau=0.3, streaming=True
+        )
+        t.stream_prefetch = depth
+        runs[depth] = _losses(t)
+    for depth in (1, 2):
+        np.testing.assert_array_equal(runs[0][0], runs[depth][0])
+        np.testing.assert_array_equal(runs[0][1], runs[depth][1])
+
+
+def test_stream_prefetch_propagates_pack_errors(traj, tmp_path):
+    """An exception in the background gather thread must surface in the
+    caller, not hang the queue pipeline."""
+    t = _eigen_task(traj, tmp_path, "pferr", lag_tau=0.3, streaming=True)
+
+    def boom(rows):
+        raise RuntimeError("pack exploded")
+
+    t._stream_pack = boom
+    with pytest.raises(RuntimeError, match="pack exploded"):
+        t.train()
