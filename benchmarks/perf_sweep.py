@@ -239,7 +239,8 @@ if __name__ == "__main__":
     main()
 
 
-def width_sweep(batch=20_000, steps=18):
+def width_sweep(batch=20_000, steps=18,
+                widths=(20, 128, 512, 2048)):
     """MFU vs model width: the roofline section claims the small-MLP MFU
     bound is structural (30->20 contractions fill ~4% of MXU lanes); this
     sweep verifies compute efficiency rises with hidden width."""
@@ -252,7 +253,7 @@ def width_sweep(batch=20_000, steps=18):
 
     rng = np.random.default_rng(0)
     rows = []
-    for width in (20, 128, 512, 2048):
+    for width in widths:
         dims = [D_R, width, width, width, 1]
         model = EigenFunctions(dims, k=K, seed=0)
         optimizer = optax.adam(LR)

@@ -219,7 +219,14 @@ class AutoEncoderTask(TrainingTask):
         self._streaming = self._resolve_streaming(streaming, feat_bytes)
 
         # eager preprocessing of the whole trajectory (reference core.py:635)
-        if self._streaming:
+        from ..ops.features import Identity as _Identity
+
+        if isinstance(self.preprocessing_layer, _Identity):
+            # zero-copy fast path: an identity pp keeps the trajectory
+            # array itself (a np.memmap input STAYS memmapped, so a
+            # >RAM streaming AE never materializes the features)
+            self._feature_traj = traj_np
+        elif self._streaming:
             self._feature_traj = self._chunked_apply(
                 self.preprocessing_layer, traj_np
             )
@@ -348,6 +355,9 @@ class AutoEncoderTask(TrainingTask):
         """Host gather of one training batch (rows index positions within
         the train split, reference loader semantics)."""
         sel = self._stream_split[0][np.asarray(rows)]
+        if self._sorted_gather(self._feature_traj):
+            sel = np.sort(sel)  # quasi-sequential memmap sweep; the
+            # batch losses are permutation-invariant (_sorted_gather)
         return (
             np.asarray(self._feature_traj[sel]),
             np.asarray(self._weights[sel]),
@@ -355,6 +365,8 @@ class AutoEncoderTask(TrainingTask):
 
     def _stream_pack_test(self, rows):
         sel = self._stream_split[1][np.asarray(rows)]
+        if self._sorted_gather(self._feature_traj):
+            sel = np.sort(sel)
         return (
             np.asarray(self._feature_traj[sel]),
             np.asarray(self._weights[sel]),

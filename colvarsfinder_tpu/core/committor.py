@@ -536,6 +536,9 @@ class CommittorTask(TrainingTask):
         """Host gather of one batch for the streaming layout (split 0 =
         train, 1 = test); casts memmap frames to the compute dtype."""
         sel = self._stream_split[split][np.asarray(rows)]
+        if self._sorted_gather(self._traj):
+            sel = np.sort(sel)  # quasi-sequential memmap sweep; the
+            # batch losses are permutation-invariant (_sorted_gather)
         return (
             np.asarray(self._traj[sel], dtype=default_dtype()),
             self._weights[sel],

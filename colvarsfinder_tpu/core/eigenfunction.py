@@ -821,9 +821,10 @@ class EigenFunctionTask(TrainingTask):
                 # gathers become XLA collectives over ICI
                 from ..parallel.mesh import shard_frames
 
-                traj = shard_frames(jnp.asarray(self._traj_flat), self.mesh)
+                traj = shard_frames(jnp.asarray(self._traj_flat), self.mesh,
+                                    pad=True)
                 weights = shard_frames(
-                    jnp.asarray(self._weights_np), self.mesh
+                    jnp.asarray(self._weights_np), self.mesh, pad=True
                 )
             else:
                 traj = self._place_replicated(jnp.asarray(self._traj_flat))
@@ -851,6 +852,9 @@ class EigenFunctionTask(TrainingTask):
         flat = self._traj_flat
         w = self._weights_np
         bd = np.asarray(rows, dtype=np.int64).reshape(-1)
+        if self._sorted_gather(flat):
+            bd = np.sort(bd)  # quasi-sequential memmap sweep; the batch
+            # losses are permutation-invariant (task.py _sorted_gather)
         shape = tuple(np.shape(rows))
         feat_shape = flat.shape[1:]
         Xf = np.asarray(flat[bd]).reshape(shape + feat_shape)

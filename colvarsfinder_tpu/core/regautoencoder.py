@@ -827,8 +827,10 @@ class RegAutoEncoderTask(TrainingTask):
             # become XLA collectives over ICI
             from ..parallel.mesh import shard_frames
 
-            traj = shard_frames(jnp.asarray(self._traj_flat), self.mesh)
-            weights = shard_frames(jnp.asarray(self._weights_np), self.mesh)
+            traj = shard_frames(jnp.asarray(self._traj_flat), self.mesh,
+                                    pad=True)
+            weights = shard_frames(jnp.asarray(self._weights_np), self.mesh,
+                                   pad=True)
             data_args = (
                 traj, weights,
                 self._place_batched(train_b), self._place_batched(test_b),
@@ -860,6 +862,9 @@ class RegAutoEncoderTask(TrainingTask):
         flat = self._traj_flat
         wts = self._weights_np
         bd = np.asarray(rows, dtype=np.int64).reshape(-1)
+        if self._sorted_gather(flat):
+            bd = np.sort(bd)  # quasi-sequential memmap sweep; the batch
+            # losses are permutation-invariant (task.py _sorted_gather)
         shape = tuple(np.shape(rows))
         feat_shape = flat.shape[1:]
         alpha_ae_on = self.alpha > _EPS and self.lag_ae_idx > 0

@@ -32,6 +32,13 @@ from ..parallel.mesh import replicate, shard_batches
 
 __all__ = ["TrainingTask"]
 
+# jitted packed-transfer streaming step/eval wrappers, shared across
+# train() calls and task instances (keyed by the wrapped jitted fn +
+# the batch's pack spec) — a per-call closure would recompile every
+# chunk
+_PACKED_FN_CACHE: dict = {}
+_PACKED_FN_CACHE_MAX = 64
+
 
 class TrainingTask(ABC):
     r"""Abstract base class of training tasks
@@ -440,9 +447,11 @@ class TrainingTask(ABC):
     def _resolve_streaming(self, streaming, device_bytes: int) -> bool:
         """Decide the streaming layout: explicit ``streaming=`` wins;
         ``None`` auto-enables when the device-resident layout would
-        exceed :attr:`STREAMING_AUTO_LIMIT_BYTES`. Streaming is a
-        single-host capacity mode — with a mesh, use ``shard_trajectory``
-        (frame-axis sharding over devices) instead."""
+        exceed :attr:`STREAMING_AUTO_LIMIT_BYTES` (and no mesh is set —
+        a mesh defaults to ``shard_trajectory`` for capacity scaling).
+        Explicit ``streaming=True`` MAY combine with a mesh: the
+        host-streamed batches are then sharded along their batch axis
+        and the step runs SPMD (>host-HBM data on multiple chips)."""
         if streaming is None:
             streaming = (
                 device_bytes > self.STREAMING_AUTO_LIMIT_BYTES
@@ -451,10 +460,23 @@ class TrainingTask(ABC):
             )
         streaming = bool(streaming)
         if streaming:
-            assert self.mesh is None and not self.shard_trajectory, (
-                "streaming=True is a single-host layout; for multi-chip "
-                "memory scaling use shard_trajectory with a mesh"
+            assert not self.shard_trajectory, (
+                "streaming=True keeps the trajectory on the HOST; it "
+                "cannot combine with shard_trajectory (device-resident "
+                "frame sharding). Pick one >HBM strategy."
             )
+            if self.mesh is not None:
+                # streaming + mesh = per-batch data parallelism: each
+                # host-gathered batch is device_put SHARDED along its
+                # batch axis, and the jitted step runs SPMD (XLA turns
+                # the losses' weighted reductions into psums over ICI)
+                n_dev = int(self.mesh.devices.size)
+                assert self.batch_size % n_dev == 0, (
+                    f"streaming with a mesh shards each batch across "
+                    f"the {n_dev} devices: batch_size "
+                    f"({self.batch_size}) must be divisible by the "
+                    "mesh size"
+                )
         return streaming
 
     # tri-state override of the unrolled-vs-scanned prebatched epoch
@@ -498,6 +520,49 @@ class TrainingTask(ABC):
     #: 0 = fully synchronous gather->transfer->dispatch loop.
     STREAM_PREFETCH_DEPTH = 2
 
+    #: max dispatched-but-unfinished streaming steps (class default; set
+    #: the ``stream_inflight`` attribute on a task instance to override).
+    #: Bounds host memory pinned by queued H2D transfers on async
+    #: backends; 32 steps ≈ 32 x batch bytes of in-flight buffers.
+    STREAM_INFLIGHT_STEPS = 32
+
+    #: parallel H2D transfer workers in the streaming pipeline (class
+    #: default; set ``stream_transfer_workers`` on an instance to
+    #: override). Transfers release the GIL; on a latency-bound tunnel
+    #: several in-flight puts overlap, on local PCIe/ICI 1-2 suffice.
+    STREAM_TRANSFER_WORKERS = 4
+
+    def _sorted_gather(self, arr) -> bool:
+        """Should a streaming host gather SORT its frame indices first?
+
+        The batch losses are weighted means — permutation-invariant
+        within a batch — so gather order is a free choice. For a
+        memory-mapped trajectory, sorted indices turn 20k random page
+        touches across a >HBM file into one quasi-sequential sweep
+        (measured ~2x pack throughput cold-cache); for in-RAM arrays the
+        unsorted reference order is kept so streaming remains bitwise
+        identical to the in-memory layouts. Override with the
+        ``stream_sorted_gather`` attribute (True/False)."""
+        ov = getattr(self, "stream_sorted_gather", None)
+        if ov is not None:
+            return bool(ov)
+        seen = 0
+        while isinstance(arr, np.ndarray) and seen < 8:
+            if isinstance(arr, np.memmap):
+                return True
+            arr = arr.base
+            seen += 1
+        return False
+
+    #: coalesce each streamed batch into ONE contiguous host buffer per
+    #: dtype before the H2D transfer (unpacked by slice/reshape inside
+    #: the jitted step — free under fusion). On a latency-bound link
+    #: this replaces 4-5 per-leaf transfers with 1-2. Class default;
+    #: set ``stream_pack_transfers`` on an instance to override.
+    #: Automatically disabled with a mesh (the packed buffer has no
+    #: single batch axis to shard).
+    STREAM_PACK_TRANSFERS = True
+
     def _stream_epochs(
         self, chunk, model, opt_state, extra, step_fn, eval_fn,
         pack_train, pack_test, train_b, test_b,
@@ -531,10 +596,140 @@ class TrainingTask(ABC):
         import jax.numpy as jnp
 
         dev = self.device
+        if self.mesh is not None:
+            # streaming + mesh: each batch is placed SHARDED along its
+            # leading (batch) axis; the jitted step then runs SPMD
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+
+            _axis = self.mesh.axis_names[0]
+
+            def _put(batch):
+                def one(x):
+                    spec = [None] * np.ndim(x)
+                    if np.ndim(x) >= 1:
+                        spec[0] = _axis
+                    return jax.device_put(
+                        x, NamedSharding(self.mesh, _P(*spec))
+                    )
+
+                return jax.tree_util.tree_map(one, batch)
+        else:
+            def _put(batch):
+                return jax.device_put(batch, dev)
         depth = int(
             getattr(self, "stream_prefetch", self.STREAM_PREFETCH_DEPTH)
         )
         packs = {"train": pack_train, "test": pack_test}
+
+        # transfer coalescing: ship each batch as ONE contiguous buffer
+        # per dtype and slice/reshape back inside the jitted step (free
+        # under XLA fusion). On a latency-bound tunnel this replaces 4-5
+        # per-leaf puts with 1-2 (benchmarks/streaming_bench.py).
+        pack_xfer = self.mesh is None and bool(
+            getattr(self, "stream_pack_transfers",
+                    self.STREAM_PACK_TRANSFERS)
+        )
+        # opt-in H2D WIRE dtype for float32 payloads ('float16' halves
+        # the bytes on a bandwidth-bound link; coordinates round to
+        # ~1e-3 relative — an input-precision choice, not an arithmetic
+        # mode: the step upcasts to float32 on arrival)
+        wire = getattr(self, "stream_wire_dtype", None)
+        if wire is not None:
+            wire = np.dtype(wire).name
+            assert wire in ("float16", "bfloat16"), wire
+            assert pack_xfer, (
+                "stream_wire_dtype requires the packed-transfer path "
+                "(stream_pack_transfers=True, no mesh)"
+            )
+        use_step, use_eval = step_fn, eval_fn
+        if pack_xfer:
+            specs: dict = {}
+            real_packs = packs
+
+            def _host_pack(kind, rows):
+                batch = real_packs[kind](rows)
+                leaves, treedef = jax.tree_util.tree_flatten(batch)
+                leaves = [np.asarray(x) for x in leaves]
+                spec = specs.get(kind)
+                if spec is None:
+                    shapes = tuple(x.shape for x in leaves)
+                    dtypes = tuple(x.dtype.name for x in leaves)
+                    by_dt: dict = {}
+                    for i, dt in enumerate(dtypes):
+                        by_dt.setdefault(dt, []).append(i)
+                    groups = tuple(
+                        (dt, tuple(ix)) for dt, ix in sorted(by_dt.items())
+                    )
+                    spec = (treedef, shapes, groups)
+                    specs[kind] = spec
+                _, shapes, groups = spec
+                bufs = tuple(
+                    leaves[ix[0]].ravel() if len(ix) == 1 else
+                    np.concatenate([leaves[i].ravel() for i in ix])
+                    for _, ix in groups
+                )
+                if wire is not None:
+                    import ml_dtypes
+
+                    wdt = (np.float16 if wire == "float16"
+                           else ml_dtypes.bfloat16)
+                    bufs = tuple(
+                        b.astype(wdt) if b.dtype == np.float32 else b
+                        for b in bufs
+                    )
+                return bufs
+
+            def _wrapped(kind, fn, donate):
+                spec = specs[kind]
+                key = (fn, wire) + spec
+                cached = _PACKED_FN_CACHE.get(key)
+                if cached is not None:
+                    return cached
+                treedef, shapes, groups = spec
+
+                def unpack(bufs):
+                    import jax.numpy as jnp
+
+                    leaves = [None] * len(shapes)
+                    for (gdt, ix), buf in zip(groups, bufs):
+                        if wire is not None and gdt == "float32":
+                            buf = buf.astype(jnp.float32)
+                        off = 0
+                        for i in ix:
+                            size = int(np.prod(shapes[i], dtype=np.int64))
+                            leaves[i] = buf[off:off + size].reshape(
+                                shapes[i]
+                            )
+                            off += size
+                    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+                if donate:
+                    w = jax.jit(
+                        lambda m, o, *a: fn(m, o, *a[:-1], unpack(a[-1])),
+                        donate_argnums=(0, 1),
+                    )
+                else:
+                    w = jax.jit(
+                        lambda m, *a: fn(m, *a[:-1], unpack(a[-1]))
+                    )
+                while len(_PACKED_FN_CACHE) >= _PACKED_FN_CACHE_MAX:
+                    _PACKED_FN_CACHE.pop(next(iter(_PACKED_FN_CACHE)))
+                _PACKED_FN_CACHE[key] = w
+                return w
+
+            packs = {
+                k: (lambda kind: lambda rows: _host_pack(kind, rows))(k)
+                for k in real_packs
+            }
+
+            def use_step(model, opt_state, *rest):
+                return _wrapped("train", step_fn, True)(
+                    model, opt_state, *rest
+                )
+
+            def use_eval(model, *rest):
+                return _wrapped("test", eval_fn, False)(model, *rest)
 
         def schedule():
             for _ in range(chunk):
@@ -544,59 +739,110 @@ class TrainingTask(ABC):
                     yield "test", rows
 
         if depth > 0:
-            q_packed: _queue.Queue = _queue.Queue(maxsize=depth)
-            q_device: _queue.Queue = _queue.Queue(maxsize=depth)
+            # H2D transfers release the GIL and a tunneled backend has
+            # per-transfer LATENCY, so several put workers overlap their
+            # in-flight transfers (measured transfer-bound streaming
+            # epochs; benchmarks/streaming_bench.py). Results re-order
+            # by sequence number so the training order is unchanged.
+            n_put = max(1, int(getattr(
+                self, "stream_transfer_workers",
+                self.STREAM_TRANSFER_WORKERS,
+            )))
+            # strict round-robin: worker w owns seqs with seq % n_put ==
+            # w, via bounded per-worker in/out queues. The consumer reads
+            # qs_out[i % n_put] in order — ordering is restored with no
+            # reorder buffer, and every stage has natural backpressure
+            # (a shared work queue + semaphore was deadlock-prone: fast
+            # workers could exhaust the in-flight budget while the
+            # worker holding the next-needed seq starved)
+            qs_in = [_queue.Queue(maxsize=max(1, depth))
+                     for _ in range(n_put)]
+            qs_out = [_queue.Queue(maxsize=max(1, depth))
+                      for _ in range(n_put)]
 
             def _gather():
+                seq = 0
                 try:
                     for kind, rows in schedule():
-                        q_packed.put((kind, packs[kind](rows)))
-                    q_packed.put(None)
+                        qs_in[seq % n_put].put((kind, packs[kind](rows)))
+                        seq += 1
+                    for q in qs_in:
+                        q.put(None)
                 except BaseException as e:  # surfaced by the consumer
-                    q_packed.put(e)
+                    # deliver into the NEXT ordered queue: the consumer
+                    # is guaranteed to reach exactly this position
+                    qs_in[seq % n_put].put(e)
 
-            def _transfer():
+            def _transfer(w):
                 while True:
-                    item = q_packed.get()
+                    item = qs_in[w].get()
                     if item is None or isinstance(item, BaseException):
-                        q_device.put(item)
+                        qs_out[w].put(item)
                         return
                     kind, host_batch = item
                     try:
-                        q_device.put(
-                            (kind, jax.device_put(host_batch, dev))
-                        )
+                        qs_out[w].put((kind, _put(host_batch)))
                     except BaseException as e:
-                        q_device.put(e)
+                        qs_out[w].put(e)
                         return
 
             threading.Thread(target=_gather, daemon=True).start()
-            threading.Thread(target=_transfer, daemon=True).start()
+            for w in range(n_put):
+                threading.Thread(
+                    target=_transfer, args=(w,), daemon=True
+                ).start()
 
             def batches():
+                i = 0
                 while True:
-                    item = q_device.get()
+                    item = qs_out[i % n_put].get()
                     if item is None:
                         return
                     if isinstance(item, BaseException):
                         raise item
                     yield item
+                    i += 1
         else:
             def batches():
                 for kind, rows in schedule():
-                    yield kind, jax.device_put(packs[kind](rows), dev)
+                    yield kind, _put(packs[kind](rows))
+
+        from collections import deque
 
         train_cms, test_cms = [], []
         ms, tms = [], []
         nb_train, nb_test = len(train_b), len(test_b)
+        # FLOW CONTROL: async dispatch means the host can run thousands
+        # of steps ahead of the device, and every streamed batch in that
+        # gap pins host-side transfer buffers (measured: a whole 8.9k-
+        # batch epoch queued at once held ~45 GB on the tunnel backend).
+        # Bound the in-flight window with a HOST FETCH of the metric
+        # from STREAM_INFLIGHT_STEPS ago — np.asarray, not
+        # block_until_ready, which has been observed returning early on
+        # the tunnel backend (benchmarks/RESULTS.md timing-methodology
+        # note). One small fetch per window step: zero cost when the
+        # device keeps up, bounded memory when it doesn't.
+        inflight: deque = deque()
+        window = int(getattr(self, "stream_inflight",
+                             self.STREAM_INFLIGHT_STEPS))
+        emitted = 0
         for kind, batch in batches():
             if kind == "train":
-                model, opt_state, m = step_fn(
+                model, opt_state, m = use_step(
                     model, opt_state, *extra, batch
                 )
                 ms.append(m)
+                latest = m
             else:
-                tms.append(eval_fn(model, *extra, batch))
+                latest = use_eval(model, *extra, batch)
+                tms.append(latest)
+            emitted += 1
+            if emitted % window == 0:
+                inflight.append(latest)
+                if len(inflight) > 1:
+                    # fetch the metric from `window` steps ago: caps
+                    # dispatched-but-unfinished steps at ~2x window
+                    np.asarray(inflight.popleft())
             if len(ms) == nb_train and len(tms) == nb_test:
                 train_cms.append(jnp.stack(ms))
                 test_cms.append(jnp.stack(tms))

@@ -60,15 +60,34 @@ def shard_batches(tree: Any, mesh: Optional[Mesh], axis_name: str = "data") -> A
     return jax.tree_util.tree_map(put, tree)
 
 
-def shard_frames(tree: Any, mesh: Optional[Mesh], axis_name: str = "data") -> Any:
-    """Shard arrays shaped [n_frames, ...] along the leading frame axis."""
+def shard_frames(tree: Any, mesh: Optional[Mesh], axis_name: str = "data",
+                 pad: bool = False) -> Any:
+    """Shard arrays shaped [n_frames, ...] along the leading frame axis.
+
+    With ``pad=True``, a frame count that does not divide the mesh size
+    is zero-PADDED up to the next multiple before placement (XLA
+    sharding needs equal shards). Only safe for GATHER-addressed arrays
+    (the sharded-trajectory layout): batches address frames by explicit
+    index arrays built from the real ``n_frames``, so padding rows are
+    never read. Dense per-batch arrays must NOT be padded — leave the
+    default, which surfaces the divisibility error instead."""
     if mesh is None:
         return jax.device_put(tree)
+    n_dev = int(mesh.devices.size)
 
     def put(x):
         spec = [None] * np.ndim(x)
         if np.ndim(x) >= 1:
             spec[0] = axis_name
+            if pad:
+                n = np.shape(x)[0]
+                extra = (-n) % n_dev
+                if extra:
+                    x = np.concatenate(
+                        [np.asarray(x),
+                         np.zeros((extra,) + np.shape(x)[1:],
+                                  dtype=np.asarray(x).dtype)]
+                    )
         return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
     return jax.tree_util.tree_map(put, tree)

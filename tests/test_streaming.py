@@ -161,14 +161,37 @@ def test_streaming_rejects_prebatch_false(traj, tmp_path):
         )
 
 
-def test_streaming_rejects_mesh(traj, tmp_path):
+def test_streaming_with_mesh_matches_single_device(traj, tmp_path):
+    """Round 5: explicit streaming=True composes with a mesh — each
+    host-streamed batch is sharded along its batch axis and the step
+    runs SPMD. Losses must equal the single-device streaming run."""
     import jax
     from jax.sharding import Mesh
 
     mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
-    with pytest.raises(AssertionError, match="single-host"):
+    tr0, te0 = _losses(
+        _eigen_task(traj, tmp_path, "smm0", lag_tau=0.3, streaming=True)
+    )
+    t1 = _eigen_task(
+        traj, tmp_path, "smm1", lag_tau=0.3, streaming=True, mesh=mesh,
+    )
+    tr1, te1 = _losses(t1)
+    np.testing.assert_allclose(tr0, tr1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(te0, te1, rtol=1e-5, atol=1e-6)
+
+    # shard_trajectory (device-resident frame sharding) still excludes
+    # streaming — they are alternative >HBM strategies
+    with pytest.raises(AssertionError, match="shard_trajectory"):
         _eigen_task(
-            traj, tmp_path, "mesh", lag_tau=0.3, streaming=True, mesh=mesh,
+            traj, tmp_path, "smm2", lag_tau=0.3, streaming=True,
+            mesh=mesh, shard_trajectory=True,
+        )
+
+    # batch size must divide the mesh for the sharded batch axis
+    with pytest.raises(AssertionError, match="divisible"):
+        _eigen_task(
+            traj, tmp_path, "smm3", lag_tau=0.3, streaming=True,
+            mesh=mesh, batch_size=63,
         )
 
 
@@ -241,3 +264,18 @@ def test_stream_prefetch_propagates_pack_errors(traj, tmp_path):
     t._stream_pack = boom
     with pytest.raises(RuntimeError, match="pack exploded"):
         t.train()
+
+
+def test_stream_wire_dtype_f16(traj, tmp_path):
+    """Opt-in float16 H2D wire format: halves bandwidth on a wire-bound
+    link; inputs round to ~1e-3 relative, so losses track the f32 run
+    closely but not bitwise."""
+    tr0, _ = _losses(
+        _eigen_task(traj, tmp_path, "wire0", lag_tau=0.3, streaming=True)
+    )
+    t1 = _eigen_task(traj, tmp_path, "wire1", lag_tau=0.3, streaming=True)
+    t1.stream_wire_dtype = "float16"
+    tr1, _ = _losses(t1)
+    assert np.isfinite(tr1).all()
+    np.testing.assert_allclose(tr1, tr0, rtol=0.05, atol=1e-3)
+    assert not np.array_equal(tr1, tr0)  # it really went through f16
