@@ -98,8 +98,15 @@ def test_wheel_builds_and_installs_into_clean_venv(tmp_path):
     workdir = tmp_path / "e2e"
     workdir.mkdir()
     env = dict(os.environ)
-    # keep the session's sitecustomize hook, drop any repo path
-    env["PYTHONPATH"] = "/root/.axon_site"
+    # keep the session's sitecustomize hook and the OUTER env's
+    # site-packages (this interpreter is itself a venv, so
+    # --system-site-packages does not expose jax/numpy to the child);
+    # colvarsfinder_tpu itself exists ONLY in the fresh venv's
+    # site-packages, so the wheel is what gets imported
+    import numpy as _np
+
+    outer_site = os.path.dirname(os.path.dirname(_np.__file__))
+    env["PYTHONPATH"] = "/root/.axon_site" + os.pathsep + outer_site
     r = subprocess.run(
         [str(vpy), "-c", _E2E, str(workdir)],
         capture_output=True, text=True, env=env, cwd=str(tmp_path),
