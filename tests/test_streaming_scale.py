@@ -130,13 +130,17 @@ def test_ae_streaming_2gib(mm_traj, tmp_path):
 
 
 def test_regae_streaming_2gib(mm_traj, tmp_path):
+    from colvarsfinder_tpu.ops.features import Lambda
+
     mm, ref = mm_traj
     task = RegAutoEncoderTask(
-        _traj_obj(mm), None,
+        _traj_obj(mm),
+        Lambda(lambda x: x.reshape(x.shape[0], -1)),
         RegAutoEncoder(
             [3 * N_ATOMS, 20, 2], [2, 20, 3 * N_ATOMS], [2, 12, 1],
             K=1, seed=0,
         ),
+        eig_weights=[1.0],
         alpha=1.0, gamma=(0.0, 0.0), eta=(0.0, 0.0, 0.0),
         lag_tau_ae=0.002 * 5,
         **_common(tmp_path, "regae"),
@@ -158,8 +162,11 @@ def test_committor_streaming_2gib(mm_traj, tmp_path):
     def in_b(x):
         return x[:, 0, 0] > hi
 
+    from colvarsfinder_tpu.ops.features import Lambda
+
     task = CommittorTask(
-        _traj_obj(mm), None,
+        _traj_obj(mm),
+        Lambda(lambda x: x.reshape(x.shape[0], -1)),
         create_sequential_nn([3 * N_ATOMS, 20, 1], seed=0),
         region_a=in_a, region_b=in_b, alpha=10.0, beta=1.0,
         **_common(tmp_path, "committor"),
