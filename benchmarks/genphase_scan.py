@@ -106,7 +106,7 @@ def main():
     )
 
     def jac_body(c, i):
-        G = jax.jacrev(lambda h: model(h).sum(axis=0))(H + 0.0 * c[0, 0])
+        G = jax.jacrev(lambda h: model(h).sum(axis=0))(H + 0.0 * c)
         return c + G.sum()
 
     results["model_jacrev"] = timed_scan(
