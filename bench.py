@@ -225,6 +225,30 @@ def bench_generator(traj_np, weights_np):
         "value": round(sps, 1),
         "unit": "samples/sec",
     }))
+    # bf16 Gram-storage variant (opt-in gram_dtype='bfloat16'): halves
+    # the Gram-traffic bound — measured 1.556x in the interleaved A/B
+    # (benchmarks/gram_dtype_ab.py); surfaced as its own metric line
+    task_b = _task(
+        _Traj(traj_np, weights_np), pp,
+        EigenFunctions([D_R, 20, 20, 20, 1], k=K, seed=0),
+        lag_tau=0.0, num_epochs=n_epochs,
+    )
+    task_b._gram_dtype = "bfloat16"
+    task_b.train()
+    dt_b = float("inf")
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        task_b.train()
+        dt_b = min(dt_b, time.perf_counter() - t0)
+    sps_b = n_epochs * nb * BATCH / dt_b
+    log(f"generator (bf16 gram): {sps_b:,.0f} samples/s "
+        f"({sps_b / sps:.2f}x f32 gram)")
+    print(json.dumps({
+        "metric": "dipeptide eigenfunction (generator, bf16-gram "
+                  "storage) training throughput",
+        "value": round(sps_b, 1),
+        "unit": "samples/sec",
+    }))
     return sps
 
 

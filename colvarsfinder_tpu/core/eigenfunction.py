@@ -398,6 +398,7 @@ class EigenFunctionTask(TrainingTask):
         prebatch: bool | None = None,
         fused_step: bool = False,
         gram_pp: bool | None = None,
+        gram_dtype=None,
         streaming: bool | None = None,
         unroll_batches: bool | None = None,
         **kwargs,
@@ -588,6 +589,22 @@ class EigenFunctionTask(TrainingTask):
                 "gram_pp applies to the generator loss only (lag_tau == 0)"
             )
         self._gram_explicit = gram_pp is not None
+        # storage dtype of the precomputed pp-jacobian Gram tensor M.
+        # 'bfloat16' halves the HBM traffic that BOUNDS the gram step
+        # (benchmarks/genphase_scan.py: ~3-4 M-traversals/step dominate;
+        # the quadratic form then runs bf16 x bf16 -> f32 on the MXU).
+        # Opt-in: M rounds to bf16 (~1e-2 relative on the Dirichlet
+        # term) — explore fast, fine-tune at the f32 default.
+        if gram_dtype is not None:
+            import numpy as _np
+
+            name = (
+                gram_dtype if gram_dtype == "bfloat16"
+                else _np.dtype(gram_dtype).name
+            )
+            assert name in ("float32", "bfloat16"), name
+            gram_dtype = None if name == "float32" else name
+        self._gram_dtype = gram_dtype
         self._gram = False  # resolved with the data layout in _prepare_data
 
 
@@ -780,6 +797,8 @@ class EigenFunctionTask(TrainingTask):
                         H, M = gf(
                             self._pp_for_loss, self._diag_coeff, flat_d[bd]
                         )
+                        if self._gram_dtype == "bfloat16":
+                            M = M.astype(jnp.bfloat16)
                         return (H, M, w_d[bd])
 
                     pack = pack_gram
@@ -802,6 +821,8 @@ class EigenFunctionTask(TrainingTask):
                         H, M = gf(
                             self._pp_for_loss, self._diag_coeff, flat_d[bd]
                         )
+                        if self._gram_dtype == "bfloat16":
+                            M = M.astype(jnp.bfloat16)
                         Hs.append(H)
                         Ms.append(M)
                         ws.append(w_d[bd])

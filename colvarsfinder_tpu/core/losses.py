@@ -204,10 +204,33 @@ def eigen_loss(
         if pp_gram is not None:
             # Gram path: model-only input jacobian x precomputed pp Gram
             G = jax.jacrev(lambda h: model(h).sum(axis=0))(X)  # [k, B, d_r]
-            grad_sq = jnp.einsum(
-                "kbi,bij,kbj->bk", G, pp_gram, G,
-                precision=matmul_precision(),
-            )  # [B, k]
+            if pp_gram.dtype == jnp.bfloat16:
+                # bf16-Gram storage mode (EigenFunctionTask
+                # gram_dtype='bfloat16'): the step is Gram-TRAFFIC-bound
+                # (benchmarks/genphase_scan.py — ~3-4 traversals of the
+                # [B, d_r, d_r] tensor dominate), so halving M's bytes
+                # halves the bound; the contraction runs on the MXU's
+                # native bf16 x bf16 -> f32 path (f32 accumulation)
+                if jax.default_backend() == "cpu":
+                    # XLA:CPU has no native bf16 x bf16 -> f32 dot;
+                    # upcast (tests / CPU fallback — the storage
+                    # saving is a device-HBM concern anyway)
+                    grad_sq = jnp.einsum(
+                        "kbi,bij,kbj->bk", G,
+                        pp_gram.astype(G.dtype), G,
+                        precision=matmul_precision(),
+                    )
+                else:
+                    Gb = G.astype(jnp.bfloat16)
+                    grad_sq = jnp.einsum(
+                        "kbi,bij,kbj->bk", Gb, pp_gram, Gb,
+                        preferred_element_type=jnp.float32,
+                    )  # [B, k]
+            else:
+                grad_sq = jnp.einsum(
+                    "kbi,bij,kbj->bk", G, pp_gram, G,
+                    precision=matmul_precision(),
+                )  # [B, k]
         else:
             # per-sample input gradients, k batched vjps through pp
             grad_sq = _per_sample_input_grad_sq(
